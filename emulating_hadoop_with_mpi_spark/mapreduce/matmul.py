@@ -1,0 +1,146 @@
+"""Distributed matrix multiplication — the reference's flagship (only) job.
+
+The reference computes ``C = A × B`` as textbook one-pass MapReduce matrix
+multiply: the mapper replicates every A cell across all k and every B cell
+across all i, keyed by output coordinate "(i,k)" with tagged values
+"(A,j,v)" / "(B,j,v)" (``program.c:184-222``); the reducer walks each key's
+value list pairwise accumulating ``sum += a*b`` (``program.c:415-445``).
+
+Three formulations here:
+
+- ``matmul_coo`` (idiomatic, DEFAULT): the (i,k)-keyed tagged emit is a
+  hand-rolled equi-join of A and B on the shared dimension j.  Expressed
+  declaratively — ``A ⋈_j B → groupBy(i,k) → sum(va*vb)`` — Catalyst picks
+  the physical join (broadcast if one side is small, shuffled hash
+  otherwise), pushes projections into the scans, and partial-aggregates
+  map-side.  Shuffle volume is O(|A|+|B|) + O(L·N) partials, versus the
+  reference's 2·L·M·N replicated 512-byte string pairs broadcast to every
+  node (``program.c:277-288``).
+
+- ``matmul_broadcast``: explicit broadcast-hash-join hint for the
+  small-B case — the declarative analogue of the reference's
+  ``MPI_Bcast`` of the whole B matrix (``program.c:98``).
+
+- ``matmul_mapreduce`` (faithful): the reference's exact KV dataflow on
+  RDDs — flatMap emit of tagged string pairs, groupByKey, per-key reduce —
+  but with an order-INdependent reduce (dict on j), because the
+  reference's pairwise walk (``program.c:427-436``) relies on an emission
+  order Spark's shuffle does not preserve (SURVEY §2 note 1).
+
+All three aggregate into int64 — the reference's ``int sum``
+(``program.c:425``) overflows at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def matmul_coo(a: DataFrame, b: DataFrame) -> DataFrame:
+    """C = A×B over COO DataFrames a(i,j,v), b(i,j,v) → (i, k, v:long).
+
+    b's coordinates are renamed (row=j, col=k) so the join key is the
+    shared inner dimension, exactly the pairing the reference's reducer
+    reconstructs from value tags + order (``program.c:427-436``).
+    """
+    lhs = a.select(F.col("i"), F.col("j"), F.col("v").alias("va"))
+    rhs = b.select(F.col("i").alias("j"), F.col("j").alias("k"), F.col("v").alias("vb"))
+    return (
+        lhs.join(rhs, "j")
+        .groupBy("i", "k")
+        .agg(F.sum(F.col("va").cast("long") * F.col("vb").cast("long")).alias("v"))
+    )
+
+
+def matmul_broadcast(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Same plan with a broadcast hint on B — use when B fits in executor
+    memory (the reference unconditionally replicates BOTH matrices to all
+    ranks, ``program.c:97-98``; we replicate only the small side)."""
+    rhs = b.select(F.col("i").alias("j"), F.col("j").alias("k"), F.col("v").alias("vb"))
+    lhs = a.select("i", "j", F.col("v").alias("va"))
+    return (
+        lhs.join(F.broadcast(rhs), "j")
+        .groupBy("i", "k")
+        .agg(F.sum(F.col("va").cast("long") * F.col("vb").cast("long")).alias("v"))
+    )
+
+
+def matmul_mapreduce(
+    spark: SparkSession,
+    a: DataFrame,
+    b: DataFrame,
+    dims: tuple[int, int, int],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Faithful KV-string MapReduce path (RDD), mirroring the reference.
+
+    mapper: for an A cell (i,j,v): emit (f"({i},{k})", f"(A,{j},{v})") for
+    every k — and symmetrically for B cells across every i
+    (``program.c:203-217``; the reference iterates rows and emits both
+    relations from one loop, we tag each relation's cells directly —
+    same pair multiset, 2·L·M·N pairs).
+
+    reducer: rebuild {j: a_v} and {j: b_v} per key and sum products —
+    order-independent, unlike ``program.c:427-436``.
+    """
+    _, _, n = dims
+    l = dims[0]
+
+    def map_a(row):
+        i, j, v = row
+        prefix = f"(A,{j},{v})"
+        return [(f"({i},{k})", prefix) for k in range(n)]
+
+    def map_b(row):
+        j, k, v = row
+        val = f"(B,{j},{v})"
+        return [(f"({i},{k})", val) for i in range(l)]
+
+    pairs = a.rdd.map(tuple).flatMap(map_a).union(b.rdd.map(tuple).flatMap(map_b))
+
+    def reduce_fn(key, values):
+        a_vals: dict[int, int] = {}
+        b_vals: dict[int, int] = {}
+        for s in values:
+            tag, j, v = s[1:-1].split(",")
+            if tag == "A":
+                a_vals[int(j)] = int(v)
+            else:
+                b_vals[int(j)] = int(v)
+        total = sum(av * b_vals.get(j, 0) for j, av in a_vals.items())
+        i, k = key[1:-1].split(",")
+        yield (int(i), int(k), total)
+
+    out = pairs.groupByKey(numPartitions=num_partitions).flatMap(
+        lambda kv: reduce_fn(kv[0], kv[1])
+    )
+    return spark.createDataFrame(out, "i int, k int, v long")
+
+
+def multiply_dat_files(spark: SparkSession, path_a: str, path_b: str) -> DataFrame:
+    """End-to-end job entry matching the reference's main
+    (``program.c:479-514``): parse dims from both filenames, reject
+    incompatible shapes exactly as ``program.c:80-84`` ("dimensions are
+    incompatible to multiply"), then run the idiomatic multiply."""
+    from emulating_hadoop_with_mpi_spark.sources.matrix import (
+        matrix_dims_from_name,
+        read_matrix_coo,
+    )
+
+    (l, m1) = matrix_dims_from_name(path_a)
+    (m2, n) = matrix_dims_from_name(path_b)
+    if m1 != m2:
+        raise ValueError(
+            f"dimensions are incompatible to multiply: {l}x{m1} × {m2}x{n}"
+        )
+    return matmul_coo(
+        read_matrix_coo(spark, path_a, (l, m1)), read_matrix_coo(spark, path_b, (m2, n))
+    )
+
+
+def matmul_render_dense(c: DataFrame) -> DataFrame:
+    """Pivot COO result to a dense row-per-i render — the analogue of the
+    reference's final_result.txt pivot (``program.c:447-477``).  Only for
+    small results: pivot explodes k into columns."""
+    return c.groupBy("i").pivot("k").sum("v").orderBy("i")

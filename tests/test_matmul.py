@@ -1,0 +1,96 @@
+"""Matrix-multiply flagship job vs the NumPy oracle.
+
+Mirrors the reference's own methodology: ``checking.c`` runs a serial
+triple-loop multiply on the same inputs and the outputs are compared
+(``checking.c:95-106``).  Our oracle is ``A @ B``; unlike the reference we
+also cover non-square shapes (its square-only bugs, SURVEY §2 note 2, are
+excluded from the spec) and prove the faithful-RDD and idiomatic-DataFrame
+paths agree.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from emulating_hadoop_with_mpi_spark.mapreduce import (
+    matmul_broadcast,
+    matmul_coo,
+    matmul_mapreduce,
+)
+from emulating_hadoop_with_mpi_spark.sources.datagen import (
+    generate_matrix_df,
+    generate_matrix_numpy,
+)
+from emulating_hadoop_with_mpi_spark.sources.matrix import (
+    coo_to_numpy,
+    matrix_coo_from_numpy,
+    matrix_dims_from_name,
+    read_matrix_coo,
+    write_matrix_dat,
+)
+
+
+def _dense(df, rows, cols):
+    return coo_to_numpy(df, rows, cols)
+
+
+@pytest.mark.parametrize("shape", [(4, 4, 4), (8, 16, 4), (1, 7, 3)])
+def test_matmul_coo_matches_numpy(spark, shape):
+    l, m, n = shape
+    a = generate_matrix_numpy(l, m, seed=1)
+    b = generate_matrix_numpy(m, n, seed=2)
+    c = matmul_coo(matrix_coo_from_numpy(spark, a), matrix_coo_from_numpy(spark, b))
+    np.testing.assert_array_equal(_dense(c, l, n), a @ b)
+
+
+def test_matmul_broadcast_matches_numpy(spark):
+    a = generate_matrix_numpy(8, 16, seed=3)
+    b = generate_matrix_numpy(16, 4, seed=4)
+    c = matmul_broadcast(matrix_coo_from_numpy(spark, a), matrix_coo_from_numpy(spark, b))
+    np.testing.assert_array_equal(_dense(c, 8, 4), a @ b)
+    assert "BroadcastHashJoin" in c._jdf.queryExecution().executedPlan().toString()
+
+
+def test_matmul_mapreduce_faithful_path(spark):
+    l, m, n = 6, 5, 4
+    a = generate_matrix_numpy(l, m, seed=5)
+    b = generate_matrix_numpy(m, n, seed=6)
+    c = matmul_mapreduce(
+        spark,
+        matrix_coo_from_numpy(spark, a),
+        matrix_coo_from_numpy(spark, b),
+        dims=(l, m, n),
+    )
+    np.testing.assert_array_equal(_dense(c, l, n), a @ b)
+
+
+def test_dat_roundtrip_and_filename_schema(spark, tmp_path):
+    """The reference's on-disk format: write with its naming convention,
+    parse dims from the name (program.c:34-43), read distributed."""
+    arr = generate_matrix_numpy(32, 32, seed=42)
+    path = write_matrix_dat(arr, str(tmp_path), file_id=2)
+    assert path.endswith("Array_32x32_2.dat")
+    assert matrix_dims_from_name(path) == (32, 32)
+    coo = read_matrix_coo(spark, path)
+    assert coo.count() == 32 * 32
+    np.testing.assert_array_equal(coo_to_numpy(coo, 32, 32), arr)
+
+
+def test_end_to_end_reference_pipeline(spark, tmp_path):
+    """Full reference pipeline (program.c:479-514): generate both inputs as
+    .dat files, load via filename schema, multiply distributed, compare to
+    the serial oracle — non-square to prove generality."""
+    a = generate_matrix_numpy(8, 16, seed=7)
+    b = generate_matrix_numpy(16, 4, seed=8)
+    pa = write_matrix_dat(a, str(tmp_path), file_id=1)
+    pb = write_matrix_dat(b, str(tmp_path), file_id=2)
+    c = matmul_coo(read_matrix_coo(spark, pa), read_matrix_coo(spark, pb))
+    np.testing.assert_array_equal(_dense(c, 8, 4), a @ b)
+
+
+def test_generate_matrix_df_deterministic(spark):
+    df1 = generate_matrix_df(spark, 5, 5, seed=9).collect()
+    df2 = generate_matrix_df(spark, 5, 5, seed=9).collect()
+    assert sorted(df1) == sorted(df2)
+    assert all(0 <= r.v < 10 for r in df1)
