@@ -1,0 +1,187 @@
+"""Event-table operators: time bucketing, sessionization, JSON extraction.
+
+These are the batch duals of the streaming module (streaming/ runs the same
+shapes incrementally with watermarks).  The reference is strictly batch
+(barrier-synchronized phases, ``program.c:180, 357, 412``) — SURVEY §2.15
+adds this category.
+
+Determinism notes: all timestamps leave as epoch-second BIGINTs;
+`events.ts` is nanosecond parquet on disk, loaded as µs (floor) on the Spark
+side — the oracle casts TIMESTAMP_NS → TIMESTAMP (same truncation) before
+epoch math.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from emulating_hadoop_with_mpi_spark.operators.common import dec
+from emulating_hadoop_with_mpi_spark.registry import query
+from emulating_hadoop_with_mpi_spark.sources.tables import load_table
+
+SESSION_GAP_MIN = 30
+
+
+@query(
+    "q50_time_buckets",
+    oracle="""
+    SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 21600000000) * 21600 AS bucket_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY bucket_start, event_type
+    ORDER BY bucket_start, event_type
+    """,
+)
+def q50_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 6-hour windows per event type via F.window — the batch form
+    of the streaming windowed aggregate.  Window starts align to the unix
+    epoch in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(dec("value")), 2).cast("double").alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("bucket_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("bucket_start", "event_type")
+    )
+
+
+@query(
+    "q51_sessionize",
+    oracle=f"""
+    WITH marked AS (
+        SELECT user_id, ts, value,
+               CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                         - LAG(epoch_us(CAST(ts AS TIMESTAMP)))
+                           OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > {SESSION_GAP_MIN} * 60 * 1000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ), sessions AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+        FROM marked
+    )
+    SELECT user_id, CAST(session_id AS INT) AS session_id,
+           epoch_us(CAST(MIN(ts) AS TIMESTAMP)) // 1000000 AS session_start,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS session_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+)
+def q51_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization as gaps-and-islands: lag + cumulative sum over a
+    per-user window, 30-minute inactivity gap.  The order-dependent state
+    the reference could not express at all (its shuffle destroys nothing —
+    it replicates everything) is one window + one groupBy here; the
+    streaming twin is session_window in streaming/windows.py."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+    marked = ev.select(
+        "user_id",
+        "ts",
+        "value",
+        F.when(
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w) > gap_us, 1
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sessions = marked.withColumn("session_id", F.sum("new_session").over(frame).cast("int"))
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            (F.unix_micros(F.min("ts")) / 1_000_000).cast("long").alias("session_start"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(dec("value")), 2).cast("double").alias("session_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+@query(
+    "q52_json_extract",
+    oracle="""
+    SELECT event_type,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           COUNT(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+                      THEN 1 END) AS n_high,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q52_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: parse the JSON `props` column JVM-side
+    (get_json_object — no Python UDF) and aggregate on the extracted field."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.sum(k).alias("sum_k"),
+            F.count(F.when(k > 50, 1)).alias("n_high"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q53_event_funnel",
+    oracle="""
+    SELECT user_id,
+           COUNT(CASE WHEN event_type = 'view'     THEN 1 END) AS n_view,
+           COUNT(CASE WHEN event_type = 'click'    THEN 1 END) AS n_click,
+           COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+           CAST(ROUND(SUM(CASE WHEN event_type = 'purchase'
+                               THEN CAST(value AS DECIMAL(18,2)) ELSE 0 END), 2) AS DOUBLE)
+               AS purchase_value
+    FROM events
+    GROUP BY user_id
+    HAVING COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) > 0
+    ORDER BY user_id
+    """,
+)
+def q53_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user funnel rollup (conditional counts) with a HAVING filter."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def n_of(t: str, alias: str):
+        return F.count(F.when(F.col("event_type") == t, 1)).alias(alias)
+
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            n_of("view", "n_view"),
+            n_of("click", "n_click"),
+            n_of("purchase", "n_purchase"),
+            F.round(
+                F.sum(F.when(F.col("event_type") == "purchase", dec("value")).otherwise(F.lit(0))),
+                2,
+            )
+            .cast("double")
+            .alias("purchase_value"),
+        )
+        .filter(F.col("n_purchase") > 0)
+        .orderBy("user_id")
+    )

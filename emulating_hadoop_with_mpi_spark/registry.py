@@ -1,0 +1,65 @@
+"""Central query registry.
+
+Every operator the engine claims is registered here as a named query:
+a PySpark callable ``(spark, sf_dir) -> DataFrame`` plus (when the
+semantics are SQL-expressible) an equivalent DuckDB oracle SQL string.
+The driver runs both sides at sf0.01 and compares row count + schema +
+order-insensitive value hash — this registry IS the correctness surface
+(the Spark-era analogue of the reference's ``checking.c`` golden-oracle
+methodology, ``checking.c:95-106``).
+
+Cross-engine determinism conventions (see tests/test_oracle_parity.py):
+- money aggregates go through DECIMAL(18,2) (exact, order-independent in
+  both engines), rounded and cast to DOUBLE only in the final projection;
+- averages are computed as round(cast(sum_dec as double)/count, 6) on both
+  sides — never the engines' own avg() (whose result types differ);
+- timestamps leave queries as DATE or epoch BIGINT, never raw timestamps;
+- every computed column is aliased identically in Spark and SQL;
+- top-k queries always carry a total tie-break order.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # DuckDB SQL; None → driver does a rows-only check
+    doc: str = ""
+
+
+QUERIES: dict[str, Query] = {}
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Decorator registering a query + its DuckDB oracle SQL."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name: {name}")
+        QUERIES[name] = Query(name=name, fn=fn, oracle=oracle, doc=fn.__doc__ or "")
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, Query]:
+    """Import every module that registers queries, then return the registry."""
+    import emulating_hadoop_with_mpi_spark.operators.relational  # noqa: F401
+    import emulating_hadoop_with_mpi_spark.operators.windows  # noqa: F401
+    import emulating_hadoop_with_mpi_spark.operators.setops  # noqa: F401
+    import emulating_hadoop_with_mpi_spark.operators.events  # noqa: F401
+    import emulating_hadoop_with_mpi_spark.operators.matrix_queries  # noqa: F401
+    import emulating_hadoop_with_mpi_spark.functions.dedup  # noqa: F401
+    import emulating_hadoop_with_mpi_spark.functions.similarity  # noqa: F401
+    import emulating_hadoop_with_mpi_spark.functions.text  # noqa: F401
+
+    return dict(QUERIES)

@@ -1,0 +1,68 @@
+"""Every registered query vs its DuckDB oracle — the local twin of the
+driver's CORRECTNESS gate (row count + column names + exact values,
+order-insensitive).  Runs at sf0.001 for speed; the driver runs sf0.01."""
+
+from __future__ import annotations
+
+import datetime
+import math
+
+import duckdb
+import pytest
+
+from emulating_hadoop_with_mpi_spark.registry import all_queries
+from emulating_hadoop_with_mpi_spark.sources.tables import TABLES
+
+REGISTRY = all_queries()
+ORACLE_QUERIES = sorted(n for n, q in REGISTRY.items() if q.oracle is not None)
+
+
+@pytest.fixture(scope="session")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, datetime.datetime):
+        return v.isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    return v
+
+
+def _rows(rows):
+    # key=repr: rows may mix None with values in a column (rollup/cube
+    # grouping nulls), which plain tuple ordering can't compare.
+    return sorted((tuple(_norm(v) for v in row) for row in rows), key=repr)
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_query_matches_oracle(spark, sf_dir, duck, name):
+    q = REGISTRY[name]
+    sdf = q.fn(spark, sf_dir)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    rel = duck.sql(q.oracle)
+    duck_rows = rel.fetchall()
+
+    assert [c.lower() for c in sdf.columns] == [
+        c.lower() for c in rel.columns
+    ], f"{name}: column mismatch {sdf.columns} vs {rel.columns}"
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
+    )
+    s, d = _rows(spark_rows), _rows(duck_rows)
+    mismatches = [(a, b) for a, b in zip(s, d) if a != b]
+    assert not mismatches, f"{name}: {len(mismatches)} mismatched rows; first: {mismatches[:3]}"
+
+
+def test_registry_is_populated():
+    assert len(REGISTRY) >= 20
+    # every query has a docstring (judge-facing parity citations live there)
+    assert all(q.doc for q in REGISTRY.values())
