@@ -1,1 +1,346 @@
-"""placeholder — filled in below."""
+"""Deduplication operators over `documents` — the core of an LLM
+training-data pipeline at 100 TB (north-star scope).
+
+Five families, in increasing fuzziness:
+
+- exact        (q70): hash-groupBy on raw text — one shuffle, linear.
+- normalized   (q71): exact after lower/strip-punct/collapse-ws.
+- n-gram Jaccard (q72): word-trigram shingles, self-join on shingle,
+  exact integer Jaccard test (3·common ≥ na+nb ⟺ J ≥ 0.5).  Exact but
+  quadratic in docs-per-shingle — the correctness baseline.
+- MinHash-LSH  (q73): 128 permutations, 32 bands × 4 rows — the scale
+  path.  Candidates come from band-bucket equality joins (linear in
+  corpus + bucket collisions), then are verified with exact Jaccard.
+  P(miss | J=0.8) ≈ (1-0.8⁴)³² ≈ 5e-8.
+- SimHash      (q74): 64-bit sign-of-sum sketch over token hashes;
+  candidate pairs from 16-bit chunk pigeonholing, verified by Hamming
+  distance.
+
+q72 is DuckDB-oracle-checked (pure SQL semantics).  q73/q74 use
+xxhash64, which the oracle can't reproduce — the driver records rows-only;
+tests/test_dedup.py proves q73's verified output equals q72's exact answer
+and checks q74's sketch properties.
+
+Everything is JVM expressions (split/transform/explode/xxhash64) — no
+Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from emulating_hadoop_with_mpi_spark.functions.text import tokens_col, _SQL_TOKENS
+from emulating_hadoop_with_mpi_spark.registry import query
+from emulating_hadoop_with_mpi_spark.sources.tables import load_table
+
+NUM_PERM = 128
+BANDS = 32
+ROWS_PER_BAND = NUM_PERM // BANDS
+JACCARD_THRESHOLD_NUM = 3  # 3*common >= na+nb  ⟺  J >= 0.5
+SIMHASH_BITS = 64
+SIMHASH_CHUNKS = 4
+HAMMING_MAX = 9
+
+
+@query(
+    "q70_dedup_exact",
+    oracle="""
+    SELECT MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies,
+           CAST(length(text) AS INT) AS n_chars
+    FROM documents
+    GROUP BY text
+    ORDER BY keeper_doc_id
+    """,
+)
+def q70_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group identical texts, keep the lowest doc_id.
+    One hash shuffle on the text (at 100 TB: shuffle a 64/128-bit text
+    digest instead of the full text — same plan shape)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("text")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select(
+            "keeper_doc_id",
+            "n_copies",
+            F.length("text").cast("int").alias("n_chars"),
+        )
+        .orderBy("keeper_doc_id")
+    )
+
+
+_SQL_NORM = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),"
+    " ' +', ' ', 'g'))"
+)
+
+
+def _norm_text() -> Column:
+    return F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "), " +", " ")
+    )
+
+
+@query(
+    "q71_dedup_normalized",
+    oracle=f"""
+    SELECT MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
+    FROM (SELECT doc_id, {_SQL_NORM} AS norm FROM documents)
+    GROUP BY norm
+    ORDER BY keeper_doc_id
+    """,
+)
+def q71_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized exact dedup: casefold, strip punctuation, collapse
+    whitespace, then hash-group — catches trivially-edited copies."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", _norm_text().alias("norm"))
+        .groupBy("norm")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("keeper_doc_id", "n_copies")
+        .orderBy("keeper_doc_id")
+    )
+
+
+def shingles_df(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) — distinct word n-grams per document."""
+    toks = tokens_col()
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + off) for off in range(n)]
+        ),
+    )
+    return (
+        docs.filter(F.size(toks) >= n)
+        .select("doc_id", F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+
+
+_SQL_SHINGLES = f"""
+    SELECT DISTINCT doc_id,
+           toks[CAST(pos AS INT)] || ' ' || toks[CAST(pos AS INT)+1]
+                || ' ' || toks[CAST(pos AS INT)+2] AS shingle
+    FROM (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+         range(1, 65536) r(pos)
+    WHERE pos <= len(toks) - 2
+"""
+
+
+@query(
+    "q72_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH ds AS ({_SQL_SHINGLES}),
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_common, ca.n AS n_a, cb.n AS n_b,
+           ROUND(CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common), 6) AS jaccard
+    FROM pairs
+    JOIN cnt ca ON doc_a = ca.doc_id
+    JOIN cnt cb ON doc_b = cb.doc_id
+    WHERE {JACCARD_THRESHOLD_NUM} * n_common >= ca.n + cb.n
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q72_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs (J ≥ 0.5 tested in integers:
+    3·common ≥ |A|+|B|).  The exact baseline the MinHash path (q73) is
+    verified against.  Scale note: cost is Σ_shingle df² — at 100 TB run
+    q73 instead, or cap shingle document-frequency first."""
+    docs = load_table(spark, sf_dir, "documents")
+    ds = shingles_df(docs).cache()
+    cnt = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = ds.alias("a")
+    b = ds.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .filter(JACCARD_THRESHOLD_NUM * F.col("n_common") >= F.col("n_a") + F.col("n_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def minhash_signatures(ds: DataFrame, num_perm: int = NUM_PERM) -> DataFrame:
+    """(doc_id, h0..h{num_perm-1}) — MinHash signature per document.
+    Permutation i is xxhash64(i, shingle); the signature is a plain
+    min-aggregate per permutation (partial map-side, one shuffle)."""
+    hashed = ds.select(
+        "doc_id", *[F.xxhash64(F.lit(i), F.col("shingle")).alias(f"x{i}") for i in range(num_perm)]
+    )
+    return hashed.groupBy("doc_id").agg(
+        *[F.min(f"x{i}").alias(f"h{i}") for i in range(num_perm)]
+    )
+
+
+def lsh_candidates(sigs: DataFrame, bands: int = BANDS, rows: int = ROWS_PER_BAND) -> DataFrame:
+    """(doc_a, doc_b) candidate pairs: docs sharing any band bucket.
+    Band key = xxhash64 of the band's signature rows; the bucket join is
+    an equi-join on (band, key) — the linear-time scale path."""
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)]).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sigs.select("doc_id", F.explode(band_structs).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+@query("q73_minhash_lsh_neardup")  # xxhash64-based — no SQL oracle; see tests/test_dedup.py
+def q73_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(128) + LSH(32 bands × 4 rows) near-dup detection with exact
+    Jaccard verification of candidates (J ≥ 0.5).  Same output contract as
+    q72 but near-linear: candidates are generated by bucket joins instead
+    of the full shingle self-join.  At 100 TB this is the dedup operator:
+    O(corpus) signature pass + bucket-collision verification."""
+    docs = load_table(spark, sf_dir, "documents")
+    ds = shingles_df(docs).cache()
+    sigs = minhash_signatures(ds)
+    cands = lsh_candidates(sigs)
+
+    # Verify candidates with exact Jaccard over single-hash shingle sets
+    # (arrays of ~doc-length held per row; fine for documents, and the
+    # candidate set is tiny relative to the corpus).
+    sets_df = ds.select("doc_id", F.xxhash64("shingle").alias("sh")).groupBy("doc_id").agg(
+        F.collect_set("sh").alias("shset")
+    )
+    a = sets_df.select(F.col("doc_id").alias("doc_a"), F.col("shset").alias("set_a"))
+    b = sets_df.select(F.col("doc_id").alias("doc_b"), F.col("shset").alias("set_b"))
+    joined = cands.join(a, "doc_a").join(b, "doc_b")
+    common = F.size(F.array_intersect("set_a", "set_b"))
+    n_a, n_b = F.size("set_a"), F.size("set_b")
+    return (
+        joined.select(
+            "doc_a",
+            "doc_b",
+            common.alias("n_common"),
+            n_a.alias("n_a"),
+            n_b.alias("n_b"),
+            F.round(common.cast("double") / (n_a + n_b - common), 6).alias("jaccard"),
+        )
+        .filter(JACCARD_THRESHOLD_NUM * F.col("n_common") >= F.col("n_a") + F.col("n_b"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def simhash_df(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash) — 64-bit SimHash over token hashes: bit i of the
+    sketch is the sign of Σ_token_occurrences (±1 from bit i of
+    xxhash64(token)).  Term-frequency weighting (every occurrence counts)
+    — on short/small-vocab corpora, distinct-token SimHash degenerates
+    (random pairs collide); tf-weighting keeps planted near-dups ≤9 bits
+    apart while random pairs sit at ~18."""
+    toks = docs.select("doc_id", F.explode(tokens_col()).alias("tok")).withColumn(
+        "h", F.xxhash64("tok")
+    )
+    bit_sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(SIMHASH_BITS)
+        ]
+    )
+    sim = None
+    for i in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        sim = term if sim is None else sim.bitwiseOR(term)
+    return bit_sums.select("doc_id", sim.alias("simhash"))
+
+
+@query("q74_simhash_neardup")  # xxhash64-based — no SQL oracle; see tests/test_dedup.py
+def q74_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: candidates by 16-bit chunk pigeonholing
+    (any pair within Hamming ≤ 8 of a 64-bit sketch shares at least one of
+    4 chunks... for ≤ 3 diffs it's guaranteed; for ≤ 8 it's a recall
+    heuristic), verified by exact Hamming distance."""
+    docs = load_table(spark, sf_dir, "documents")
+    sims = simhash_df(docs).cache()
+    chunk_width = SIMHASH_BITS // SIMHASH_CHUNKS
+    mask = (1 << chunk_width) - 1
+    chunks = sims.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("c"),
+                        F.shiftrightunsigned(F.col("simhash"), c * chunk_width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("v"),
+                    )
+                    for c in range(SIMHASH_CHUNKS)
+                ]
+            )
+        ).alias("ck"),
+    ).select("doc_id", "simhash", F.col("ck.c").alias("c"), F.col("ck.v").alias("v"))
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.c") == F.col("b.c"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        pairs.select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -1,0 +1,167 @@
+"""Multimodal (binary) column plumbing.
+
+Treats image/audio/video payloads as opaque `binary` columns with typed
+metadata, processed by Arrow-batched Pandas functions via mapInPandas —
+the Spark-side pattern for decode / feature-extract / resize / frame-sample
+stages in a training-data pipeline.
+
+The actual media decode is STUBBED (no PIL/ffmpeg in this container):
+``decode_media`` tries the real libraries and otherwise falls back to a
+clearly-marked deterministic fake that derives pseudo-features from the
+bytes.  Everything around the stub — binary schema, metadata struct,
+mapInPandas batch shape, partitioning — is real and tested.
+
+Scale notes: binary payloads ride the columnar scan like any other column;
+mapInPandas processes whole Arrow batches (no per-row Python), and feature
+extraction is embarrassingly parallel — no shuffle at all until a later
+aggregate.  For 100 TB of media, set spark.sql.files.maxPartitionBytes so
+one batch of blobs fits executor memory.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from emulating_hadoop_with_mpi_spark.registry import query
+from emulating_hadoop_with_mpi_spark.sources.tables import load_table
+
+FEATURE_SCHEMA = (
+    "doc_id long, kind string, n_bytes int, byte_sum long, "
+    "width int, height int, n_frames int"
+)
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a media-shaped table from `documents`: payload = utf-8 bytes of
+    the text (a deterministic stand-in for image/audio blobs), plus a typed
+    metadata struct — the schema a real ingest would carry."""
+    docs = load_table(spark, sf_dir, "documents")
+    kind = F.when(F.col("doc_id") % 3 == 0, "image/fake").when(
+        F.col("doc_id") % 3 == 1, "audio/fake"
+    ).otherwise("video/fake")
+    return docs.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            kind.alias("kind"),
+            F.length(F.encode("text", "utf-8")).cast("int").alias("n_bytes"),
+            F.lit("synthetic").alias("source"),
+        ).alias("meta"),
+    )
+
+
+def _make_decoder():
+    """Build the per-payload decoder as a LOCAL function so cloudpickle
+    serializes it by value — Python workers must not need this package on
+    their import path (the driver may launch Spark from any cwd)."""
+
+    def decode_media(payload: bytes, kind: str) -> dict:
+        """Decode one media payload into features.
+
+        Real decode path is NOT available in this container (no PIL/
+        librosa/ffmpeg) — it is stubbed behind an import-try.  The
+        fallback is a DETERMINISTIC FAKE: features derived arithmetically
+        from the bytes, stable across runs/partitions, so the pipeline
+        shape is testable.
+        """
+        import numpy as _np
+
+        if kind.startswith("image/"):
+            try:  # pragma: no cover - not installed in this container
+                from PIL import Image  # noqa: F401
+
+                raise NotImplementedError("real image decode not wired in this container")
+            except ImportError:
+                pass
+        arr = _np.frombuffer(payload, dtype=_np.uint8)
+        n = int(arr.size)
+        byte_sum = int(arr.sum(dtype=_np.int64))
+        return {
+            "n_bytes": n,
+            "byte_sum": byte_sum,
+            "width": (byte_sum % 640) + 1,
+            "height": (n % 480) + 1,
+            "n_frames": (byte_sum % 24) + 1 if kind.startswith("video/") else 1,
+        }
+
+    return decode_media
+
+
+# Public alias for tests / direct use.
+decode_media = _make_decoder()
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """mapInPandas feature extraction over (doc_id, payload, meta)."""
+    decode = _make_decoder()  # local copy → pickled by value, import-free
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            feats = [decode(p, k) for p, k in zip(pdf["payload"], pdf["kind"])]
+            out = _pd.DataFrame(feats)
+            out.insert(0, "kind", pdf["kind"].values)
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out[
+                ["doc_id", "kind", "n_bytes", "byte_sum", "width", "height", "n_frames"]
+            ]
+
+    flat = df.select("doc_id", "payload", F.col("meta.kind").alias("kind"))
+    return flat.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+@query(
+    "q78_multimodal_features",
+    # The decode stub's arithmetic is reproducible in SQL because the
+    # synthetic payloads are ASCII (byte value == codepoint).  A real
+    # image decode would be rows-only.
+    oracle="""
+    WITH feats AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'image/fake'
+                    WHEN doc_id % 3 = 1 THEN 'audio/fake'
+                    ELSE 'video/fake' END AS kind,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(list_filter(string_split(text, ''), c -> c != ''),
+                                      c -> CAST(ascii(c) AS BIGINT))),
+                   (a, b) -> a + b) AS byte_sum
+        FROM documents
+    )
+    SELECT kind,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+           CAST(SUM(byte_sum) AS BIGINT) AS total_byte_sum,
+           CAST(MAX(byte_sum % 640 + 1) AS INT) AS max_width,
+           CAST(MAX(n_bytes % 480 + 1) AS INT) AS max_height,
+           CAST(MAX(CASE WHEN kind = 'video/fake' THEN byte_sum % 24 + 1 ELSE 1 END) AS INT)
+               AS max_frames
+    FROM feats
+    GROUP BY kind
+    ORDER BY kind
+    """,
+)
+def q78_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column pipeline: blob + typed metadata → Arrow-batched
+    mapInPandas decode (stubbed deterministically) → per-kind feature
+    aggregate."""
+    feats = extract_features(media_table(spark, sf_dir))
+    return (
+        feats.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.sum("byte_sum").alias("total_byte_sum"),
+            F.max("width").alias("max_width"),
+            F.max("height").alias("max_height"),
+            F.max("n_frames").alias("max_frames"),
+        )
+        .orderBy("kind")
+    )

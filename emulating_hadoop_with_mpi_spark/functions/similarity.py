@@ -1,1 +1,229 @@
-"""placeholder — filled in below."""
+"""Similarity search over the `embeddings` table (array<float> vectors).
+
+- q75: brute-force cosine near-dup pairs on a bounded slice — DuckDB-oracle
+  checked.  Vectors are quantized to integers (floor(v·1000)) so dot
+  products and norms are exact BIGINT math in both engines; only the final
+  cosine = dot/sqrt(na·nb) touches floating point (identical doubles in,
+  identical doubles out).
+- q76: brute-force cosine top-k for a set of query vectors — the ANN
+  baseline: broadcast the queries, one pass over the corpus, zip_with dot
+  products in JVM expressions, per-query window top-k.  O(Q·N·d) with no
+  shuffle of the corpus — this is exactly how you'd run it on 100 TB of
+  vectors (queries broadcast; corpus scanned once).
+- q77: LSH-bucketed ANN (random signed hyperplanes → 16-bit code →
+  search only same-bucket candidates).  The scale path when Q is large:
+  corpus is bucketed once, each query probes one bucket.  Rows-only for
+  the driver; tests/test_similarity.py measures recall vs q76.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from emulating_hadoop_with_mpi_spark.registry import query
+from emulating_hadoop_with_mpi_spark.sources.tables import load_table
+
+NEARDUP_SLICE = 300  # vec_id bound for the oracle-checked brute-force pair scan
+NEARDUP_MIN_COSINE = 0.25
+TOPK_QUERIES = 8  # vec_id < 8 are the query vectors
+TOPK_K = 10
+LSH_PLANES = 16
+
+
+def quantize(col: Column) -> Column:
+    """array<float> → array<bigint> via floor(v·1000): float→double is
+    exact, ·1000 and floor are deterministic, so both engines hold the
+    same integers."""
+    return F.transform(col, lambda v: F.floor(v.cast("double") * 1000).cast("bigint"))
+
+
+def dot_q(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two quantized vectors (JVM fold)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("bigint"), lambda acc, v: acc + v
+    )
+
+
+_SQL_QVEC = (
+    "list_transform(embedding, v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000) AS BIGINT))"
+)
+
+
+@query(
+    "q75_embedding_neardup",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, {_SQL_QVEC} AS qv FROM embeddings WHERE vec_id < {NEARDUP_SLICE}),
+    n AS (SELECT vec_id, list_reduce(list_transform(qv, x -> x * x), (a, b) -> a + b) AS norm2
+          FROM q),
+    pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               list_reduce(list_transform(list_zip(a.qv, b.qv),
+                                          p -> p[1] * p[2]),
+                           (x, y) -> x + y) AS dot
+        FROM q a JOIN q b ON a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b,
+           ROUND(CAST(dot AS DOUBLE) / sqrt(CAST(na.norm2 AS DOUBLE) * CAST(nb.norm2 AS DOUBLE)), 6)
+               AS cosine
+    FROM pairs JOIN n na ON vec_a = na.vec_id JOIN n nb ON vec_b = nb.vec_id
+    WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na.norm2 AS DOUBLE) * CAST(nb.norm2 AS DOUBLE))
+          >= {NEARDUP_MIN_COSINE}
+    ORDER BY vec_a, vec_b
+    """,
+)
+def q75_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, brute force on a bounded
+    slice (the oracle-checkable correctness baseline for q77's LSH path)."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < NEARDUP_SLICE)
+    qv = emb.select("vec_id", quantize(F.col("embedding")).alias("qv"))
+    withnorm = qv.withColumn("norm2", dot_q(F.col("qv"), F.col("qv")))
+    a = withnorm.select(
+        F.col("vec_id").alias("vec_a"), F.col("qv").alias("qa"), F.col("norm2").alias("na")
+    )
+    b = withnorm.select(
+        F.col("vec_id").alias("vec_b"), F.col("qv").alias("qb"), F.col("norm2").alias("nb")
+    )
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    cosine = F.col("dot").cast("double") / F.sqrt(
+        F.col("na").cast("double") * F.col("nb").cast("double")
+    )
+    return (
+        pairs.withColumn("dot", dot_q(F.col("qa"), F.col("qb")))
+        .filter(cosine >= NEARDUP_MIN_COSINE)
+        .select("vec_a", "vec_b", F.round(cosine, 6).alias("cosine"))
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+@query(
+    "q76_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, {_SQL_QVEC} AS qv FROM embeddings),
+    n AS (SELECT vec_id, list_reduce(list_transform(qv, x -> x * x), (a, b) -> a + b) AS norm2
+          FROM q),
+    scored AS (
+        SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROUND(CAST(list_reduce(list_transform(list_zip(qs.qv, c.qv),
+                                                     p -> p[1] * p[2]),
+                                      (x, y) -> x + y) AS DOUBLE)
+                     / sqrt(CAST(nq.norm2 AS DOUBLE) * CAST(nc.norm2 AS DOUBLE)), 6) AS cosine
+        FROM q qs JOIN q c ON qs.vec_id < {TOPK_QUERIES} AND c.vec_id <> qs.vec_id
+        JOIN n nq ON qs.vec_id = nq.vec_id
+        JOIN n nc ON c.vec_id = nc.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rnk AS INT) AS rnk FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rnk
+        FROM scored
+    ) WHERE rnk <= {TOPK_K}
+    ORDER BY query_id, rnk
+    """,
+)
+def q76_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast Q query vectors against one scan
+    of the corpus (no corpus shuffle), exact integer dots, per-query
+    window top-k on the ROUNDED cosine (ties broken by neighbor_id so the
+    ranking is engine-independent)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.select("vec_id", quantize(F.col("embedding")).alias("qv"))
+    withnorm = qv.withColumn("norm2", dot_q(F.col("qv"), F.col("qv")))
+    queries = withnorm.filter(F.col("vec_id") < TOPK_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qq"), F.col("norm2").alias("nq")
+    )
+    corpus = withnorm.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("qv").alias("qc"), F.col("norm2").alias("nc")
+    )
+    scored = (
+        corpus.join(F.broadcast(queries), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("dot", dot_q(F.col("qq"), F.col("qc")))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.col("dot").cast("double")
+                / F.sqrt(F.col("nq").cast("double") * F.col("nc").cast("double")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= TOPK_K)
+        .orderBy("query_id", "rnk")
+    )
+
+
+def _hyperplane_sign(plane: int, dim: int) -> int:
+    """Deterministic ±1 entry of random hyperplane `plane` at `dim`
+    (LCG-parity; reproduced verbatim in tests)."""
+    x = (1103515245 * (plane * 4096 + dim) + 12345) & 0x7FFFFFFF
+    return 1 if (x >> 16) & 1 else -1
+
+
+def lsh_codes(emb: DataFrame, planes: int = LSH_PLANES, dim: int = 64) -> DataFrame:
+    """(vec_id, embedding, code): 16-bit random-hyperplane code per vector.
+    Signs are deterministic constants baked into the plan (broadcast-free)."""
+    code = F.lit(0).cast("int")
+    for p in range(planes):
+        signs = F.array(*[F.lit(_hyperplane_sign(p, d)) for d in range(dim)])
+        proj = F.aggregate(
+            F.zip_with(F.col("embedding"), signs, lambda v, s: v.cast("double") * s),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        code = code.bitwiseOR(F.shiftleft(F.when(proj > 0, 1).otherwise(0), p))
+    return emb.select("vec_id", "embedding", code.alias("code"))
+
+
+@query("q77_ann_lsh_topk")  # hyperplane-LSH — no SQL oracle; recall tested in tests/test_similarity.py
+def q77_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: random-hyperplane LSH codes bucket the corpus;
+    each query searches only its own bucket (equi-join on code), exact
+    cosine within.  At 100 TB: one pass to code + bucket the corpus
+    (write bucketed parquet), then each query is a partition-pruned scan.
+    Recall vs q76 is measured in tests (same-bucket probing only)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    coded = lsh_codes(emb)
+    qv = coded.select(
+        "vec_id", quantize(F.col("embedding")).alias("qv"), "code"
+    ).withColumn("norm2", dot_q(F.col("qv"), F.col("qv")))
+    queries = qv.filter(F.col("vec_id") < TOPK_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("qq"),
+        F.col("norm2").alias("nq"),
+        F.col("code").alias("qcode"),
+    )
+    corpus = qv.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("qv").alias("qc"),
+        F.col("norm2").alias("nc"),
+        F.col("code").alias("ccode"),
+    )
+    scored = (
+        corpus.join(
+            F.broadcast(queries),
+            (F.col("ccode") == F.col("qcode")) & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .withColumn("dot", dot_q(F.col("qq"), F.col("qc")))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.col("dot").cast("double")
+                / F.sqrt(F.col("nq").cast("double") * F.col("nc").cast("double")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= TOPK_K)
+        .orderBy("query_id", "rnk")
+    )

@@ -1,1 +1,244 @@
-"""placeholder — filled in below."""
+"""Text-analysis operators over the `documents` table (north-star scope:
+the text half of an LLM training-data pipeline).
+
+All hot-path expressions are JVM builtins (split / filter / aggregate /
+regexp_*) — no Python UDFs — so they whole-stage-codegen and scale linearly
+with partitions.  Each op has a DuckDB oracle built from the same exact
+integer counts (ratios are int/int divisions rounded to 6dp, deterministic
+across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from emulating_hadoop_with_mpi_spark.registry import query
+from emulating_hadoop_with_mpi_spark.sources.tables import load_table
+
+# Tiny per-language stopword lists for the lang-id heuristic.  Deliberately
+# deterministic and SQL-expressible (the scoring, not the lists, is the
+# operator under test).
+STOPWORDS = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it", "for", "on"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "los", "por", "con"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "zu", "mit", "auf", "nicht"),
+    "fr": ("le", "la", "de", "et", "les", "un", "est", "pour", "dans", "que"),
+}
+
+ALL_STOPWORDS = tuple(sorted({w for ws in STOPWORDS.values() for w in ws}))
+
+# A BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation marks.
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+FINGERPRINT_PREFIX = 256  # chars of text folded into the rolling hash
+FP_MOD = 2147483647
+
+
+def tokens_col(text: str | Column = "text") -> Column:
+    """Whitespace tokens of lowercased text, empty strings dropped —
+    identical semantics to the oracle's string_split_regex + list_filter."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.lower(F.trim(c)), r"\s+"), lambda x: x != "")
+
+
+_SQL_TOKENS = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x != '')"
+
+
+@query(
+    "q80_token_stats",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, lang, {_SQL_TOKENS} AS toks, text FROM documents)
+    SELECT doc_id, lang,
+           CAST(len(toks) AS INT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS INT) AS n_uniq_tokens,
+           CAST(length(text) AS INT) AS n_chars,
+           CAST(len(regexp_extract_all(text, '{BPE_RE}')) AS INT) AS n_bpe_tokens
+    FROM tok
+    ORDER BY doc_id
+    """,
+)
+def q80_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, distinct tokens, characters, and a
+    BPE-ish regex pre-tokenization count — all JVM-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.size(toks).cast("int").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("int").alias("n_uniq_tokens"),
+        F.length("text").cast("int").alias("n_chars"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_RE), 0)).cast("int").alias("n_bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+def _sql_ratio(num: str, den: str) -> str:
+    return f"CASE WHEN {den} = 0 THEN 0.0 ELSE ROUND(CAST({num} AS DOUBLE) / {den}, 6) END"
+
+
+def _ratio(num: Column, den: Column) -> Column:
+    return F.when(den == 0, F.lit(0.0)).otherwise(F.round(num.cast("double") / den, 6))
+
+
+@query(
+    "q81_quality_score",
+    oracle=f"""
+    WITH feats AS (
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_tokens,
+               CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS n_alpha,
+               CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit,
+               CAST(len(list_filter({_SQL_TOKENS},
+                        x -> list_contains({list(ALL_STOPWORDS)!r}, x))) AS BIGINT) AS n_stop
+        FROM documents
+    )
+    SELECT doc_id, n_chars, n_tokens,
+           {_sql_ratio("n_alpha", "n_chars")} AS alpha_ratio,
+           {_sql_ratio("n_digit", "n_chars")} AS digit_ratio,
+           {_sql_ratio("n_stop", "n_tokens")} AS stopword_ratio,
+           -- integer-exact score: scaled weights + integer division, so no
+           -- engine-dependent float rounding (midpoint hazard) can occur
+           CASE WHEN n_chars * n_tokens = 0 THEN 0.0
+                ELSE CAST((500000 * n_alpha * n_tokens + 300000 * n_stop * n_chars
+                           + CASE WHEN n_tokens >= 20
+                                  THEN 200000 * n_chars * n_tokens ELSE 0 END)
+                          // (n_chars * n_tokens) AS DOUBLE) / 1000000
+           END AS quality
+    FROM feats
+    ORDER BY doc_id
+    """,
+)
+def q81_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring from exact character/token counts:
+    alpha/digit ratios, stopword ratio, length gate — combined into a
+    [0,1] score (the classic Gopher/C4-style filter-feature family)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    feats = docs.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).cast("bigint").alias("n_alpha"),
+        F.length(F.regexp_replace("text", "[^0-9]", "")).cast("bigint").alias("n_digit"),
+        F.size(F.filter(toks, lambda x: x.isin(*ALL_STOPWORDS))).cast("bigint").alias("n_stop"),
+    )
+    alpha_r = _ratio(F.col("n_alpha"), F.col("n_chars"))
+    digit_r = _ratio(F.col("n_digit"), F.col("n_chars"))
+    stop_r = _ratio(F.col("n_stop"), F.col("n_tokens"))
+    # Integer-exact quality (see oracle comment): scaled weights, integer
+    # division (`div`) — immune to cross-engine float-rounding midpoints.
+    staged = feats.withColumn(
+        "q_num",
+        500000 * F.col("n_alpha") * F.col("n_tokens")
+        + 300000 * F.col("n_stop") * F.col("n_chars")
+        + F.when(
+            F.col("n_tokens") >= 20, 200000 * F.col("n_chars") * F.col("n_tokens")
+        ).otherwise(F.lit(0)),
+    ).withColumn("q_den", F.col("n_chars") * F.col("n_tokens"))
+    quality = F.when(F.col("q_den") == 0, F.lit(0.0)).otherwise(
+        F.expr("CAST(q_num div q_den AS DOUBLE)") / 1000000
+    )
+    return staged.select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        alpha_r.alias("alpha_ratio"),
+        digit_r.alias("digit_ratio"),
+        stop_r.alias("stopword_ratio"),
+        quality.alias("quality"),
+    ).orderBy("doc_id")
+
+
+def _lang_score_sql(lang: str) -> str:
+    words = list(STOPWORDS[lang])
+    return f"CAST(len(list_filter(toks, x -> list_contains({words!r}, x))) AS BIGINT)"
+
+
+@query(
+    "q82_lang_id",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang AS lang_label,
+               {_lang_score_sql("en")} AS s_en,
+               {_lang_score_sql("es")} AS s_es,
+               {_lang_score_sql("de")} AS s_de,
+               {_lang_score_sql("fr")} AS s_fr
+        FROM (SELECT doc_id, lang, {_SQL_TOKENS} AS toks FROM documents)
+    )
+    SELECT doc_id, lang_label, s_en, s_es, s_de, s_fr,
+           CASE WHEN s_en = 0 AND s_es = 0 AND s_de = 0 AND s_fr = 0 THEN 'und'
+                WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+                WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+                WHEN s_de >= s_fr THEN 'de'
+                ELSE 'fr' END AS lang_pred
+    FROM scored
+    ORDER BY doc_id
+    """,
+)
+def q82_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: per-language stopword hit counts, argmax with
+    a fixed priority order (en > es > de > fr), 'und' when nothing hits."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+
+    def score(lang: str) -> Column:
+        return (
+            F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS[lang])))
+            .cast("bigint")
+        )
+
+    scored = docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_label"),
+        score("en").alias("s_en"),
+        score("es").alias("s_es"),
+        score("de").alias("s_de"),
+        score("fr").alias("s_fr"),
+    )
+    s_en, s_es, s_de, s_fr = (F.col(c) for c in ("s_en", "s_es", "s_de", "s_fr"))
+    pred = (
+        F.when((s_en == 0) & (s_es == 0) & (s_de == 0) & (s_fr == 0), "und")
+        .when((s_en >= s_es) & (s_en >= s_de) & (s_en >= s_fr), "en")
+        .when((s_es >= s_de) & (s_es >= s_fr), "es")
+        .when(s_de >= s_fr, "de")
+        .otherwise("fr")
+    )
+    return scored.withColumn("lang_pred", pred).orderBy("doc_id")
+
+
+@query(
+    "q83_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                   list_transform(
+                       list_filter(string_split(substring(text, 1, {FINGERPRINT_PREFIX}), ''),
+                                   c -> c != ''),
+                       c -> CAST(ascii(c) AS BIGINT))),
+               (acc, c) -> (acc * 31 + c) % {FP_MOD}) AS BIGINT) AS fingerprint,
+           CAST(length(text) AS INT) AS n_chars
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def q83_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: polynomial rolling hash (base 31, mod 2³¹-1)
+    over the first 256 chars — computed as a fold over code points with
+    F.aggregate, entirely JVM-side.  Identical arithmetic in the oracle via
+    list_reduce, so the hashes match bit-for-bit across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    chars = F.filter(
+        F.split(F.substring("text", 1, FINGERPRINT_PREFIX), ""), lambda c: c != ""
+    )
+    codes = F.transform(chars, lambda c: F.ascii(c).cast("bigint"))
+    fp = F.aggregate(
+        codes, F.lit(0).cast("bigint"), lambda acc, c: (acc * 31 + c) % FP_MOD
+    )
+    return docs.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.length("text").cast("int").alias("n_chars"),
+    ).orderBy("doc_id")

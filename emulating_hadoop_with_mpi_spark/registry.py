@@ -61,5 +61,6 @@ def all_queries() -> dict[str, Query]:
     import emulating_hadoop_with_mpi_spark.functions.dedup  # noqa: F401
     import emulating_hadoop_with_mpi_spark.functions.similarity  # noqa: F401
     import emulating_hadoop_with_mpi_spark.functions.text  # noqa: F401
+    import emulating_hadoop_with_mpi_spark.functions.multimodal  # noqa: F401
 
     return dict(QUERIES)
