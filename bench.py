@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Results are materialized with the noop sink (full execution, no driver
+collect) — measuring the engine, not the driver's row transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from emulating_hadoop_with_mpi_spark import get_spark
+from emulating_hadoop_with_mpi_spark.registry import all_queries
+
+HEADLINE = [
+    # relational core
+    "q01_pricing_summary",
+    "q03_top_revenue_orders",
+    "q05_region_revenue",
+    "q06_forecast_revenue",
+    "q14_distinct_agg",
+    # windows / events
+    "q30_window_topk_per_customer",
+    "q31_window_running_total",
+    "q50_time_buckets",
+    "q51_sessionize",
+    "q52_json_extract",
+    # flagship matmul
+    "q60_matmul_gram",
+    # LLM-pipeline ops
+    "q70_dedup_exact",
+    "q72_ngram_jaccard_pairs",
+    "q73_minhash_lsh_neardup",
+    "q76_cosine_topk",
+    "q80_token_stats",
+    "q81_quality_score",
+    "q83_fingerprint",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark(
+        app_name="bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = all_queries()
+
+    # warm the JVM + file listing with a trivial action
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = registry[name]
+        t0 = time.perf_counter()
+        q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

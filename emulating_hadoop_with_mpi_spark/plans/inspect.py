@@ -1,0 +1,59 @@
+"""Plan-inspection helpers — the engine's scale guardrails.
+
+The reference hand-schedules its physical plan (§4 of SURVEY: static row
+splits, full-replication shuffle, serial group-by).  Here Catalyst owns the
+physical plan, and these helpers let tests ASSERT the physical properties
+we rely on at 100 TB: filters pushed into parquet scans, unused columns
+pruned from the read schema, small dimensions broadcast, aggregates
+partial-before-shuffle, and no Python evaluation in JVM-only pipelines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def executed_plan(df: DataFrame) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted_plan(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def has_pushed_filters(df: DataFrame) -> bool:
+    plan = formatted_plan(df)
+    return "PushedFilters: [" in plan and "PushedFilters: []" not in plan
+
+
+def read_schema_columns(df: DataFrame, table_hint: str = "") -> list[str]:
+    """Columns actually read from parquet (column pruning check)."""
+    import re
+
+    plan = formatted_plan(df)
+    cols: list[str] = []
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        cols.extend(c.split(":")[0] for c in m.group(1).split(",") if c)
+    return cols
+
+
+def uses_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in executed_plan(df)
+
+
+def has_partial_aggregate(df: DataFrame) -> bool:
+    plan = formatted_plan(df)
+    return "partial_" in plan or "HashAggregate" in executed_plan(df)
+
+
+def python_eval_free(df: DataFrame) -> bool:
+    """True when no Python UDF/eval shows up in the physical plan (the
+    whole-stage-codegen fast path)."""
+    plan = executed_plan(df)
+    return not any(tok in plan for tok in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"))
+
+
+def shuffle_count(df: DataFrame) -> int:
+    return executed_plan(df).count("Exchange")

@@ -1,0 +1,63 @@
+"""Physical-plan assertions: the properties that keep these queries viable
+at 100 TB (pushdown, pruning, broadcast, JVM-only hot paths).  These guard
+against regressions that correctness tests can't see."""
+
+from __future__ import annotations
+
+import pytest
+
+from emulating_hadoop_with_mpi_spark.plans.inspect import (
+    has_pushed_filters,
+    python_eval_free,
+    read_schema_columns,
+    uses_broadcast_join,
+)
+from emulating_hadoop_with_mpi_spark.registry import all_queries
+
+REGISTRY = all_queries()
+
+
+def test_q02_filter_pushdown_and_column_pruning(spark, sf_dir):
+    df = REGISTRY["q02_filter_project"].fn(spark, sf_dir)
+    assert has_pushed_filters(df), "lineitem filters must reach the parquet scan"
+    cols = read_schema_columns(df)
+    assert set(cols) <= {
+        "l_orderkey",
+        "l_linenumber",
+        "l_shipdate",
+        "l_discount",
+        "l_quantity",
+        "l_extendedprice",
+    }, f"scan reads more than the projection needs: {cols}"
+
+
+def test_q05_star_join_broadcasts_dimensions(spark, sf_dir):
+    df = REGISTRY["q05_region_revenue"].fn(spark, sf_dir)
+    assert uses_broadcast_join(df), "star-join dimensions must broadcast"
+
+
+def test_q06_scan_agg_only(spark, sf_dir):
+    df = REGISTRY["q06_forecast_revenue"].fn(spark, sf_dir)
+    assert has_pushed_filters(df)
+    cols = read_schema_columns(df)
+    assert "l_extendedprice" in cols and "l_returnflag" not in cols
+
+
+def test_jvm_only_hot_paths(spark, sf_dir):
+    """Every relational/text/dedup/similarity query runs without Python
+    evaluation (multimodal q78 is the one sanctioned Pandas stage)."""
+    python_ok = {"q78_multimodal_features"}
+    for name, q in REGISTRY.items():
+        df = q.fn(spark, sf_dir)
+        if name in python_ok:
+            continue
+        assert python_eval_free(df), f"{name} has Python in the hot path"
+
+
+def test_matmul_broadcast_small_side(spark):
+    from emulating_hadoop_with_mpi_spark.mapreduce import matmul_broadcast
+    from emulating_hadoop_with_mpi_spark.sources.datagen import generate_matrix_df
+
+    a = generate_matrix_df(spark, 64, 64, seed=1)
+    b = generate_matrix_df(spark, 64, 64, seed=2)
+    assert uses_broadcast_join(matmul_broadcast(a, b))

@@ -1,0 +1,169 @@
+"""Structured Streaming: replay the events table as time-ordered
+micro-batches and check the streaming results against their batch twins."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from emulating_hadoop_with_mpi_spark.operators.events import q50_time_buckets
+from emulating_hadoop_with_mpi_spark.sources.tables import load_table
+from emulating_hadoop_with_mpi_spark.streaming import (
+    dedup_stream,
+    events_stream,
+    run_to_memory,
+    running_user_totals,
+    sessionized,
+    split_events_for_replay,
+    windowed_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def replay_dir(sf_dir, tmp_path_factory):
+    return split_events_for_replay(sf_dir, str(tmp_path_factory.mktemp("events_replay")))
+
+
+def test_windowed_counts_match_batch(spark, sf_dir, replay_dir):
+    """Append-mode windowed aggregate over the full replay == batch q50 for
+    every CLOSED window.  The final window(s) never emit: append mode
+    requires the watermark to pass the window end, and the watermark can't
+    advance past end-of-input — correct streaming semantics, not a bug."""
+    stream = events_stream(spark, replay_dir)
+    out = run_to_memory(windowed_counts(stream), "wc_out").collect()
+    got = {(r.bucket_start, r.event_type): r.n_events for r in out}
+    expect = {
+        (r.bucket_start, r.event_type): r.n_events
+        for r in q50_time_buckets(spark, sf_dir).collect()
+    }
+    for k, v in got.items():
+        assert expect[k] == v
+    missing = set(expect) - set(got)
+    last_bucket = max(b for b, _ in expect)
+    assert all(b == last_bucket for b, _ in missing), f"non-final windows missing: {missing}"
+
+
+def test_sessionized_matches_batch_gaps_and_islands(spark, sf_dir, replay_dir):
+    """session_window streaming results == the batch gaps-and-islands
+    sessionization (q51) on (user, session_start, n_events)."""
+    from emulating_hadoop_with_mpi_spark.operators.events import q51_sessionize
+
+    stream = events_stream(spark, replay_dir)
+    out = run_to_memory(sessionized(stream), "sess_out").collect()
+    got = {(r.user_id, r.session_start): r.n_events for r in out}
+    expect = {
+        (r.user_id, r.session_start): r.n_events
+        for r in q51_sessionize(spark, sf_dir).collect()
+    }
+    for k, v in got.items():
+        assert expect[k] == v
+    # sessions still open at end-of-input never emit (append semantics);
+    # they must all sit inside the final watermark horizon (2h + gap 30m)
+    missing = set(expect) - set(got)
+    max_start = max(s for (_, s) in expect)
+    horizon = max_start - (2 * 3600 + 30 * 60 + 6 * 3600)  # watermark + gap + slack
+    assert all(s >= horizon for (_, s) in missing), f"old sessions missing: {missing}"
+    assert len(got) >= 0.9 * len(expect)
+
+
+def test_dedup_stream_drops_replayed_duplicates(spark, sf_dir, replay_dir, tmp_path):
+    """Feed the same batch twice: dropDuplicatesWithinWatermark keeps one
+    copy of each event_id (state within the watermark horizon)."""
+    import shutil
+    import glob
+    import time
+
+    dup_dir = tmp_path / "dup_replay"
+    dup_dir.mkdir()
+    first = sorted(glob.glob(f"{replay_dir}/batch_0.parquet"))[0]
+    shutil.copy(first, dup_dir / "a.parquet")
+    time.sleep(1.1)
+    shutil.copy(first, dup_dir / "b.parquet")
+    stream = events_stream(spark, str(dup_dir))
+    out = run_to_memory(dedup_stream(stream), "dedup_out").collect()
+    ids = [r.event_id for r in out]
+    assert len(ids) == len(set(ids))
+    base = spark.read.parquet(first).count()
+    assert len(ids) == base
+
+
+def test_late_data_dropped_by_watermark(spark, sf_dir, tmp_path):
+    """Watermark semantics under out-of-order replay (observed Spark 4.1
+    behavior, pinned here): a late row targeting a window that was ALREADY
+    finalized is dropped (numRowsDroppedByWatermark > 0), and append mode
+    never emits the same window twice.  (A late row whose old window was
+    never seen before is aggregated and finalized immediately — Spark does
+    not drop first-sight old windows.)"""
+    import time as _t
+
+    import duckdb
+
+    late_dir = tmp_path / "late_replay"
+    late_dir.mkdir()
+    con = duckdb.connect()
+    base = (
+        "SELECT event_id, epoch_ns(ts) AS ts, user_id, event_type, value, props "
+        f"FROM '{sf_dir}/events.parquet'"
+    )
+    # batch 0: the LAST day; batch 1: first 12h (late, first sight);
+    # batch 2: another slice of the SAME early windows (late, re-delivery)
+    con.sql(
+        f"""COPY ({base} WHERE ts >= (SELECT max(ts) - INTERVAL 1 DAY
+                                      FROM '{sf_dir}/events.parquet'))
+            TO '{late_dir}/a.parquet' (FORMAT PARQUET)"""
+    )
+    _t.sleep(1.1)
+    con.sql(
+        f"""COPY ({base} WHERE ts < (SELECT min(ts) + INTERVAL 12 HOUR
+                                     FROM '{sf_dir}/events.parquet'))
+            TO '{late_dir}/b.parquet' (FORMAT PARQUET)"""
+    )
+    _t.sleep(1.1)
+    con.sql(
+        f"""COPY ({base} WHERE ts >= (SELECT min(ts) + INTERVAL 2 HOUR
+                                      FROM '{sf_dir}/events.parquet')
+                       AND ts < (SELECT min(ts) + INTERVAL 10 HOUR
+                                 FROM '{sf_dir}/events.parquet'))
+            TO '{late_dir}/c.parquet' (FORMAT PARQUET)"""
+    )
+    stream = events_stream(spark, str(late_dir))
+    q = (
+        windowed_counts(stream, watermark="30 minutes")
+        .writeStream.format("memory")
+        .queryName("late_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dropped = sum(
+        op["numRowsDroppedByWatermark"]
+        for p in q.recentProgress
+        for op in p.get("stateOperators", [])
+    )
+    assert dropped > 0, "re-delivered late rows must be dropped by the watermark"
+    out = spark.sql("SELECT * FROM late_out").collect()
+    keys = [(r.bucket_start, r.event_type) for r in out]
+    assert len(keys) == len(set(keys)), "append mode must finalize each window exactly once"
+
+
+def test_running_user_totals_stateful(spark, sf_dir, replay_dir):
+    """applyInPandasWithState: final per-user running totals equal the
+    batch aggregate (update mode — last emit per user wins)."""
+    stream = events_stream(spark, replay_dir)
+    out = run_to_memory(running_user_totals(stream), "state_out", output_mode="update").collect()
+    # keep the final (max n_events) emit per user across micro-batches
+    final = {}
+    for r in out:
+        if r.user_id not in final or r.n_events > final[r.user_id][0]:
+            final[r.user_id] = (r.n_events, r.total_value)
+    batch = {
+        r.user_id: (r.n, r.total)
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert {u: v[0] for u, v in final.items()} == {u: v[0] for u, v in batch.items()}
+    for u in batch:
+        assert abs(final[u][1] - batch[u][1]) < 1e-6
