@@ -242,3 +242,55 @@ def q83_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         fp.alias("fingerprint"),
         F.length("text").cast("int").alias("n_chars"),
     ).orderBy("doc_id")
+
+
+@query(
+    "q84_tfidf_top_terms",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents WHERE len({_SQL_TOKENS}) > 0),
+    scored AS (
+        SELECT doc_id, term, tf, df,
+               ROUND(CAST(tf * n_docs AS DOUBLE) / df, 6) AS score
+        FROM tf JOIN df USING (term), n
+    )
+    SELECT doc_id, term, tf, df, score, CAST(rnk AS INT) AS rnk FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, term) AS rnk
+        FROM scored
+    ) WHERE rnk <= 5
+    ORDER BY doc_id, rnk
+    """,
+)
+def q84_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-5 terms per document with a LINEAR idf (tf·N/df): the
+    score stays a single division of exact integers, so the ranking is
+    bit-identical across engines (log-based idf differs in the last ulp
+    between libm implementations — linear idf ranks identically for a
+    fixed corpus).  Plan shape: one explode + two hash aggregates + a
+    broadcast join of the df table + per-doc window top-k."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens_col()).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.filter(F.size(tokens_col()) > 0).count()
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        F.round((F.col("tf") * F.lit(n_docs)).cast("double") / F.col("df"), 6).alias("score"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 5)
+        .select("doc_id", "term", "tf", "df", "score", "rnk")
+        .orderBy("doc_id", "rnk")
+    )

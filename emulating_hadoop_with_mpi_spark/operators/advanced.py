@@ -1,0 +1,201 @@
+"""Advanced relational operators beyond the reference's surface:
+as-of join, GROUPING SETS through the SQL API, array functions, exact
+percentiles, approximate distinct sketches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from emulating_hadoop_with_mpi_spark.registry import query
+from emulating_hadoop_with_mpi_spark.sources.tables import load_table
+
+
+@query(
+    "q23_asof_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id,
+           epoch_us(CAST(p.ts AS TIMESTAMP)) AS purchase_ts_us,
+           c.event_id AS click_id,
+           c.click_ts_us,
+           (epoch_us(CAST(p.ts AS TIMESTAMP)) - c.click_ts_us) // 1000000 AS gap_s
+    FROM events p
+    LEFT JOIN LATERAL (
+        SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS click_ts_us
+        FROM events c
+        WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts
+        ORDER BY c.ts DESC, c.event_id DESC
+        LIMIT 1
+    ) c ON true
+    WHERE p.event_type = 'purchase'
+    ORDER BY purchase_id
+    """,
+)
+def q23_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark has no native one — SURVEY §7 'custom operators'):
+    for every purchase, the latest click of the same user at-or-before it.
+
+    Implemented as the union-merge pattern: tag both sides, sort each
+    user's timeline once, and carry the last click forward with
+    last(ignorenulls) — ONE shuffle on user_id and a per-partition sort,
+    versus the naive per-row lateral scan.  This is the 100 TB formulation:
+    cost is sort-merge on (user, time), not |purchases|×|clicks|."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    tl = ev.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("t_us"),
+        (F.col("event_type") == "click").cast("int").alias("is_click"),
+    )
+    # clicks sort before purchases at the same microsecond (is_click desc)
+    # so `<=` semantics hold; among equal-ts clicks the max event_id wins.
+    w = Window.partitionBy("user_id").orderBy(
+        "t_us", F.desc("is_click"), "event_id"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    carried = tl.select(
+        "event_id",
+        "user_id",
+        "t_us",
+        "is_click",
+        F.last(F.when(F.col("is_click") == 1, F.col("event_id")), ignorenulls=True)
+        .over(w)
+        .alias("click_id"),
+        F.last(F.when(F.col("is_click") == 1, F.col("t_us")), ignorenulls=True)
+        .over(w)
+        .alias("click_ts_us"),
+    )
+    return (
+        carried.filter(F.col("is_click") == 0)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("t_us").alias("purchase_ts_us"),
+            "click_id",
+            "click_ts_us",
+            ((F.col("t_us") - F.col("click_ts_us")) / 1_000_000).cast("long").alias("gap_s"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+@query(
+    "q24_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def q24_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS through the SQL API (same Catalyst plan as
+    the DataFrame rollup/cube in q19/q20 — demonstrating the engine's SQL
+    entry point)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS n
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+        """
+    )
+
+
+@query(
+    "q25_array_ops",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS n_dims,
+           CAST(list_max(embedding) AS DOUBLE) AS vmax,
+           CAST(list_min(embedding) AS DOUBLE) AS vmin,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(embedding, v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000) AS BIGINT))),
+               (a, b) -> a + b) AS q_sum,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(embedding,
+                   v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000) AS BIGINT)
+                        * CAST(FLOOR(CAST(v AS DOUBLE) * 1000) AS BIGINT))),
+               (a, b) -> a + b) AS q_norm2,
+           CAST(list_max(list_transform(embedding, v -> abs(v))) AS DOUBLE) AS vmax_abs
+    FROM embeddings
+    WHERE vec_id % 7 = 0
+    ORDER BY vec_id
+    """,
+)
+def q25_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function breadth over array<float>: size, min/max, folds
+    (sum / L2² in exact quantized integers), element-wise transform —
+    all JVM higher-order functions."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 7 == 0)
+    q = F.transform(F.col("embedding"), lambda v: F.floor(v.cast("double") * 1000).cast("bigint"))
+    fold = lambda arr: F.aggregate(arr, F.lit(0).cast("bigint"), lambda a, b: a + b)  # noqa: E731
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("int").alias("n_dims"),
+        F.array_max("embedding").cast("double").alias("vmax"),
+        F.array_min("embedding").cast("double").alias("vmin"),
+        fold(q).alias("q_sum"),
+        fold(F.zip_with(q, q, lambda a, b: a * b)).alias("q_norm2"),
+        F.array_max(F.transform(F.col("embedding"), lambda v: F.abs(v)))
+        .cast("double")
+        .alias("vmax_abs"),
+    ).orderBy("vec_id")
+
+
+@query(
+    "q26_exact_percentiles",
+    oracle="""
+    SELECT o_orderstatus,
+           quantile_cont(CAST(FLOOR(o_totalprice * 100) AS BIGINT), 0.5) AS median_cents,
+           quantile_cont(CAST(FLOOR(o_totalprice * 100) AS BIGINT), 0.9) AS p90_cents,
+           MIN(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS min_cents,
+           MAX(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS max_cents
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def q26_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles on integer cents (interpolation of exact integers
+    is the same double in both engines)."""
+    # FLOOR before the integer cast: DuckDB's double→BIGINT cast rounds
+    # while Spark's truncates — floor makes both exact and identical.
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "cents", F.floor(F.col("o_totalprice") * 100).cast("bigint")
+    )
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.expr("percentile(cents, 0.5D)").alias("median_cents"),
+            F.expr("percentile(cents, 0.9D)").alias("p90_cents"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query("q27_approx_distinct")  # HLL sketch — engine-specific estimates, no cross-engine oracle
+def q27_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) beside exact counts — the
+    sketch path for 100 TB cardinalities where exact distinct would
+    shuffle every key.  Estimates are engine-specific → rows-only check;
+    tests bound the estimation error against the exact count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+            F.countDistinct("l_orderkey").alias("exact_orders"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -58,6 +58,7 @@ def all_queries() -> dict[str, Query]:
     import emulating_hadoop_with_mpi_spark.operators.setops  # noqa: F401
     import emulating_hadoop_with_mpi_spark.operators.events  # noqa: F401
     import emulating_hadoop_with_mpi_spark.operators.matrix_queries  # noqa: F401
+    import emulating_hadoop_with_mpi_spark.operators.advanced  # noqa: F401
     import emulating_hadoop_with_mpi_spark.functions.dedup  # noqa: F401
     import emulating_hadoop_with_mpi_spark.functions.similarity  # noqa: F401
     import emulating_hadoop_with_mpi_spark.functions.text  # noqa: F401

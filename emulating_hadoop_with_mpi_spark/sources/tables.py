@@ -41,9 +41,11 @@ BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # nanos-as-long → µs timestamp (floor division matches DuckDB's
-        # ns→µs truncation when it reads the same file).
-        df = df.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long")))
+        # nanos-as-long → µs timestamp.  INTEGER division (`div`), not
+        # floor(double/1000): epoch-ns values (~1.7e18) exceed double's
+        # 53-bit mantissa, so fp division is off by ±1µs on some rows.
+        # Truncating integer division matches DuckDB's ns→µs cast.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

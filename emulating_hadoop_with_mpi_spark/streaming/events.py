@@ -53,9 +53,8 @@ def events_stream(spark: SparkSession, path: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(path)
     )
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
-    )
+    # integer division — see sources/tables.py: fp division corrupts epoch-ns
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def windowed_counts(stream: DataFrame, window: str = "6 hours", watermark: str = "30 minutes") -> DataFrame:
