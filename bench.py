@@ -70,6 +70,21 @@ def main() -> None:
         q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # flagship matrix-multiply at generated scale (the reference's own job;
+    # 768^3 = 906M scalar products vs its 32^3 default)
+    from emulating_hadoop_with_mpi_spark.mapreduce import matmul_block, matmul_coo
+    from emulating_hadoop_with_mpi_spark.sources.datagen import generate_matrix_df
+
+    for label, n, fn in (
+        ("matmul_coo_768", 768, lambda a, b: matmul_coo(a, b)),
+        ("matmul_block_768", 768, lambda a, b: matmul_block(a, b, block=128)),
+    ):
+        a = generate_matrix_df(spark, n, n, seed=1, num_partitions=int(cpus))
+        b = generate_matrix_df(spark, n, n, seed=2, num_partitions=int(cpus))
+        t0 = time.perf_counter()
+        fn(a, b).write.format("noop").mode("overwrite").save()
+        timings[label] = round(time.perf_counter() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

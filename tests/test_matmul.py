@@ -52,6 +52,21 @@ def test_matmul_broadcast_matches_numpy(spark):
     assert "BroadcastHashJoin" in c._jdf.queryExecution().executedPlan().toString()
 
 
+@pytest.mark.parametrize("shape,block", [((20, 30, 10), 8), ((64, 64, 64), 32)])
+def test_matmul_block_matches_numpy(spark, shape, block):
+    """SUMMA-style block multiply (the 100 TB path) vs NumPy, including
+    shapes that don't divide evenly by the block size."""
+    from emulating_hadoop_with_mpi_spark.mapreduce import matmul_block
+
+    l, m, n = shape
+    a = generate_matrix_numpy(l, m, seed=21)
+    b = generate_matrix_numpy(m, n, seed=22)
+    c = matmul_block(
+        matrix_coo_from_numpy(spark, a), matrix_coo_from_numpy(spark, b), block=block
+    )
+    np.testing.assert_array_equal(_dense(c, l, n), a @ b)
+
+
 def test_matmul_mapreduce_faithful_path(spark):
     l, m, n = 6, 5, 4
     a = generate_matrix_numpy(l, m, seed=5)
