@@ -1,0 +1,123 @@
+"""Command-line parity with the reference's three binaries.
+
+The reference ships three programs (SURVEY §3):
+- ``filecreation``  — write a random matrix ``.dat`` file (``filecreation.c:30-38``)
+- ``program``       — ``mpirun program A.dat B.dat`` → reducer_output.txt
+                      ("(i,k):sum" lines) + final_result.txt (dense render)
+                      (``program.c:479-514``)
+- ``checking``      — serial oracle run on the same inputs (``checking.c:108-115``)
+
+Equivalent here (one spark-submit-able module instead of mpirun):
+
+    python -m emulating_hadoop_with_mpi_spark.cli generate 64 32 --seed 7 --out DIR
+    python -m emulating_hadoop_with_mpi_spark.cli multiply A.dat B.dat --out DIR
+    python -m emulating_hadoop_with_mpi_spark.cli check A.dat B.dat DIR
+
+``multiply`` writes both of the reference's outputs: ``reducer_output/``
+(the "(i,k):sum" line format, per-partition part files replacing the MPI
+shared file pointer) and ``final_result/`` (whitespace-separated dense rows).
+``check`` re-reads ``reducer_output`` and compares against NumPy ``A @ B`` —
+exactly the checking.c workflow, automated.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def _spark():
+    from emulating_hadoop_with_mpi_spark import get_spark
+
+    return get_spark(app_name="emulating-hadoop-with-mpi-spark-cli")
+
+
+def cmd_generate(args: argparse.Namespace) -> int:
+    from emulating_hadoop_with_mpi_spark.sources.datagen import generate_matrix_file
+
+    path = generate_matrix_file(args.out, args.rows, args.cols, seed=args.seed, file_id=args.id)
+    print(path)
+    return 0
+
+
+def cmd_multiply(args: argparse.Namespace) -> int:
+    from emulating_hadoop_with_mpi_spark.mapreduce.matmul import (
+        matmul_render_dense,
+        multiply_dat_files,
+    )
+    from emulating_hadoop_with_mpi_spark.sources.sinks import write_kv_text
+
+    spark = _spark()
+    c = multiply_dat_files(spark, args.file_a, args.file_b).cache()
+    write_kv_text(c, f"{args.out}/reducer_output")
+    # dense whitespace-separated render (program.c:465-476)
+    from pyspark.sql import functions as F
+
+    dense = matmul_render_dense(c)
+    value_cols = [col for col in dense.columns if col != "i"]
+    (
+        dense.select(
+            F.concat_ws(" ", *[F.col(col).cast("string") for col in value_cols]).alias("value")
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .text(f"{args.out}/final_result")
+    )
+    print(f"{args.out}/reducer_output {args.out}/final_result")
+    return 0
+
+
+def cmd_check(args: argparse.Namespace) -> int:
+    from emulating_hadoop_with_mpi_spark.sources.matrix import (
+        coo_to_numpy,
+        matrix_dims_from_name,
+    )
+    from emulating_hadoop_with_mpi_spark.sources.sinks import read_kv_text
+
+    l, m1 = matrix_dims_from_name(args.file_a)
+    m2, n = matrix_dims_from_name(args.file_b)
+    a = np.fromfile(args.file_a, dtype="<i4").reshape(l, m1)
+    b = np.fromfile(args.file_b, dtype="<i4").reshape(m2, n)
+    spark = _spark()
+    got = coo_to_numpy(read_kv_text(spark, f"{args.out}/reducer_output"), l, n)
+    expect = a.astype(np.int64) @ b.astype(np.int64)
+    if np.array_equal(got, expect):
+        print("OK: distributed result matches serial oracle")
+        return 0
+    bad = int((got != expect).sum())
+    print(f"MISMATCH: {bad} cells differ", file=sys.stderr)
+    return 1
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="emulating_hadoop_with_mpi_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("generate", help="write a deterministic random matrix .dat file")
+    g.add_argument("rows", type=int)
+    g.add_argument("cols", type=int)
+    g.add_argument("--seed", type=int, default=42)
+    g.add_argument("--id", default="1")
+    g.add_argument("--out", default=".")
+    g.set_defaults(fn=cmd_generate)
+
+    m = sub.add_parser("multiply", help="distributed C = A x B from .dat files")
+    m.add_argument("file_a")
+    m.add_argument("file_b")
+    m.add_argument("--out", default="./matmul_out")
+    m.set_defaults(fn=cmd_multiply)
+
+    c = sub.add_parser("check", help="compare reducer_output against NumPy A @ B")
+    c.add_argument("file_a")
+    c.add_argument("file_b")
+    c.add_argument("out")
+    c.set_defaults(fn=cmd_check)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

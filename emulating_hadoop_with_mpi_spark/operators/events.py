@@ -147,6 +147,33 @@ def q52_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q54_from_json_struct",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k,
+           CASE WHEN CAST(json_extract_string(props, '$.k') AS INT) >= 50
+                THEN 'high' ELSE 'low' END AS k_band
+    FROM events
+    WHERE event_id % 25 = 0
+    ORDER BY event_id
+    """,
+)
+def q54_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-full JSON parsing: from_json into a typed struct (vs q52's
+    path extraction) and struct-field access — still JVM-side."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 25 == 0)
+    schema = StructType([StructField("k", IntegerType())])
+    parsed = ev.withColumn("p", F.from_json("props", schema))
+    return parsed.select(
+        "event_id",
+        F.col("p.k").alias("k"),
+        F.when(F.col("p.k") >= 50, "high").otherwise("low").alias("k_band"),
+    ).orderBy("event_id")
+
+
+@query(
     "q53_event_funnel",
     oracle="""
     SELECT user_id,

@@ -72,6 +72,41 @@ def test_ann_lsh_recall_vs_brute(spark, sf_dir):
     assert ann_pairs, "ANN should return candidates from its own buckets"
 
 
+def test_pandas_udf_cosine_matches_jvm_path(spark, sf_dir):
+    """UDF surface (SURVEY §2.15): an Arrow-vectorized pandas_udf computing
+    quantized dot products agrees exactly with the JVM zip_with/aggregate
+    fold used in the hot path — the sanctioned escape hatch when built-ins
+    can't express an op, kept out of production plans by test_plans.py."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    from emulating_hadoop_with_mpi_spark.functions.similarity import dot_q, quantize
+    from emulating_hadoop_with_mpi_spark.sources.tables import load_table
+
+    # no type hints: `from __future__ import annotations` stringifies them,
+    # which pandas_udf's signature inspection can't resolve
+    @F.pandas_udf(LongType(), F.PandasUDFType.SCALAR)
+    def dot_q_pandas(a, b):
+        import numpy as np
+
+        return pd.Series(
+            [
+                int(np.dot(np.floor(np.asarray(x, dtype=np.float64) * 1000),
+                           np.floor(np.asarray(y, dtype=np.float64) * 1000)))
+                for x, y in zip(a, b)
+            ]
+        )
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 32)
+    both = emb.select(
+        "vec_id",
+        dot_q(quantize(F.col("embedding")), quantize(F.col("embedding"))).alias("jvm"),
+        dot_q_pandas(F.col("embedding"), F.col("embedding")).alias("py"),
+    ).collect()
+    assert all(r.jvm == r.py for r in both)
+
+
 def test_decode_media_deterministic_fake():
     feats = decode_media(b"hello world", "video/fake")
     assert feats["n_bytes"] == 11

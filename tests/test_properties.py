@@ -1,0 +1,79 @@
+"""Property-based tests (hypothesis): the engine's core equivalences hold
+for arbitrary inputs, not just the planted fixtures (SURVEY §5 upgrade over
+the reference's single hand-checked oracle run)."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from emulating_hadoop_with_mpi_spark.mapreduce import (
+    map_reduce,
+    map_reduce_by_key,
+    matmul_block,
+    matmul_coo,
+)
+from emulating_hadoop_with_mpi_spark.sources.matrix import coo_to_numpy, matrix_coo_from_numpy
+
+# session-scoped spark fixture comes from conftest; hypothesis drives data
+shapes = st.tuples(
+    st.integers(min_value=1, max_value=8),
+    st.integers(min_value=1, max_value=8),
+    st.integers(min_value=1, max_value=8),
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(shape=shapes, seed=st.integers(min_value=0, max_value=2**31 - 1))
+def test_matmul_coo_equals_numpy_any_shape(spark, shape, seed):
+    l, m, n = shape
+    rng = np.random.RandomState(seed)
+    a = rng.randint(-9, 10, size=(l, m)).astype(np.int32)  # negatives too
+    b = rng.randint(-9, 10, size=(m, n)).astype(np.int32)
+    c = matmul_coo(matrix_coo_from_numpy(spark, a), matrix_coo_from_numpy(spark, b))
+    np.testing.assert_array_equal(coo_to_numpy(c, l, n), a.astype(np.int64) @ b)
+
+
+@settings(max_examples=4, deadline=None)
+@given(shape=shapes, seed=st.integers(min_value=0, max_value=2**31 - 1))
+def test_matmul_block_equals_coo(spark, shape, seed):
+    """The 100 TB block formulation is plan-equivalent to the COO join."""
+    l, m, n = shape
+    rng = np.random.RandomState(seed)
+    a = rng.randint(0, 10, size=(l, m)).astype(np.int32)
+    b = rng.randint(0, 10, size=(m, n)).astype(np.int32)
+    da, db = matrix_coo_from_numpy(spark, a), matrix_coo_from_numpy(spark, b)
+    dense_coo = coo_to_numpy(matmul_coo(da, db), l, n)
+    dense_blk = coo_to_numpy(matmul_block(da, db, block=4), l, n)
+    np.testing.assert_array_equal(dense_blk, dense_coo)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    words=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d", "e"]), min_size=0, max_size=6),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_map_reduce_wordcount_equals_python(spark, words):
+    """map_reduce == a plain Python dict fold, for arbitrary corpora, and
+    the combiner/reduceByKey paths agree with the grouped path."""
+    lines = [" ".join(ws) for ws in words]
+    expect: dict[str, int] = {}
+    for ws in words:
+        for w in ws:
+            expect[w] = expect.get(w, 0) + 1
+
+    rdd = spark.sparkContext.parallelize(lines, 3)
+
+    def mapper(line):
+        return [(w, 1) for w in line.split()]
+
+    def reducer(k, values):
+        yield (k, sum(values))
+
+    grouped = dict(map_reduce(rdd, mapper, reducer).collect())
+    combined = dict(map_reduce(rdd, mapper, reducer, combiner=reducer).collect())
+    by_key = dict(map_reduce_by_key(rdd, mapper, lambda a, b: a + b).collect())
+    assert grouped == expect == combined == by_key
