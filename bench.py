@@ -63,12 +63,19 @@ def main() -> None:
     # warm the JVM + file listing with a trivial action
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
+    def run_timed(build) -> float:
+        """min of two runs — steady-state, less single-JVM JIT/GC noise"""
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            build().write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3)
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         q = registry[name]
-        t0 = time.perf_counter()
-        q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        timings[name] = run_timed(lambda: q.fn(spark, sf_dir))
 
     # flagship matrix-multiply at generated scale (the reference's own job;
     # 768^3 = 906M scalar products vs its 32^3 default)
@@ -81,9 +88,7 @@ def main() -> None:
     ):
         a = generate_matrix_df(spark, n, n, seed=1, num_partitions=int(cpus))
         b = generate_matrix_df(spark, n, n, seed=2, num_partitions=int(cpus))
-        t0 = time.perf_counter()
-        fn(a, b).write.format("noop").mode("overwrite").save()
-        timings[label] = round(time.perf_counter() - t0, 3)
+        timings[label] = run_timed(lambda: fn(a, b))
 
     total = round(sum(timings.values()), 3)
     print(

@@ -27,7 +27,7 @@ Python in the hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from emulating_hadoop_with_mpi_spark.functions.text import tokens_col, _SQL_TOKENS
@@ -154,16 +154,28 @@ _SQL_SHINGLES = f"""
 )
 def q72_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram-Jaccard near-dup pairs (J ≥ 0.5 tested in integers:
-    3·common ≥ |A|+|B|).  The exact baseline the MinHash path (q73) is
-    verified against.  Scale note: cost is Σ_shingle df² — at 100 TB run
-    q73 instead, or cap shingle document-frequency first."""
+    3·common ≥ |A|+|B|) via a direct shingle self-join + count aggregate —
+    the exact baseline the MinHash path (q73) is verified against.
+
+    Scale note: cost is Σ_shingle df², so on a real long-tail corpus at
+    100 TB the moves are (a) q73's MinHash-LSH, or (b) a PPJoin-style
+    prefix-filtering join (join only on each doc's globally-rarest
+    ⌊n/2⌋+1 shingles — exact, no false negatives).  We benchmarked the
+    prefix variant here and it LOSES on this synthetic corpus: with a
+    ~40-word vocabulary every shingle is common (df≈55 at sf0.1), so
+    prefix filtering prunes nothing and pays extra shuffles + per-pair
+    set intersections.  The direct count-join stays in pure codegen."""
     docs = load_table(spark, sf_dir, "documents")
     ds = shingles_df(docs).cache()
     cnt = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = ds.alias("a")
     b = ds.alias("b")
     pairs = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
@@ -189,14 +201,43 @@ def q72_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MERSENNE_31 = (1 << 31) - 1
+
+
+def _perm_constants(num_perm: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the universal family
+    x → (a·x + b) mod (2³¹−1), a ∈ [1, p), b ∈ [0, p)."""
+    consts = []
+    state = 0x9E3779B9
+    for _ in range(num_perm):
+        state = (state * 1103515245 + 12345) % (1 << 31)
+        a = (state % (MERSENNE_31 - 1)) + 1
+        state = (state * 1103515245 + 12345) % (1 << 31)
+        consts.append((a, state % MERSENNE_31))
+    return consts
+
+
 def minhash_signatures(ds: DataFrame, num_perm: int = NUM_PERM) -> DataFrame:
     """(doc_id, h0..h{num_perm-1}) — MinHash signature per document.
-    Permutation i is xxhash64(i, shingle); the signature is a plain
-    min-aggregate per permutation (partial map-side, one shuffle)."""
+
+    The shingle string is hashed ONCE (xxhash64, top 32 bits); each
+    permutation is the classic universal hash (a·x + b) mod (2³¹−1) of
+    that value — cheap JVM integer ops, provably overflow-free under ANSI
+    mode (a·x + b < 2⁶³), ~num_perm× less string hashing than hashing per
+    permutation.  Signature = plain min-aggregates (partial map-side, one
+    shuffle)."""
+    consts = _perm_constants(num_perm)
     hashed = ds.select(
-        "doc_id", *[F.xxhash64(F.lit(i), F.col("shingle")).alias(f"x{i}") for i in range(num_perm)]
+        "doc_id", F.shiftrightunsigned(F.xxhash64("shingle"), 32).alias("h")
     )
-    return hashed.groupBy("doc_id").agg(
+    perms = hashed.select(
+        "doc_id",
+        *[
+            F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(MERSENNE_31)).alias(f"x{i}")
+            for i, (a, b) in enumerate(consts)
+        ],
+    )
+    return perms.groupBy("doc_id").agg(
         *[F.min(f"x{i}").alias(f"h{i}") for i in range(num_perm)]
     )
 
