@@ -14,7 +14,17 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 @pytest.fixture(scope="session")
 def spark():
-    spark = get_spark(app_name="tests", master="local[4]", shuffle_partitions=8)
+    import tempfile
+
+    spark = get_spark(
+        app_name="tests",
+        master="local[4]",
+        shuffle_partitions=8,
+        extra_conf={
+            # static conf: must be set at session build (bucketing tests)
+            "spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="spark-warehouse-"),
+        },
+    )
     yield spark
     spark.stop()
 
