@@ -27,7 +27,7 @@ Python in the hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from emulating_hadoop_with_mpi_spark.functions.text import tokens_col, _SQL_TOKENS
@@ -306,6 +306,47 @@ def q73_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(JACCARD_THRESHOLD_NUM * F.col("n_common") >= F.col("n_a") + F.col("n_b"))
         .orderBy("doc_a", "doc_b")
+    )
+
+
+@query(
+    "q79_edit_distance",
+    oracle="""
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           levenshtein(a.text, b.text) AS edit_dist,
+           ROUND(1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE)
+                       / GREATEST(length(a.text), length(b.text), 1), 6) AS edit_sim
+    FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+    WHERE a.doc_id % 10 = 0
+    ORDER BY doc_a
+    """,
+)
+def q79_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance similarity (Levenshtein, exact integer DP — identical
+    across engines) between adjacent documents, with a length-normalized
+    similarity score.  The character-level dedup primitive complementing
+    the token-level Jaccard family; at scale it's the verify stage after
+    candidate generation (never all-pairs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta")).filter(
+        F.col("doc_a") % 10 == 0
+    )
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"))
+    dist = F.levenshtein("ta", "tb")
+    return (
+        a.join(b, b.doc_b == a.doc_a + 1)
+        .select(
+            "doc_a",
+            "doc_b",
+            dist.alias("edit_dist"),
+            F.round(
+                1.0
+                - dist.cast("double")
+                / F.greatest(F.length("ta"), F.length("tb"), F.lit(1)),
+                6,
+            ).alias("edit_sim"),
+        )
+        .orderBy("doc_a")
     )
 
 

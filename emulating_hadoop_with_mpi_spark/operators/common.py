@@ -33,10 +33,3 @@ def avg_from_sum(sum_dec: Column, count_col: Column, alias: str, scale: int = 6)
     return F.round(sum_dec.cast("double") / count_col, scale).alias(alias)
 
 
-# The same conventions, as SQL fragments for the DuckDB oracle strings.
-def sql_dec(col: str) -> str:
-    return f"CAST({col} AS DECIMAL(18,2))"
-
-
-def sql_money_sum(expr: str, alias: str, scale: int = 2) -> str:
-    return f"CAST(ROUND(SUM({expr}), {scale}) AS DOUBLE) AS {alias}"

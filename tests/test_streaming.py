@@ -147,6 +147,41 @@ def test_late_data_dropped_by_watermark(spark, sf_dir, tmp_path):
     assert len(keys) == len(set(keys)), "append mode must finalize each window exactly once"
 
 
+def test_foreach_batch_exactly_once_sink(spark, sf_dir, replay_dir, tmp_path):
+    """foreachBatch as the exactly-once sink pattern: each micro-batch is
+    written idempotently (overwrite by batch id); the union of batch
+    outputs equals the batch-mode aggregate of the whole table."""
+    out = str(tmp_path / "fb_out")
+
+    def write_batch(df, batch_id):
+        df.withColumn("batch_id", F.lit(batch_id)).write.mode("overwrite").parquet(
+            f"{out}/batch={batch_id}"
+        )
+
+    stream = events_stream(spark, replay_dir)
+    q = (
+        stream.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .writeStream.foreachBatch(write_batch)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    import glob
+
+    last = max(glob.glob(f"{out}/batch=*"), key=lambda p: int(p.rsplit("=", 1)[1]))
+    got = {r.event_type: r.n for r in spark.read.parquet(last).collect()}
+    expect = {
+        r.event_type: r.n
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == expect
+
+
 def test_running_user_totals_stateful(spark, sf_dir, replay_dir):
     """applyInPandasWithState: final per-user running totals equal the
     batch aggregate (update mode — last emit per user wins)."""
