@@ -63,5 +63,6 @@ def all_queries() -> dict[str, Query]:
     import emulating_hadoop_with_mpi_spark.functions.similarity  # noqa: F401
     import emulating_hadoop_with_mpi_spark.functions.text  # noqa: F401
     import emulating_hadoop_with_mpi_spark.functions.multimodal  # noqa: F401
+    import emulating_hadoop_with_mpi_spark.streaming.queries  # noqa: F401
 
     return dict(QUERIES)

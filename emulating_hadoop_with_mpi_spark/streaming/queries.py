@@ -1,0 +1,64 @@
+"""Streaming operators exposed as driver-checkable queries.
+
+Each entry replays the events table through a real file stream
+(time-ordered micro-batches, availableNow trigger) and returns the
+materialized result as a batch DataFrame.  Results are deterministic for a
+fixed sf_dir, but they reflect STREAMING semantics (append mode withholds
+windows the watermark never closed), so they are registered rows-only —
+the batch-vs-stream equivalences are asserted in tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from emulating_hadoop_with_mpi_spark.registry import query
+from emulating_hadoop_with_mpi_spark.streaming.events import (
+    events_stream,
+    run_to_memory,
+    sessionized,
+    split_events_for_replay,
+    windowed_counts,
+)
+
+_REPLAY_CACHE: dict[str, str] = {}
+
+
+def _replay_dir(sf_dir: str) -> str:
+    """One time-split replay dir per sf_dir per process (the split costs a
+    couple of seconds of mtime spacing — don't pay it per query)."""
+    if sf_dir not in _REPLAY_CACHE:
+        out = os.path.join(
+            tempfile.gettempdir(), f"events_replay_{os.getpid()}_{len(_REPLAY_CACHE)}"
+        )
+        _REPLAY_CACHE[sf_dir] = split_events_for_replay(sf_dir, out, n_files=3)
+    return _REPLAY_CACHE[sf_dir]
+
+
+def _uniq(name: str) -> str:
+    return f"{name}_{uuid.uuid4().hex[:8]}"
+
+
+@query("q90_stream_windowed_counts")  # streaming semantics — rows-only (see module docstring)
+def q90_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 6h windows + 30min watermark over a 3-micro-batch replay of
+    `events`; append-mode output (closed windows only).  Streaming twin of
+    q50 — equality on closed windows proven in test_streaming.py."""
+    stream = events_stream(spark, _replay_dir(sf_dir))
+    return run_to_memory(windowed_counts(stream), _uniq("q90")).orderBy(
+        "bucket_start", "event_type"
+    )
+
+
+@query("q91_stream_sessionized")  # streaming semantics — rows-only
+def q91_stream_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window(30 min gap) per user with a 2h watermark over the
+    replay; closed sessions only.  Streaming twin of q51."""
+    stream = events_stream(spark, _replay_dir(sf_dir))
+    return run_to_memory(sessionized(stream), _uniq("q91")).orderBy(
+        "user_id", "session_start"
+    )
