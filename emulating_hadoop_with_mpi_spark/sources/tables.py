@@ -39,6 +39,13 @@ BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # Defensive for sessions WE didn't build (e.g. the driver's): the
+        # nanos-as-long switch is required to scan TIMESTAMP(NANOS) parquet
+        # at all, and UTC keeps F.window/time-bucket alignment identical to
+        # the oracle.  Both are runtime-settable SQL confs.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # nanos-as-long → µs timestamp.  INTEGER division (`div`), not
