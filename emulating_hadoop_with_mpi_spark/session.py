@@ -64,3 +64,49 @@ def get_spark(
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def cluster_conf(
+    executors: int = 1000,
+    cores_per_executor: int = 4,
+    target_partition_mb: int = 256,
+    input_tb: float = 100.0,
+) -> dict[str, str]:
+    """Documented conf preset for the target deployment (≈1000 executors /
+    100 TB inputs) — the knobs that change between local[32] and a real
+    cluster.  Local mode ignores most of these; spark-submit applies them.
+
+    Sizing logic:
+    - shuffle partitions ≈ 2-3× total cores, floored so each partition of
+      a full-input shuffle stays ≤ ~target_partition_mb (spill threshold).
+    - maxPartitionBytes fixes scan-task granularity: 100 TB / 256 MB ≈
+      400k scan tasks — coarse enough for the scheduler, fine enough for
+      even distribution.
+    - AQE then coalesces/splits at runtime, so these are CEILINGS, not
+      exact tuning.
+    """
+    total_cores = executors * cores_per_executor
+    by_cores = 3 * total_cores
+    by_size = int(input_tb * 1024 * 1024 / target_partition_mb)
+    shuffle_partitions = max(by_cores, min(by_size, 64 * total_cores))
+    return {
+        "spark.executor.instances": str(executors),
+        "spark.executor.cores": str(cores_per_executor),
+        "spark.sql.shuffle.partitions": str(shuffle_partitions),
+        "spark.sql.files.maxPartitionBytes": str(target_partition_mb * 1024 * 1024),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(
+            target_partition_mb * 1024 * 1024
+        ),
+        # broadcast only true dimensions; at 100 TB "small" is still 256 MB
+        "spark.sql.autoBroadcastJoinThreshold": str(256 * 1024 * 1024),
+        "spark.sql.parquet.filterPushdown": "true",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+        "spark.sql.session.timeZone": "UTC",
+        # shuffle robustness at scale
+        "spark.shuffle.service.enabled": "true",
+        "spark.sql.adaptive.localShuffleReader.enabled": "true",
+    }
