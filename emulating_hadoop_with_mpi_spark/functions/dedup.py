@@ -39,7 +39,12 @@ BANDS = 32
 ROWS_PER_BAND = NUM_PERM // BANDS
 JACCARD_THRESHOLD_NUM = 3  # 3*common >= na+nb  ⟺  J >= 0.5
 SIMHASH_BITS = 64
-SIMHASH_CHUNKS = 4
+# 8 chunks × 8 bits: pigeonhole guarantees a shared chunk for any pair with
+# Hamming ≤ 7 (and ≈99.9% at 8-9) — 4×16 only guaranteed ≤ 3 and measured
+# 0.89 recall on the planted pairs at sf0.1.  Tradeoff: 8-bit bucket values
+# collide more (bigger candidate sets), which the exact-Hamming verify step
+# absorbs; at extreme corpus sizes move back toward wider chunks + multiprobe.
+SIMHASH_CHUNKS = 8
 HAMMING_MAX = 9
 
 
@@ -378,10 +383,9 @@ def simhash_df(docs: DataFrame) -> DataFrame:
 
 @query("q74_simhash_neardup")  # xxhash64-based — no SQL oracle; see tests/test_dedup.py
 def q74_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: candidates by 16-bit chunk pigeonholing
-    (any pair within Hamming ≤ 8 of a 64-bit sketch shares at least one of
-    4 chunks... for ≤ 3 diffs it's guaranteed; for ≤ 8 it's a recall
-    heuristic), verified by exact Hamming distance."""
+    """SimHash near-dup pairs: candidates by 8-bit chunk pigeonholing
+    (guaranteed recall for Hamming ≤ 7; see SIMHASH_CHUNKS note), verified
+    by exact Hamming distance ≤ 9."""
     docs = load_table(spark, sf_dir, "documents")
     sims = simhash_df(docs).cache()
     chunk_width = SIMHASH_BITS // SIMHASH_CHUNKS
