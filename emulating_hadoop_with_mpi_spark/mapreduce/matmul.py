@@ -196,6 +196,54 @@ def matmul_block(a: DataFrame, b: DataFrame, block: int = 128) -> DataFrame:
     )
 
 
+def matmul_auto(
+    a: DataFrame,
+    b: DataFrame,
+    dims: tuple[int, int, int] | None = None,
+    broadcast_threshold_cells: int = 2_000_000,
+    block_threshold_products: int = 2_000_000_000,
+    block: int = 128,
+) -> DataFrame:
+    """Pick the physical multiply strategy by size — the planner decision
+    the reference hardwires (it always replicates everything,
+    ``program.c:97-98``) and that a custom Catalyst Strategy would make
+    from table stats:
+
+    - one side fits in executor memory  → broadcast-hash join (no shuffle
+      of the big side at all);
+    - L·M·N products beyond the COO join's comfort → blocked GEMM
+      (shuffle O(cells·N/B) instead of materializing L·M·N rows);
+    - otherwise → plain COO join+agg and let Catalyst/AQE do the rest.
+
+    ``dims`` (L, M, N) comes free from the `.dat` filename convention;
+    without it we spend one cheap count/max action per input.
+    """
+    if dims is not None:
+        l, m, n = dims
+        a_cells, b_cells = l * m, m * n
+    else:
+        arow = a.agg(F.max("i"), F.max("j"), F.count(F.lit(1))).first()
+        brow = b.agg(F.max("i"), F.max("j"), F.count(F.lit(1))).first()
+        l, m = int(arow[0]) + 1, max(int(arow[1]), int(brow[0])) + 1
+        n = int(brow[1]) + 1
+        a_cells, b_cells = int(arow[2]), int(brow[2])
+    if b_cells <= broadcast_threshold_cells:
+        return matmul_broadcast(a, b)
+    if a_cells <= broadcast_threshold_cells:
+        # symmetric: broadcast A instead
+        lhs = a.select(F.col("i"), F.col("j"), F.col("v").alias("va"))
+        rhs = b.select(F.col("i").alias("j"), F.col("j").alias("k"), F.col("v").alias("vb"))
+        return (
+            F.broadcast(lhs)
+            .join(rhs, "j")
+            .groupBy("i", "k")
+            .agg(F.sum(F.col("va").cast("long") * F.col("vb").cast("long")).alias("v"))
+        )
+    if l * m * n > block_threshold_products:
+        return matmul_block(a, b, block=block)
+    return matmul_coo(a, b)
+
+
 def multiply_dat_files(spark: SparkSession, path_a: str, path_b: str) -> DataFrame:
     """End-to-end job entry matching the reference's main
     (``program.c:479-514``): parse dims from both filenames, reject

@@ -67,6 +67,34 @@ def test_matmul_block_matches_numpy(spark, shape, block):
     np.testing.assert_array_equal(_dense(c, l, n), a @ b)
 
 
+def test_matmul_auto_strategy_dispatch(spark):
+    """matmul_auto picks broadcast for a small side, block beyond the
+    product threshold, COO between — all producing identical results."""
+    from emulating_hadoop_with_mpi_spark.mapreduce.matmul import matmul_auto
+    from emulating_hadoop_with_mpi_spark.plans.inspect import executed_plan
+
+    a = generate_matrix_numpy(12, 10, seed=31)
+    b = generate_matrix_numpy(10, 8, seed=32)
+    da, db = matrix_coo_from_numpy(spark, a), matrix_coo_from_numpy(spark, b)
+    expect = a.astype(np.int64) @ b
+
+    # small side → broadcast join
+    c1 = matmul_auto(da, db, dims=(12, 10, 8))
+    assert "BroadcastHashJoin" in executed_plan(c1)
+    np.testing.assert_array_equal(_dense(c1, 12, 8), expect)
+
+    # force the block path via thresholds
+    c2 = matmul_auto(
+        da, db, dims=(12, 10, 8), broadcast_threshold_cells=1, block_threshold_products=1, block=4
+    )
+    assert "mapInPandas" in executed_plan(c2).lower() or "MapInPandas" in executed_plan(c2)
+    np.testing.assert_array_equal(_dense(c2, 12, 8), expect)
+
+    # middle ground (no dims hint → derives sizes with one action per side)
+    c3 = matmul_auto(da, db, broadcast_threshold_cells=1, block_threshold_products=10**12)
+    np.testing.assert_array_equal(_dense(c3, 12, 8), expect)
+
+
 def test_matmul_mapreduce_faithful_path(spark):
     l, m, n = 6, 5, 4
     a = generate_matrix_numpy(l, m, seed=5)

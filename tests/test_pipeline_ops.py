@@ -51,25 +51,68 @@ def test_simhash_finds_planted_neardups(spark, sf_dir):
     assert recall >= 0.9, f"simhash recall {recall:.2f}; missed {sorted(exact - sim)[:5]}"
 
 
-def test_ann_lsh_recall_vs_brute(spark, sf_dir):
-    """Same-bucket LSH probing returns a subset of the brute-force ranking;
-    recall@k is logged and must be nonzero (single-probe, 16-bit codes on
-    uniform random vectors is a weak setting by construction)."""
+def test_ann_lsh_is_honest_vs_brute(spark, sf_dir):
+    """ANN results are a subset of the truth: every (query, neighbor) the
+    LSH path returns carries exactly the brute-force cosine.  (Recall on
+    THIS corpus is structurally low: the embeddings are uniform random, so
+    even true top-10 'neighbors' sit at cosine ≈0.4 — far from collinear —
+    and differ in ~6 of 16 code bits.  Recall on genuinely-near pairs is
+    what LSH promises; tested separately below.)"""
     brute = q76_cosine_topk(spark, sf_dir).collect()
     ann = q77_ann_lsh_topk(spark, sf_dir).collect()
     brute_sets = {}
     for r in brute:
         brute_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
-    ann_pairs = {(r.query_id, r.neighbor_id) for r in ann}
-    # every ANN hit must be a real vector with correct cosine ordering
     assert len(brute_sets) == TOPK_QUERIES
     assert all(len(v) == TOPK_K for v in brute_sets.values())
-    # ANN results are honest: cosines must match brute values for shared pairs
     brute_cos = {(r.query_id, r.neighbor_id): r.cosine for r in brute}
     for r in ann:
         if (r.query_id, r.neighbor_id) in brute_cos:
             assert r.cosine == brute_cos[(r.query_id, r.neighbor_id)]
-    assert ann_pairs, "ANN should return candidates from its own buckets"
+    assert ann, "ANN should return candidates from its probed buckets"
+
+
+def test_ann_lsh_recall_on_planted_near_duplicates(spark, sf_dir):
+    """The actual LSH contract: vectors that ARE near (cosine ≈ 0.99 —
+    planted noisy copies) land in the same or a 1-bit-adjacent bucket with
+    high probability.  Expected differing code bits for cosine 0.99 ≈
+    16·arccos(.99)/π ≈ 0.7, so own-bucket + 16 Hamming-1 probes should
+    catch nearly all planted pairs."""
+    from pyspark.sql import functions as F
+
+    from emulating_hadoop_with_mpi_spark.functions.similarity import LSH_PLANES, lsh_codes
+    from emulating_hadoop_with_mpi_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    # plant a near-copy of each vector: tiny deterministic perturbation of
+    # one coordinate (relative scale keeps cosine ≈ 0.99+)
+    noisy = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda v, i: v + F.when(i == 0, v * 0.05).otherwise(v * 0.001)
+        ).alias("embedding"),
+    )
+    coded = (
+        lsh_codes(emb.select("vec_id", "embedding").unionByName(noisy))
+        .select("vec_id", "code")
+        .collect()
+    )
+    codes = {r.vec_id: r.code for r in coded}
+    caught = 0
+    total = 0
+    for vid, code in codes.items():
+        if vid >= 100000:
+            continue
+        total += 1
+        twin = codes[vid + 100000]
+        hamming = bin(code ^ twin).count("1")
+        if hamming <= 1:  # own bucket or one of the 16 Hamming-1 probes
+            caught += 1
+    assert total == 100
+    recall = caught / total
+    assert recall >= 0.9, f"multi-probe LSH recall on planted pairs: {recall}"
+    # and the probe set of q77 is exactly radius-1: own code + LSH_PLANES flips
+    assert LSH_PLANES == 16
 
 
 def test_pandas_udf_cosine_matches_jvm_path(spark, sf_dir):
