@@ -1,5 +1,6 @@
 from emulating_hadoop_with_mpi_spark.mapreduce.api import map_reduce, map_reduce_by_key
 from emulating_hadoop_with_mpi_spark.mapreduce.matmul import (
+    matmul_auto,
     matmul_block,
     matmul_broadcast,
     matmul_coo,
@@ -9,6 +10,7 @@ from emulating_hadoop_with_mpi_spark.mapreduce.matmul import (
 __all__ = [
     "map_reduce",
     "map_reduce_by_key",
+    "matmul_auto",
     "matmul_block",
     "matmul_broadcast",
     "matmul_coo",
