@@ -113,16 +113,21 @@ def q71_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def shingles_df(docs: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, shingle) — distinct word n-grams per document."""
-    toks = tokens_col()
+    """(doc_id, shingle) — distinct word n-grams per document.
+
+    The token array is materialized as a column FIRST: Catalyst does not
+    eliminate common subexpressions inside higher-order-function lambdas,
+    so referencing ``tokens_col()`` directly inside the transform would
+    re-split the text once per element_at — O(tokens²) per document
+    (measured: ~3× the whole MinHash pipeline's cost at sf0.1)."""
+    toks = F.col("toks")
     grams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + off) for off in range(n)]
-        ),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + off) for off in range(n)]),
     )
     return (
-        docs.filter(F.size(toks) >= n)
+        docs.select("doc_id", tokens_col().alias("toks"))
+        .filter(F.size(toks) >= n)
         .select("doc_id", F.explode(grams).alias("shingle"))
         .distinct()
     )

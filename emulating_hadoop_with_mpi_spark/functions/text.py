@@ -62,12 +62,14 @@ def q80_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens, distinct tokens, characters, and a
     BPE-ish regex pre-tokenization count — all JVM-side."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens_col()
-    return docs.select(
+    # materialize the token array once (tokens_col() per expression would
+    # re-split the text; see shingles_df note in dedup.py)
+    staged = docs.select("doc_id", "lang", "text", tokens_col().alias("toks"))
+    return staged.select(
         "doc_id",
         "lang",
-        F.size(toks).cast("int").alias("n_tokens"),
-        F.size(F.array_distinct(toks)).cast("int").alias("n_uniq_tokens"),
+        F.size("toks").cast("int").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("int").alias("n_uniq_tokens"),
         F.length("text").cast("int").alias("n_chars"),
         F.size(F.regexp_extract_all("text", F.lit(BPE_RE), 0)).cast("int").alias("n_bpe_tokens"),
     ).orderBy("doc_id")
@@ -115,14 +117,14 @@ def q81_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     alpha/digit ratios, stopword ratio, length gate — combined into a
     [0,1] score (the classic Gopher/C4-style filter-feature family)."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens_col()
-    feats = docs.select(
+    staged0 = docs.select("doc_id", "text", tokens_col().alias("toks"))
+    feats = staged0.select(
         "doc_id",
         F.length("text").cast("bigint").alias("n_chars"),
-        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size("toks").cast("bigint").alias("n_tokens"),
         F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).cast("bigint").alias("n_alpha"),
         F.length(F.regexp_replace("text", "[^0-9]", "")).cast("bigint").alias("n_digit"),
-        F.size(F.filter(toks, lambda x: x.isin(*ALL_STOPWORDS))).cast("bigint").alias("n_stop"),
+        F.size(F.filter("toks", lambda x: x.isin(*ALL_STOPWORDS))).cast("bigint").alias("n_stop"),
     )
     alpha_r = _ratio(F.col("n_alpha"), F.col("n_chars"))
     digit_r = _ratio(F.col("n_digit"), F.col("n_chars"))
@@ -181,15 +183,15 @@ def q82_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic: per-language stopword hit counts, argmax with
     a fixed priority order (en > es > de > fr), 'und' when nothing hits."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens_col()
+    staged = docs.select("doc_id", "lang", tokens_col().alias("toks"))
 
     def score(lang: str) -> Column:
         return (
-            F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS[lang])))
+            F.size(F.filter("toks", lambda x: x.isin(*STOPWORDS[lang])))
             .cast("bigint")
         )
 
-    scored = docs.select(
+    scored = staged.select(
         "doc_id",
         F.col("lang").alias("lang_label"),
         score("en").alias("s_en"),
