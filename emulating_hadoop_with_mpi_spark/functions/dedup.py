@@ -291,15 +291,25 @@ def q73_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(corpus) signature pass + bucket-collision verification."""
     docs = load_table(spark, sf_dir, "documents")
     ds = shingles_df(docs).cache()
-    sigs = minhash_signatures(ds)
-    cands = lsh_candidates(sigs)
-
-    # Verify candidates with exact Jaccard over single-hash shingle sets
-    # (arrays of ~doc-length held per row; fine for documents, and the
-    # candidate set is tiny relative to the corpus).
-    sets_df = ds.select("doc_id", F.xxhash64("shingle").alias("sh")).groupBy("doc_id").agg(
-        F.collect_set("sh").alias("shset")
+    # ONE shuffle of the shingle set produces both the MinHash signatures
+    # (min per permutation) and the exact-verify hash sets (collect_set) —
+    # the signature pass and the verification pass share their groupBy.
+    consts = _perm_constants(NUM_PERM)
+    hashed = ds.select(
+        "doc_id",
+        F.xxhash64("shingle").alias("sh"),
+        F.shiftrightunsigned(F.xxhash64("shingle"), 32).alias("h"),
     )
+    combined = hashed.groupBy("doc_id").agg(
+        F.collect_set("sh").alias("shset"),
+        *[
+            F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(MERSENNE_31))).alias(f"h{i}")
+            for i, (a, b) in enumerate(consts)
+        ],
+    ).cache()
+    sigs = combined.select("doc_id", *[f"h{i}" for i in range(NUM_PERM)])
+    cands = lsh_candidates(sigs)
+    sets_df = combined.select("doc_id", "shset")
     a = sets_df.select(F.col("doc_id").alias("doc_a"), F.col("shset").alias("set_a"))
     b = sets_df.select(F.col("doc_id").alias("doc_b"), F.col("shset").alias("set_b"))
     joined = cands.join(a, "doc_a").join(b, "doc_b")

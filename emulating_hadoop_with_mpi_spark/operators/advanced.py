@@ -183,6 +183,34 @@ def q26_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q28_approx_quantiles")  # t-digest/GK sketch — engine-specific, no cross-engine oracle
+def q28_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile beside the exact percentile — the sketch path for
+    100 TB quantiles (mergeable per-partition state, no global sort).
+    Estimates are engine-specific → rows-only; tests bound the error
+    against q26's exact values."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("approx_percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D), 10000)").alias(
+                "approx_p"
+            ),
+            F.expr("percentile(l_extendedprice, 0.5D)").alias("exact_median"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "l_returnflag",
+            F.col("approx_p")[0].alias("approx_median"),
+            F.col("approx_p")[1].alias("approx_p90"),
+            F.col("approx_p")[2].alias("approx_p99"),
+            "exact_median",
+            "n",
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 @query("q27_approx_distinct")  # HLL sketch — engine-specific estimates, no cross-engine oracle
 def q27_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) beside exact counts — the

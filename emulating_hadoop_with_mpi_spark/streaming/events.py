@@ -144,6 +144,49 @@ def running_user_totals(stream: DataFrame) -> DataFrame:
     )
 
 
+def purchase_click_join(
+    stream: DataFrame, max_gap: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream interval self-join: each purchase matched to every
+    click by the same user within the preceding `max_gap`.  Both sides
+    carry watermarks and the join condition bounds event-time distance, so
+    Spark can expire join state (otherwise a stream-stream join buffers
+    forever).  The batch dual is a plain inner join with the same
+    interval predicate (tested equal on a full replay)."""
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    cond = (
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {max_gap}"))
+    )
+    return purchases.join(clicks, cond, "inner").select(
+        "purchase_id",
+        F.col("p_user").alias("user_id"),
+        "click_id",
+        F.unix_micros("purchase_ts").alias("purchase_ts_us"),
+        F.unix_micros("click_ts").alias("click_ts_us"),
+        "purchase_value",
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append") -> DataFrame:
     """Drive a streaming query to completion on all currently-available
     input (availableNow) into an in-memory table; returns the result as a

@@ -115,6 +115,20 @@ def test_ann_lsh_recall_on_planted_near_duplicates(spark, sf_dir):
     assert LSH_PLANES == 16
 
 
+def test_approx_sketches_bounded_error(spark, sf_dir):
+    """Sketch queries (rows-only for the driver) carry exact companions in
+    their own output — assert the estimation error bounds here."""
+    from emulating_hadoop_with_mpi_spark.registry import all_queries
+
+    reg = all_queries()
+    for r in reg["q27_approx_distinct"].fn(spark, sf_dir).collect():
+        assert abs(r.approx_orders - r.exact_orders) / r.exact_orders < 0.05
+    for r in reg["q28_approx_quantiles"].fn(spark, sf_dir).collect():
+        assert abs(r.approx_median - r.exact_median) / r.exact_median < 0.02
+        assert r.approx_p90 >= r.approx_median
+        assert r.approx_p99 >= r.approx_p90
+
+
 def test_pandas_udf_cosine_matches_jvm_path(spark, sf_dir):
     """UDF surface (SURVEY §2.15): an Arrow-vectorized pandas_udf computing
     quantized dot products agrees exactly with the JVM zip_with/aggregate

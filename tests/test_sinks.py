@@ -27,14 +27,16 @@ def test_kv_text_roundtrip_reference_pipeline(spark, tmp_path):
     np.testing.assert_array_equal(coo_to_numpy(back, 6, 5), a @ b)
 
 
-def test_parquet_partitioned_roundtrip(spark, tables, tmp_path):
+def test_parquet_partitioned_roundtrip_and_pruning(spark, tables, tmp_path):
     out = str(tmp_path / "li_parquet")
     write_parquet(tables["lineitem"], out, partition_by=["l_returnflag"])
     back = spark.read.parquet(out)
     assert back.count() == tables["lineitem"].count()
-    # partition pruning: reading one flag touches only that directory
+    # partition pruning: a filter on the partition column becomes a
+    # PartitionFilter on the scan (directory-level skip, no data read)
     one = back.filter(back.l_returnflag == "A")
     plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "l_returnflag" in plan.split("PartitionFilters")[1].split("]")[0]
     assert one.count() > 0
 
 

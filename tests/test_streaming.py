@@ -147,6 +147,39 @@ def test_late_data_dropped_by_watermark(spark, sf_dir, tmp_path):
     assert len(keys) == len(set(keys)), "append mode must finalize each window exactly once"
 
 
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir, replay_dir):
+    """Stream-stream self-join (purchases × clicks within 1h, watermarked)
+    over the ordered replay == the batch inner join with the same interval
+    predicate."""
+    from emulating_hadoop_with_mpi_spark.streaming.events import purchase_click_join
+
+    stream = events_stream(spark, replay_dir)
+    got = {
+        (r.purchase_id, r.click_id)
+        for r in run_to_memory(purchase_click_join(stream), "ssj_out").collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("event_id").alias("click_id"), F.col("ts").alias("cts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+    )
+    expect = {
+        (r.purchase_id, r.click_id)
+        for r in purchases.join(
+            clicks,
+            (F.col("pu") == F.col("cu"))
+            & (F.col("cts") <= F.col("pts"))
+            & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR")),
+        ).collect()
+    }
+    assert expect, "replay should contain purchase-after-click pairs"
+    assert got == expect
+
+
 def test_foreach_batch_exactly_once_sink(spark, sf_dir, replay_dir, tmp_path):
     """foreachBatch as the exactly-once sink pattern: each micro-batch is
     written idempotently (overwrite by batch id); the union of batch
