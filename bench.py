@@ -33,6 +33,7 @@ HEADLINE = [
     "q50_time_buckets",
     "q51_sessionize",
     "q52_json_extract",
+    "q23_asof_join",
     # flagship matmul
     "q60_matmul_gram",
     # LLM-pipeline ops
@@ -43,6 +44,7 @@ HEADLINE = [
     "q80_token_stats",
     "q81_quality_score",
     "q83_fingerprint",
+    "q84_tfidf_top_terms",
 ]
 
 

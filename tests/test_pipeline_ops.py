@@ -115,6 +115,19 @@ def test_ann_lsh_recall_on_planted_near_duplicates(spark, sf_dir):
     assert LSH_PLANES == 16
 
 
+def test_cogroup_asof_equals_window_asof(spark, sf_dir):
+    """The cogroup+merge_asof formulation returns exactly q23's rows —
+    two independent implementations of the as-of join agree."""
+    from emulating_hadoop_with_mpi_spark.operators.advanced import (
+        asof_join_cogroup,
+        q23_asof_join,
+    )
+
+    window_rows = {tuple(r) for r in q23_asof_join(spark, sf_dir).collect()}
+    cogroup_rows = {tuple(r) for r in asof_join_cogroup(spark, sf_dir).collect()}
+    assert window_rows == cogroup_rows
+
+
 def test_approx_sketches_bounded_error(spark, sf_dir):
     """Sketch queries (rows-only for the driver) carry exact companions in
     their own output — assert the estimation error bounds here."""
