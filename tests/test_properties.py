@@ -48,6 +48,50 @@ def test_matmul_block_equals_coo(spark, shape, seed):
     np.testing.assert_array_equal(dense_blk, dense_coo)
 
 
+@settings(max_examples=6, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from("abc XYZ 019 .,!\t\n"),
+            min_size=0,
+            max_size=80,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_text_kernels_equal_python_reference(spark, texts):
+    """tokens_col and the rolling-hash fingerprint match a plain-Python
+    reimplementation on arbitrary text (whitespace runs, punctuation,
+    empties, mixed case)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from emulating_hadoop_with_mpi_spark.functions.text import (
+        FINGERPRINT_PREFIX,
+        FP_MOD,
+        tokens_col,
+    )
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id int, text string")
+    chars = F.filter(F.split(F.substring("text", 1, FINGERPRINT_PREFIX), ""), lambda c: c != "")
+    fp = F.aggregate(
+        F.transform(chars, lambda c: F.ascii(c).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, c: (acc * 31 + c) % FP_MOD,
+    )
+    rows = df.select("doc_id", tokens_col().alias("toks"), fp.alias("fp")).collect()
+    for r in rows:
+        text = texts[r.doc_id]
+        expect_toks = [w for w in re.split(r"\s+", text.strip().lower()) if w != ""]
+        assert list(r.toks) == expect_toks, (text, list(r.toks), expect_toks)
+        h = 0
+        for ch in text[:FINGERPRINT_PREFIX]:
+            h = (h * 31 + ord(ch)) % FP_MOD
+        assert r.fp == h, (text, r.fp, h)
+
+
 @settings(max_examples=8, deadline=None)
 @given(
     words=st.lists(
