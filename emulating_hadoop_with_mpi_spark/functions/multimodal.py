@@ -73,8 +73,9 @@ def _make_decoder():
         if kind.startswith("image/"):
             try:  # pragma: no cover - not installed in this container
                 from PIL import Image  # noqa: F401
-
-                raise NotImplementedError("real image decode not wired in this container")
+                # STUB: a real decode (Image.open(io.BytesIO(payload))...)
+                # would go here; it is deliberately NOT wired, so even with
+                # PIL present we fall through to the deterministic fake.
             except ImportError:
                 pass
         arr = _np.frombuffer(payload, dtype=_np.uint8)

@@ -24,8 +24,11 @@ def formatted_plan(df: DataFrame) -> str:
 
 
 def has_pushed_filters(df: DataFrame) -> bool:
-    plan = formatted_plan(df)
-    return "PushedFilters: [" in plan and "PushedFilters: []" not in plan
+    """True if ANY scan in the plan carries a non-empty PushedFilters list
+    (a multi-scan plan may legitimately mix filtered and unfiltered scans)."""
+    import re
+
+    return re.search(r"PushedFilters: \[[^\]]", formatted_plan(df)) is not None
 
 
 def read_schema_columns(df: DataFrame, table_hint: str = "") -> list[str]:
