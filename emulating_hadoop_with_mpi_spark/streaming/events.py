@@ -64,12 +64,17 @@ def windowed_counts(stream: DataFrame, window: str = "6 hours", watermark: str =
     return (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            # decimal state → the streamed sum is exact and order-free,
+            # so q90 can be value-compared against the DuckDB oracle
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("tv_dec"),
+        )
         .select(
             F.unix_timestamp(F.col("w.start")).alias("bucket_start"),
             "event_type",
             "n_events",
-            "total_value",
+            F.round(F.col("tv_dec"), 2).cast("double").alias("total_value"),
         )
     )
 

@@ -43,11 +43,29 @@ def _uniq(name: str) -> str:
     return f"{name}_{uuid.uuid4().hex[:8]}"
 
 
-@query("q90_stream_windowed_counts")  # streaming semantics — rows-only (see module docstring)
+@query(
+    "q90_stream_windowed_counts",
+    # Append-mode emission is SQL-expressible: a window emits iff its end
+    # has passed the final watermark (max event time − 30 min).  Verified
+    # to match Spark's behavior exactly at sf0.001 and sf0.01.
+    oracle="""
+    WITH wm AS (SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) - 1800000000 AS wm_us
+                FROM events)
+    SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 21600000000) * 21600 AS bucket_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
+    FROM events, wm
+    GROUP BY bucket_start, event_type, wm_us
+    HAVING (bucket_start + 21600) * 1000000 <= wm_us
+    ORDER BY bucket_start, event_type
+    """,
+)
 def q90_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 6h windows + 30min watermark over a 3-micro-batch replay of
-    `events`; append-mode output (closed windows only).  Streaming twin of
-    q50 — equality on closed windows proven in test_streaming.py."""
+    `events`; append-mode output (closed windows only) — a REAL streaming
+    execution whose result is nonetheless oracle-checked: the emission rule
+    (window end ≤ final watermark) is encoded in the SQL."""
     stream = events_stream(spark, _replay_dir(sf_dir))
     return run_to_memory(windowed_counts(stream), _uniq("q90")).orderBy(
         "bucket_start", "event_type"
