@@ -85,13 +85,17 @@ def sessionized(stream: DataFrame, gap: str = "30 minutes", watermark: str = "2 
     return (
         stream.withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
-        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("session_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            # decimal state → exact, oracle-comparable (see windowed_counts)
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sv_dec"),
+        )
         .select(
             "user_id",
             F.unix_timestamp(F.col("sw.start")).alias("session_start"),
             F.unix_timestamp(F.col("sw.end")).alias("session_end"),
             "n_events",
-            "session_value",
+            F.round(F.col("sv_dec"), 2).cast("double").alias("session_value"),
         )
     )
 

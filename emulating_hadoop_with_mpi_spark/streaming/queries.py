@@ -72,10 +72,41 @@ def q90_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q91_stream_sessionized")  # streaming semantics — rows-only
+@query(
+    "q91_stream_sessionized",
+    # session_window emission is SQL-expressible too: a session (end =
+    # last event + gap) emits iff its end ≤ final watermark (max ts − 2h).
+    # Matches Spark exactly at sf0.001 and sf0.01.
+    oracle="""
+    WITH wm AS (SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) - 7200000000 AS wm_us
+                FROM events),
+    marked AS (
+        SELECT user_id, ts, value,
+               CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                         - LAG(epoch_us(CAST(ts AS TIMESTAMP)))
+                           OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > 1800000000 THEN 1 ELSE 0 END AS ns
+        FROM events),
+    sess AS (
+        SELECT user_id, ts, value,
+               SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM marked)
+    SELECT user_id,
+           epoch_us(CAST(MIN(ts) AS TIMESTAMP)) // 1000000 AS session_start,
+           (epoch_us(CAST(MAX(ts) AS TIMESTAMP)) + 1800000000) // 1000000 AS session_end,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS session_value
+    FROM sess, wm
+    GROUP BY user_id, sid, wm_us
+    HAVING epoch_us(CAST(MAX(ts) AS TIMESTAMP)) + 1800000000 <= wm_us
+    ORDER BY user_id, session_start
+    """,
+)
 def q91_stream_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """session_window(30 min gap) per user with a 2h watermark over the
-    replay; closed sessions only.  Streaming twin of q51."""
+    replay; closed sessions only — a real streaming execution whose result
+    is oracle-checked via the gaps-and-islands dual + the emission rule."""
     stream = events_stream(spark, _replay_dir(sf_dir))
     return run_to_memory(sessionized(stream), _uniq("q91")).orderBy(
         "user_id", "session_start"
