@@ -72,6 +72,9 @@ def main() -> None:
             t0 = time.perf_counter()
             build().write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
+        # queries that cache intermediates (q72/q73) must not carry memory
+        # pressure into the next measurement
+        spark.catalog.clearCache()
         return round(best, 3)
 
     timings: dict[str, float] = {}
