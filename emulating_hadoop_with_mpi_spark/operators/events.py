@@ -174,6 +174,34 @@ def q54_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q55_map_functions",
+    oracle="""
+    SELECT event_id,
+           CAST(len(json_keys(props)) AS INT) AS n_keys,
+           json_keys(props)[1] AS first_key,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+    FROM events
+    WHERE event_id % 40 = 0
+    ORDER BY event_id
+    """,
+)
+def q55_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType parsing + map functions: from_json into map<string,bigint>,
+    then map_keys / element_at — the schemaless-JSON path (vs q54's typed
+    struct)."""
+    from pyspark.sql.types import LongType, MapType, StringType
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 40 == 0)
+    m = F.from_json("props", MapType(StringType(), LongType()))
+    return ev.select(
+        "event_id",
+        F.size(F.map_keys(m)).cast("int").alias("n_keys"),
+        F.array_min(F.map_keys(m)).alias("first_key"),
+        F.element_at(m, "k").alias("k_val"),
+    ).orderBy("event_id")
+
+
+@query(
     "q53_event_funnel",
     oracle="""
     SELECT user_id,
