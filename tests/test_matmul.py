@@ -132,6 +132,20 @@ def test_end_to_end_reference_pipeline(spark, tmp_path):
     np.testing.assert_array_equal(_dense(c, 8, 4), a @ b)
 
 
+def test_reference_default_configuration(spark, tmp_path):
+    """The reference's exact default run (filecreation.c:31-33: two 32×32
+    matrices, cells in [0,9]) through the full .dat → multiply → check
+    pipeline — the one job the reference can run, reproduced verbatim."""
+    from emulating_hadoop_with_mpi_spark.mapreduce.matmul import multiply_dat_files
+
+    a = generate_matrix_numpy(32, 32, seed=1)
+    b = generate_matrix_numpy(32, 32, seed=2)
+    pa = write_matrix_dat(a, str(tmp_path), file_id=1)
+    pb = write_matrix_dat(b, str(tmp_path), file_id=2)
+    c = multiply_dat_files(spark, pa, pb)
+    np.testing.assert_array_equal(_dense(c, 32, 32), a.astype(np.int64) @ b)
+
+
 def test_generate_matrix_df_deterministic(spark):
     df1 = generate_matrix_df(spark, 5, 5, seed=9).collect()
     df2 = generate_matrix_df(spark, 5, 5, seed=9).collect()
