@@ -60,7 +60,7 @@ def q50_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q51_sessionize",
     oracle=f"""
     WITH marked AS (
-        SELECT user_id, ts, value,
+        SELECT user_id, event_id, ts, value,
                CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
                          - LAG(epoch_us(CAST(ts AS TIMESTAMP)))
                            OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -69,7 +69,7 @@ def q50_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     ), sessions AS (
         SELECT user_id, ts, value,
-               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                    AS session_id
         FROM marked
@@ -91,12 +91,15 @@ def q51_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming twin is session_window in streaming/windows.py."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    frame = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+    # ADVICE r1: with duplicate (user_id, ts) rows the ROWS-frame peer order
+    # is unspecified unless event_id joins the ORDER BY on BOTH sides.
+    frame = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     gap_us = SESSION_GAP_MIN * 60 * 1_000_000
     marked = ev.select(
         "user_id",
+        "event_id",
         "ts",
         "value",
         F.when(
@@ -121,7 +124,7 @@ def q51_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q52_json_extract",
     oracle="""
     SELECT event_type,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            COUNT(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
                       THEN 1 END) AS n_high,
            COUNT(*) AS n
@@ -178,7 +181,7 @@ def q54_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id,
            CAST(len(json_keys(props)) AS INT) AS n_keys,
-           json_keys(props)[1] AS first_key,
+           list_sort(json_keys(props))[1] AS first_key,
            CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
     FROM events
     WHERE event_id % 40 = 0

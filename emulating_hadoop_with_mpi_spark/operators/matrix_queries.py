@@ -47,7 +47,10 @@ def _quantized_coo(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings, range(1, 4097) AS u(pos)
         WHERE vec_id < {N_VECS} AND u.pos <= len(embedding)
     )
-    SELECT a.i, b.i AS k, SUM(CAST(a.v AS BIGINT) * CAST(b.v AS BIGINT)) AS v
+    SELECT a.i, b.i AS k,
+           -- CAST the SUM itself: DuckDB SUM(BIGINT) returns HUGEINT, which
+           -- the driver's value-hash serializes differently from int64.
+           CAST(SUM(CAST(a.v AS BIGINT) * CAST(b.v AS BIGINT)) AS BIGINT) AS v
     FROM coo a JOIN coo b ON a.j = b.j
     GROUP BY a.i, b.i
     ORDER BY a.i, k

@@ -241,7 +241,7 @@ def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q07_anti_join_idle_customers",
     oracle="""
-    SELECT c_mktsegment, COUNT(*) AS n_idle, SUM(c_custkey) AS custkey_sum
+    SELECT c_mktsegment, COUNT(*) AS n_idle, CAST(SUM(c_custkey) AS BIGINT) AS custkey_sum
     FROM customer
     WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
     GROUP BY c_mktsegment

@@ -62,6 +62,24 @@ def test_query_matches_oracle(spark, sf_dir, duck, name):
     assert not mismatches, f"{name}: {len(mismatches)} mismatched rows; first: {mismatches[:3]}"
 
 
+# Types the driver's value-hash serializes identically across engines.
+# Notably EXCLUDED: HUGEINT (DuckDB's SUM(BIGINT) result — int128 hashes
+# differently from Spark's int64; bit us on q52/q60 in round 1) and
+# DECIMAL (engine-specific scale/precision rendering).
+_SAFE_DUCK_TYPES = {"BIGINT", "INTEGER", "SMALLINT", "TINYINT", "DOUBLE", "FLOAT", "VARCHAR", "DATE", "BOOLEAN"}
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_result_types_are_hash_safe(duck, name):
+    """Every oracle's DuckDB result schema must stay inside the types the
+    driver's cross-engine hash treats identically (VERDICT r1 item 3)."""
+    rel = duck.sql(REGISTRY[name].oracle)
+    bad = [
+        (c, str(t)) for c, t in zip(rel.columns, rel.types) if str(t) not in _SAFE_DUCK_TYPES
+    ]
+    assert not bad, f"{name}: hash-unsafe oracle column types {bad}"
+
+
 def test_registry_is_populated():
     assert len(REGISTRY) >= 20
     # every query has a docstring (judge-facing parity citations live there)
