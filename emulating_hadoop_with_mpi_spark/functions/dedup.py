@@ -48,36 +48,6 @@ SIMHASH_CHUNKS = 8
 HAMMING_MAX = 9
 
 
-@query(
-    "q70_dedup_exact",
-    oracle="""
-    SELECT MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies,
-           CAST(length(text) AS INT) AS n_chars
-    FROM documents
-    GROUP BY text
-    ORDER BY keeper_doc_id
-    """,
-)
-def q70_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup: group identical texts, keep the lowest doc_id.
-    One hash shuffle on the text (at 100 TB: shuffle a 64/128-bit text
-    digest instead of the full text — same plan shape)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return (
-        docs.groupBy("text")
-        .agg(
-            F.min("doc_id").alias("keeper_doc_id"),
-            F.count(F.lit(1)).alias("n_copies"),
-        )
-        .select(
-            "keeper_doc_id",
-            "n_copies",
-            F.length("text").cast("int").alias("n_chars"),
-        )
-        .orderBy("keeper_doc_id")
-    )
-
-
 _SQL_NORM = (
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),"
     " ' +', ' ', 'g'))"
@@ -91,25 +61,42 @@ def _norm_text() -> Column:
 
 
 @query(
-    "q71_dedup_normalized",
+    "q70_dedup_exact",
     oracle=f"""
-    SELECT MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
-    FROM (SELECT doc_id, {_SQL_NORM} AS norm FROM documents)
-    GROUP BY norm
-    ORDER BY keeper_doc_id
+    SELECT method, keeper_doc_id, n_copies FROM (
+        SELECT 'exact' AS method, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
+        FROM documents GROUP BY text
+        UNION ALL
+        SELECT 'normalized' AS method, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
+        FROM (SELECT doc_id, {_SQL_NORM} AS norm FROM documents) GROUP BY norm
+    ) ORDER BY method, keeper_doc_id
     """,
 )
-def q71_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Normalized exact dedup: casefold, strip punctuation, collapse
-    whitespace, then hash-group — catches trivially-edited copies."""
+def q70_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact + normalized dedup in one result, tagged by `method`.
+
+    - exact: group identical texts, keep the lowest doc_id — one hash
+      shuffle on the text (at 100 TB: shuffle a 64/128-bit text digest
+      instead of the full text — same plan shape).
+    - normalized: casefold, strip punctuation, collapse whitespace, then
+      hash-group — catches trivially-edited copies.
+
+    Subsumes the former q71_dedup_normalized (merged round 3 to fit the
+    driver's 50-query cap, NOTES.md) — both branches stay fully
+    DuckDB-oracle-checked via the UNION ALL oracle."""
     docs = load_table(spark, sf_dir, "documents")
-    return (
+    exact = (
+        docs.groupBy("text")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select(F.lit("exact").alias("method"), "keeper_doc_id", "n_copies")
+    )
+    normalized = (
         docs.select("doc_id", _norm_text().alias("norm"))
         .groupBy("norm")
         .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
-        .select("keeper_doc_id", "n_copies")
-        .orderBy("keeper_doc_id")
+        .select(F.lit("normalized").alias("method"), "keeper_doc_id", "n_copies")
     )
+    return exact.unionByName(normalized).orderBy("method", "keeper_doc_id")
 
 
 def shingles_df(docs: DataFrame, n: int = 3) -> DataFrame:

@@ -134,46 +134,27 @@ def q51_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q52_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semi-structured extraction: parse the JSON `props` column JVM-side
-    (get_json_object — no Python UDF) and aggregate on the extracted field."""
+    """Semi-structured extraction, both JVM-side parse paths in one query
+    (no Python UDF): `sum_k` comes from from_json into a typed struct +
+    struct-field access (schema-full parsing, formerly q54 — merged round 3
+    to fit the driver's 50-query cap, NOTES.md); `n_high` comes from
+    get_json_object path extraction (schemaless).  Both feed the same
+    aggregate, so the oracle pins both paths to identical values."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
     ev = load_table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("bigint")
+    schema = StructType([StructField("k", LongType())])
+    k_struct = F.from_json("props", schema)["k"]
+    k_path = F.get_json_object("props", "$.k").cast("bigint")
     return (
         ev.groupBy("event_type")
         .agg(
-            F.sum(k).alias("sum_k"),
-            F.count(F.when(k > 50, 1)).alias("n_high"),
+            F.sum(k_struct).alias("sum_k"),
+            F.count(F.when(k_path > 50, 1)).alias("n_high"),
             F.count(F.lit(1)).alias("n"),
         )
         .orderBy("event_type")
     )
-
-
-@query(
-    "q54_from_json_struct",
-    oracle="""
-    SELECT event_id,
-           CAST(json_extract_string(props, '$.k') AS INT) AS k,
-           CASE WHEN CAST(json_extract_string(props, '$.k') AS INT) >= 50
-                THEN 'high' ELSE 'low' END AS k_band
-    FROM events
-    WHERE event_id % 25 = 0
-    ORDER BY event_id
-    """,
-)
-def q54_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Schema-full JSON parsing: from_json into a typed struct (vs q52's
-    path extraction) and struct-field access — still JVM-side."""
-    from pyspark.sql.types import IntegerType, StructField, StructType
-
-    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 25 == 0)
-    schema = StructType([StructField("k", IntegerType())])
-    parsed = ev.withColumn("p", F.from_json("props", schema))
-    return parsed.select(
-        "event_id",
-        F.col("p.k").alias("k"),
-        F.when(F.col("p.k") >= 50, "high").otherwise("low").alias("k_band"),
-    ).orderBy("event_id")
 
 
 @query(

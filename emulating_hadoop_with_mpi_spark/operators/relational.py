@@ -84,20 +84,16 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q02_filter_project",
-    oracle=f"""
-    SELECT l_orderkey, l_linenumber,
-           CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS ship_year,
-           CAST(ROUND({_SQL_REV}, 2) AS DOUBLE) AS revenue
-    FROM lineitem
-    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
-      AND l_discount > 0.05 AND l_quantity < 30
-    """,
-)
 def q02_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Predicate + projection: filters push down to the parquet scan
-    (PushedFilters), projection prunes the read schema to 6 of 11 columns."""
+    (PushedFilters), projection prunes the read schema to 6 of 11 columns.
+
+    Unregistered from the driver registry in round 3 to fit the driver's
+    50-query cap (NOTES.md): its capabilities remain driver-evidenced by
+    q06 (pushed filters on lineitem) and q15 (projection breadth), and its
+    pushdown/pruning plan shape stays pinned by
+    tests/test_plans.py::test_q02_filter_pushdown_and_column_pruning,
+    which calls this function directly."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.filter(
         (F.col("l_shipdate") >= "1996-01-01")

@@ -18,7 +18,11 @@ REGISTRY = all_queries()
 
 
 def test_q02_filter_pushdown_and_column_pruning(spark, sf_dir):
-    df = REGISTRY["q02_filter_project"].fn(spark, sf_dir)
+    # q02 is unregistered (50-query driver cap, NOTES.md) but its plan
+    # shape stays pinned here via a direct call.
+    from emulating_hadoop_with_mpi_spark.operators.relational import q02_filter_project
+
+    df = q02_filter_project(spark, sf_dir)
     assert has_pushed_filters(df), "lineitem filters must reach the parquet scan"
     cols = read_schema_columns(df)
     assert set(cols) <= {
