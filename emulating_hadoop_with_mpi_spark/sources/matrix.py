@@ -8,11 +8,15 @@ from a hardcoded char index; we use a regex).
 
 Scale design: instead of slurping the whole file on one node (the reference
 reads everything on rank 0, ``program.c:94-96``, then broadcasts it to every
-process, ``program.c:97-98``), we read it as *fixed-length records* — one
-record per matrix row — via ``sc.binaryRecords``.  Records are distributed
-across partitions, each partition decodes its rows with NumPy into COO
-``(i, j, v)`` triples, and no node ever holds the full matrix.  A 100 TB
-matrix streams through like any other datasource.
+process, ``program.c:97-98``), the file is split driver-side into
+row-aligned byte ranges — the same contract a parquet FileScan uses
+(`spark.sql.files.maxPartitionBytes`-sized splits) — and each task does one
+positioned read of its range and decodes it with vectorized NumPy into COO
+``(i, j, v)`` triples, which cross into the JVM as Arrow batches via
+``mapInPandas``.  No node ever holds the full matrix, no Python loop ever
+touches an individual cell, and a 100 TB matrix streams through like any
+other columnar datasource.  File access goes through ``pyarrow.fs`` so
+``hdfs://``/``s3://`` URIs work on a real cluster the same as local paths.
 """
 
 from __future__ import annotations
@@ -21,6 +25,7 @@ import os
 import re
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import IntegerType, StructField, StructType
 
@@ -47,32 +52,64 @@ def matrix_dims_from_name(path: str) -> tuple[int, int]:
     return int(m.group(1)), int(m.group(2))
 
 
+def _split_bytes(spark: SparkSession) -> int:
+    """Target bytes per read split — honor the same knob a FileScan uses."""
+    raw = str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+    m = re.match(r"(\d+)", raw)
+    return int(m.group(1)) if m else 134_217_728
+
+
 def read_matrix_coo(
     spark: SparkSession, path: str, dims: tuple[int, int] | None = None
 ) -> DataFrame:
     """Read a ``.dat`` matrix into a COO DataFrame ``(i INT, j INT, v INT)``.
 
-    Mirrors ``readArraysFromFile`` (``program.c:45-72``) but distributed:
-    each fixed-length binary record is one matrix row; partitions decode
-    independently.
+    Mirrors ``readArraysFromFile`` (``program.c:45-72``) but distributed and
+    vectorized: the driver plans row-aligned byte-range splits (one task
+    each, sized like FileScan splits); each task positioned-reads its range
+    through ``pyarrow.fs`` and decodes with ``np.frombuffer`` +
+    ``np.repeat``/``np.tile`` into one Arrow batch per split — no
+    Python-per-cell loop anywhere on the read path.
     """
     rows, cols = dims if dims is not None else matrix_dims_from_name(path)
     record_len = cols * 4
-
-    def decode(part_iter):
-        for row_bytes, i in part_iter:
-            vals = np.frombuffer(row_bytes, dtype="<i4")
-            i = int(i)
-            for j in range(cols):
-                yield (i, j, int(vals[j]))
-
-    # binaryRecords preserves file order; zipWithIndex turns record position
-    # into the row index i.
-    rdd = spark.sparkContext.binaryRecords(path, record_len).zipWithIndex()
-    df = spark.createDataFrame(rdd.mapPartitions(decode), COO_SCHEMA)
     if rows * cols == 0:
         return spark.createDataFrame([], COO_SCHEMA)
-    return df
+
+    # Row-aligned splits: each ≈ maxPartitionBytes, at least one row, and at
+    # least defaultParallelism splits when the matrix is big enough to care.
+    par = max(1, spark.sparkContext.defaultParallelism)
+    rows_per_split = max(1, min(_split_bytes(spark) // record_len, -(-rows // par)))
+    starts = list(range(0, rows, rows_per_split))
+    spec = spark.createDataFrame(
+        [(s, min(s + rows_per_split, rows)) for s in starts],
+        "row_start INT, row_end INT",
+    ).repartition(len(starts))
+
+    def decode(batches):
+        from pyarrow import fs as pafs
+
+        if "://" in path:
+            filesystem, fpath = pafs.FileSystem.from_uri(path)
+        else:
+            filesystem, fpath = pafs.LocalFileSystem(), os.path.abspath(path)
+        with filesystem.open_input_file(fpath) as f:
+            for pdf in batches:
+                for row_start, row_end in pdf.itertuples(index=False):
+                    n = int(row_end) - int(row_start)
+                    buf = f.read_at(n * record_len, int(row_start) * record_len)
+                    vals = np.frombuffer(buf, dtype="<i4")
+                    yield pd.DataFrame(
+                        {
+                            "i": np.repeat(
+                                np.arange(row_start, row_end, dtype=np.int32), cols
+                            ),
+                            "j": np.tile(np.arange(cols, dtype=np.int32), n),
+                            "v": vals,
+                        }
+                    )
+
+    return spec.mapInPandas(decode, COO_SCHEMA)
 
 
 def matrix_coo_from_numpy(spark: SparkSession, arr: np.ndarray) -> DataFrame:
