@@ -18,7 +18,7 @@ Five families, in increasing fuzziness:
 
 q72 is DuckDB-oracle-checked (pure SQL semantics).  q73/q74 use
 xxhash64, which the oracle can't reproduce — the driver records rows-only;
-tests/test_dedup.py proves q73's verified output equals q72's exact answer
+tests/test_pipeline_ops.py proves q73's verified output equals q72's exact answer
 and checks q74's sketch properties.
 
 Everything is JVM expressions (split/transform/explode/xxhash64) — no
@@ -269,7 +269,7 @@ def lsh_candidates(sigs: DataFrame, bands: int = BANDS, rows: int = ROWS_PER_BAN
     )
 
 
-@query("q73_minhash_lsh_neardup")  # xxhash64-based — no SQL oracle; see tests/test_dedup.py
+@query("q73_minhash_lsh_neardup")  # xxhash64-based — no SQL oracle; see tests/test_pipeline_ops.py
 def q73_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(128) + LSH(32 bands × 4 rows) near-dup detection with exact
     Jaccard verification of candidates (J ≥ 0.5).  Same output contract as
@@ -383,7 +383,7 @@ def simhash_df(docs: DataFrame) -> DataFrame:
     return bit_sums.select("doc_id", sim.alias("simhash"))
 
 
-@query("q74_simhash_neardup")  # xxhash64-based — no SQL oracle; see tests/test_dedup.py
+@query("q74_simhash_neardup")  # xxhash64-based — no SQL oracle; see tests/test_pipeline_ops.py
 def q74_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: candidates by 8-bit chunk pigeonholing
     (guaranteed recall for Hamming ≤ 7; see SIMHASH_CHUNKS note), verified

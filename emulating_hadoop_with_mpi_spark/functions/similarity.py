@@ -13,7 +13,7 @@
 - q77: LSH-bucketed ANN (random signed hyperplanes → 16-bit code →
   search only same-bucket candidates).  The scale path when Q is large:
   corpus is bucketed once, each query probes one bucket.  Rows-only for
-  the driver; tests/test_similarity.py measures recall vs q76.
+  the driver; tests/test_pipeline_ops.py measures recall vs q76.
 """
 
 from __future__ import annotations

@@ -279,13 +279,23 @@ def q84_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select("doc_id", F.explode(tokens_col()).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = docs.filter(F.size(tokens_col()) > 0).count()
-    scored = tf.join(F.broadcast(df), "term").select(
-        "doc_id",
-        "term",
-        "tf",
-        "df",
-        F.round((F.col("tf") * F.lit(n_docs)).cast("double") / F.col("df"), 6).alias("score"),
+    # Lazy corpus size: a broadcast 1-row aggregate instead of an eager
+    # driver-side .count() (which cost a whole extra Spark job per call).
+    n_docs = docs.filter(F.size(tokens_col()) > 0).agg(
+        F.count(F.lit(1)).alias("__n_docs")
+    )
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                (F.col("tf") * F.col("__n_docs")).cast("double") / F.col("df"), 6
+            ).alias("score"),
+        )
     )
     from pyspark.sql import Window
 

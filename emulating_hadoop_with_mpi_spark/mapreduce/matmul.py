@@ -170,8 +170,11 @@ def matmul_block(a: DataFrame, b: DataFrame, block: int = 128) -> DataFrame:
                 bj = np.asarray(r.bj_) % blk
                 A = np.zeros((blk, blk), dtype=np.int64)
                 B = np.zeros((blk, blk), dtype=np.int64)
-                A[ai, aj] = np.asarray(r.av, dtype=np.int64)
-                B[bi, bj] = np.asarray(r.bv, dtype=np.int64)
+                # add.at, not fancy-index assignment: duplicate COO
+                # coordinates must SUM (as matmul_coo/matmul_mapreduce do),
+                # not last-write-wins.
+                np.add.at(A, (ai, aj), np.asarray(r.av, dtype=np.int64))
+                np.add.at(B, (bi, bj), np.asarray(r.bv, dtype=np.int64))
                 C = A @ B
                 ii, kk = np.nonzero(C)
                 if ii.size:

@@ -88,7 +88,7 @@ def q51_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-user window, 30-minute inactivity gap.  The order-dependent state
     the reference could not express at all (its shuffle destroys nothing —
     it replicates everything) is one window + one groupBy here; the
-    streaming twin is session_window in streaming/windows.py."""
+    streaming twin is stream_sessionize in streaming/events.py."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # ADVICE r1: with duplicate (user_id, ts) rows the ROWS-frame peer order
@@ -171,8 +171,8 @@ def q52_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q55_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MapType parsing + map functions: from_json into map<string,bigint>,
-    then map_keys / element_at — the schemaless-JSON path (vs q54's typed
-    struct)."""
+    then map_keys / element_at — the schemaless-JSON path (vs the typed
+    struct path inside q52)."""
     from pyspark.sql.types import LongType, MapType, StringType
 
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 40 == 0)

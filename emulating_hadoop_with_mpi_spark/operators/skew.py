@@ -72,7 +72,16 @@ def salted_join(
     across `salt` sub-partitions per key and the small side replicated
     `salt` ways — a hot key becomes `salt` shuffle partitions instead of
     one.  Shuffle volume: |big| + salt·|small| (cheap when small is small,
-    which is the only time you salt)."""
+    which is the only time you salt).
+
+    Only inner/left are semantics-preserving under salting: with
+    'right'/'full', small-side rows with no big-side match would surface
+    once per salt replica."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left' only (got {how!r}): "
+            "right/full would duplicate unmatched small-side rows salt times"
+        )
     big_salted = big.withColumn(
         "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt)).cast("int")
     )

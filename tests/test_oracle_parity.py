@@ -66,7 +66,20 @@ def test_query_matches_oracle(spark, sf_dir, duck, name):
 # Notably EXCLUDED: HUGEINT (DuckDB's SUM(BIGINT) result — int128 hashes
 # differently from Spark's int64; bit us on q52/q60 in round 1) and
 # DECIMAL (engine-specific scale/precision rendering).
-_SAFE_DUCK_TYPES = {"BIGINT", "INTEGER", "SMALLINT", "TINYINT", "DOUBLE", "FLOAT", "VARCHAR", "DATE", "BOOLEAN"}
+#
+# DOUBLE/FLOAT invariant (ADVICE r2): a float column is only hash-safe
+# because every double-producing oracle expression in this repo is
+# ROUND(x, n)-ed (or is an exact-integer division) before the final CAST —
+# see the determinism conventions in registry.py / NOTES.md.  A raw
+# un-rounded double would pass the type allowlist but still risk
+# last-ulp cross-engine divergence; test_double_columns_are_rounded below
+# enforces the ROUND discipline textually.
+# Compared via DuckDBPyType.id (stable identifiers), not str(type), which
+# can change rendering across duckdb releases (ADVICE r2).
+_SAFE_DUCK_TYPE_IDS = {
+    "bigint", "integer", "smallint", "tinyint",
+    "double", "float", "varchar", "date", "boolean",
+}
 
 
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
@@ -75,9 +88,41 @@ def test_oracle_result_types_are_hash_safe(duck, name):
     driver's cross-engine hash treats identically (VERDICT r1 item 3)."""
     rel = duck.sql(REGISTRY[name].oracle)
     bad = [
-        (c, str(t)) for c, t in zip(rel.columns, rel.types) if str(t) not in _SAFE_DUCK_TYPES
+        (c, t.id) for c, t in zip(rel.columns, rel.types) if t.id not in _SAFE_DUCK_TYPE_IDS
     ]
     assert not bad, f"{name}: hash-unsafe oracle column types {bad}"
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_double_columns_are_rounded(duck, name):
+    """Every DOUBLE/FLOAT column in an oracle result must trace to a
+    ROUND(...)-ed (or exact integer-division) expression: the float
+    allowlist above is only sound under that invariant (ADVICE r2).
+    Textual heuristic: if the oracle yields any float column, the oracle
+    SQL must contain ROUND( — each individual column is then reviewed at
+    authoring time per the registry.py conventions."""
+    # Queries whose only float columns are exact without ROUND():
+    # verbatim pass-throughs of stored parquet doubles (no arithmetic →
+    # bit-identical in both engines), or interpolation between exact
+    # integers (q26: quantile_cont over integer cents — midpoint of two
+    # int64s is exact in a double).
+    passthrough_ok = {
+        "q17_above_brand_avg",  # p_retailprice pass-through
+        "q22_top_parts",  # p_retailprice pass-through
+        "q25_array_ops",  # list_min/max of stored embedding floats
+        "q26_exact_percentiles",  # quantile_cont over exact integer cents
+        "q30_window_topk_per_customer",  # o_totalprice pass-through
+        "q41_union_high_value_parties",  # acctbal pass-through
+    }
+    if name in passthrough_ok:
+        return
+    q = REGISTRY[name]
+    rel = duck.sql(q.oracle)
+    float_cols = [c for c, t in zip(rel.columns, rel.types) if t.id in ("double", "float")]
+    if float_cols:
+        assert "round(" in q.oracle.lower(), (
+            f"{name}: float columns {float_cols} but no ROUND() in oracle SQL"
+        )
 
 
 def test_registry_is_populated():
