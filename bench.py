@@ -96,6 +96,15 @@ def main() -> None:
         timings[label] = run_timed(lambda: fn(a, b))
 
     total = round(sum(timings.values()), 3)
+
+    # Skewed-key join legs (VERDICT r2 item 4): one hot key holding 80% of
+    # a generated fact table, joined to a 1k-row dim with broadcast joins
+    # DISABLED (the regime where salting matters — when the small side
+    # can't broadcast, e.g. it's only small relative to the fact table).
+    # Reported under "extras", NOT in the headline total, so the ratcheted
+    # total stays comparable across rounds (same 22-entry basket).
+    extras = bench_skew_join(spark, run_timed, rows=16_000_000)
+
     print(
         json.dumps(
             {
@@ -103,11 +112,77 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "extras": extras,
                 "sf": sf,
             }
         )
     )
     spark.stop()
+
+
+def bench_skew_join(spark, run_timed, rows: int = 4_000_000) -> dict[str, float]:
+    """Three legs over the same skewed join (reference worst case — its
+    contiguous key ranges put the whole hot key on one rank,
+    program.c:378-413):
+
+    - skew_join_noaqe:  plain shuffle join, AQE skew-splitting OFF — the
+      one-melted-task baseline every pre-AQE engine hits.
+    - skew_join_aqe:    plain shuffle join, AQE skew-splitting ON (our
+      session default) — Spark's runtime answer.
+    - skew_join_salted: explicit salted_join (operators/skew.py) — the
+      planned answer for known-extreme skew.
+    """
+    from pyspark.sql import functions as F
+
+    from emulating_hadoop_with_mpi_spark.operators.skew import salted_join
+
+    big = spark.range(rows).select(
+        F.when(F.col("id") % 10 < 8, 0)
+        .otherwise(F.pmod(F.xxhash64("id"), F.lit(1000)))
+        .cast("long")
+        .alias("key"),
+        (F.col("id") % 97).alias("payload"),
+    )
+    small = spark.range(1000).select(
+        F.col("id").alias("key"), (F.col("id") * 7 % 101).alias("dim_val")
+    )
+
+    def plain():
+        return (
+            big.join(small, "key")
+            .groupBy("key")
+            .agg(F.sum(F.col("payload") * F.col("dim_val")).alias("s"))
+        )
+
+    def salted():
+        return (
+            salted_join(big, small, "key", salt=32)
+            .groupBy("key")
+            .agg(F.sum(F.col("payload") * F.col("dim_val")).alias("s"))
+        )
+
+    no_bcast = {"spark.sql.autoBroadcastJoinThreshold": "-1"}
+    legs = [
+        ("skew_join_noaqe", {**no_bcast, "spark.sql.adaptive.skewJoin.enabled": "false"}, plain),
+        ("skew_join_aqe", {**no_bcast, "spark.sql.adaptive.skewJoin.enabled": "true"}, plain),
+        ("skew_join_salted", {**no_bcast, "spark.sql.adaptive.skewJoin.enabled": "false"}, salted),
+    ]
+    out: dict[str, float] = {}
+    for label, confs, build in legs:
+        # confs must stay set through the ACTION (plans read them at run
+        # time, not build time), so they wrap the whole timed run.
+        saved = {k: spark.conf.get(k, None) for k in confs}
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        try:
+            out[label] = run_timed(build)
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+    return out
 
 
 if __name__ == "__main__":
