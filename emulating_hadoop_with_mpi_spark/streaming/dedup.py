@@ -1,0 +1,210 @@
+"""Incremental (foreachBatch) MinHash dedup pipeline — the operator a real
+100 TB ingest loop runs (VERDICT r2 item 5 / NOTES backlog).
+
+The batch near-dup detector (q73, functions/dedup.py) recomputes
+signatures for the whole corpus on every run.  A training-data ingest
+pipeline instead sees documents arrive continuously and wants, per
+micro-batch:
+
+1. MinHash signatures for the NEW documents only (one shingle pass over
+   the batch — document signatures depend only on the document itself, so
+   incremental == batch by construction, which the test proves).
+2. The new documents' LSH band buckets UPSERTED into a persistent bucket
+   store.
+3. New candidate pairs = new buckets ⋈ (all buckets so far), i.e. every
+   pair with at least one new member.  Pairs between two old documents
+   were already emitted by an earlier batch, so the union over batches
+   equals the full batch LSH candidate set (also proven in tests).
+
+State stores are parquet directories, append-only with a `batch_id`
+column; readers resolve upserts by keeping each doc's first appearance
+(min batch_id) — at real scale these become Delta/Iceberg MERGEs (jars
+absent in this container, NOTES.md) or a compacted Kafka topic, with the
+same dataflow.  The reference has no incremental anything — every run is
+a full barrier-synchronized recompute (``program.c:180, 357, 412``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from emulating_hadoop_with_mpi_spark.functions.dedup import (
+    BANDS,
+    NUM_PERM,
+    ROWS_PER_BAND,
+    lsh_candidates,
+    minhash_signatures,
+    shingles_df,
+)
+from emulating_hadoop_with_mpi_spark.streaming.events import run_to_memory  # noqa: F401
+
+_SIG_COLS = [f"h{i}" for i in range(NUM_PERM)]
+
+
+def _band_buckets(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band, key) — the same band-key construction as
+    lsh_candidates (functions/dedup.py), exposed for the incremental
+    store."""
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.col(f"h{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+                ).alias("key"),
+            )
+            for b in range(BANDS)
+        ]
+    )
+    return sigs.select("doc_id", F.explode(band_structs).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+
+
+class IncrementalMinHash:
+    """foreachBatch sink: per micro-batch of documents, upsert MinHash
+    signatures + band buckets into parquet state dirs and append the
+    batch's new candidate pairs.
+
+    Usage::
+
+        inc = IncrementalMinHash(state_dir)
+        (docs_stream.writeStream.foreachBatch(inc)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start().awaitTermination())
+        sigs = inc.signatures(spark)     # == batch minhash_signatures
+        cands = inc.candidates(spark)    # == batch lsh_candidates
+    """
+
+    def __init__(self, state_dir: str) -> None:
+        self.sig_dir = os.path.join(state_dir, "signatures")
+        self.bucket_dir = os.path.join(state_dir, "buckets")
+        self.cand_dir = os.path.join(state_dir, "candidates")
+
+    # -- foreachBatch entry -------------------------------------------------
+    def __call__(self, batch_docs: DataFrame, batch_id: int) -> None:
+        spark = batch_docs.sparkSession
+        if not batch_docs.head(1):
+            return
+        sigs = minhash_signatures(shingles_df(batch_docs)).cache()
+        new_buckets = _band_buckets(sigs)
+
+        # 1+2: upsert signatures and buckets (append + batch_id; readers
+        # keep first appearance per doc — idempotent under replays because
+        # foreachBatch batch_ids are stable on retry).
+        sigs.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(self.sig_dir)
+        new_buckets.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            self.bucket_dir
+        )
+
+        # 3: candidates touching at least one NEW doc: new ⋈ all-so-far
+        # (the store already contains this batch's buckets).  a < b
+        # orients pairs; distinct collapses multi-band collisions.
+        all_buckets = self._read_first_appearance(spark, self.bucket_dir, "doc_id")
+        a = new_buckets.alias("a")
+        b = all_buckets.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.key") == F.col("b.key"))
+                & (F.col("a.doc_id") != F.col("b.doc_id")),
+            )
+            .select(
+                F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+                F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        pairs.write.mode("append").parquet(self.cand_dir)
+        sigs.unpersist()
+
+    # -- state readers ------------------------------------------------------
+    @staticmethod
+    def _read_first_appearance(spark: SparkSession, path: str, key: str) -> DataFrame:
+        df = spark.read.parquet(path)
+        w_cols = [c for c in df.columns if c != "batch_id"]
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*w_cols).orderBy("batch_id")
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(*w_cols)
+        )
+
+    def signatures(self, spark: SparkSession) -> DataFrame:
+        """Accumulated (doc_id, h0..h127), first appearance per doc."""
+        df = spark.read.parquet(self.sig_dir)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("doc_id").orderBy("batch_id")
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("doc_id", *_SIG_COLS)
+        )
+
+    def candidates(self, spark: SparkSession) -> DataFrame:
+        """Accumulated distinct (doc_a, doc_b) candidate pairs."""
+        return spark.read.parquet(self.cand_dir).select("doc_a", "doc_b").distinct()
+
+
+def documents_stream(spark: SparkSession, replay_dir: str) -> DataFrame:
+    """File-based documents stream, one file per micro-batch (swap for
+    Kafka at scale — same foreachBatch body)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+    return (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(replay_dir)
+    )
+
+
+def split_documents_for_replay(sf_dir: str, out_dir: str, n_files: int = 4) -> str:
+    """Split the documents table into n parquet files (by doc_id ranges) so
+    the file stream replays them as separate micro-batches."""
+    import duckdb
+
+    os.makedirs(out_dir, exist_ok=True)
+    con = duckdb.connect()
+    total = con.sql(f"SELECT COUNT(*) FROM '{sf_dir}/documents.parquet'").fetchone()[0]
+    per = (total + n_files - 1) // n_files
+    for i in range(n_files):
+        con.sql(
+            f"""
+            COPY (SELECT * FROM '{sf_dir}/documents.parquet'
+                  ORDER BY doc_id LIMIT {per} OFFSET {i * per})
+            TO '{out_dir}/part-{i:03d}.parquet' (FORMAT PARQUET)
+            """
+        )
+    return out_dir
+
+
+def run_incremental_dedup(
+    spark: SparkSession, replay_dir: str, state_dir: str
+) -> IncrementalMinHash:
+    """Drive the incremental pipeline over all available input
+    (availableNow) and return the state handle."""
+    inc = IncrementalMinHash(state_dir)
+    q = (
+        documents_stream(spark, replay_dir)
+        .writeStream.foreachBatch(inc)
+        .option("checkpointLocation", os.path.join(state_dir, "_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return inc

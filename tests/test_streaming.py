@@ -235,3 +235,39 @@ def test_running_user_totals_stateful(spark, sf_dir, replay_dir):
     assert {u: v[0] for u, v in final.items()} == {u: v[0] for u, v in batch.items()}
     for u in batch:
         assert abs(final[u][1] - batch[u][1]) < 1e-6
+
+
+def test_incremental_minhash_equals_batch(spark, sf_dir, tmp_path):
+    """foreachBatch incremental dedup (streaming/dedup.py): after replaying
+    the documents table in 4 micro-batches, the accumulated signature
+    store equals the batch MinHash signatures, and the union of per-batch
+    candidate emissions equals the batch LSH candidate set (VERDICT r2
+    item 5)."""
+    from emulating_hadoop_with_mpi_spark.functions.dedup import (
+        lsh_candidates,
+        minhash_signatures,
+        shingles_df,
+    )
+    from emulating_hadoop_with_mpi_spark.sources.tables import load_table
+    from emulating_hadoop_with_mpi_spark.streaming.dedup import (
+        run_incremental_dedup,
+        split_documents_for_replay,
+    )
+
+    replay = split_documents_for_replay(sf_dir, str(tmp_path / "docs_replay"))
+    inc = run_incremental_dedup(spark, replay, str(tmp_path / "state"))
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch_sigs = minhash_signatures(shingles_df(docs))
+    inc_sigs = inc.signatures(spark)
+
+    sig_cols = batch_sigs.columns
+    batch_rows = sorted(tuple(r) for r in batch_sigs.collect())
+    inc_rows = sorted(tuple(r) for r in inc_sigs.select(*sig_cols).collect())
+    assert inc_rows == batch_rows, "incremental signatures != batch signatures"
+
+    batch_cands = sorted(
+        (r.doc_a, r.doc_b) for r in lsh_candidates(batch_sigs).collect()
+    )
+    inc_cands = sorted((r.doc_a, r.doc_b) for r in inc.candidates(spark).collect())
+    assert inc_cands == batch_cands, "incremental candidate union != batch candidates"
