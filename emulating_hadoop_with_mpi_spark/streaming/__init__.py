@@ -1,9 +1,3 @@
-from emulating_hadoop_with_mpi_spark.streaming.dedup import (
-    IncrementalMinHash,
-    documents_stream,
-    run_incremental_dedup,
-    split_documents_for_replay,
-)
 from emulating_hadoop_with_mpi_spark.streaming.events import (
     dedup_stream,
     events_stream,
@@ -13,6 +7,26 @@ from emulating_hadoop_with_mpi_spark.streaming.events import (
     split_events_for_replay,
     windowed_counts,
 )
+
+# streaming.dedup re-exports are LAZY (PEP 562): importing it eagerly would
+# drag functions.dedup -> functions.text into any `import streaming.queries`,
+# reshuffling the registry's registration order (registry.py front-loads
+# q78/q90/q91 as driver-cap insurance).
+_DEDUP_EXPORTS = {
+    "IncrementalMinHash",
+    "documents_stream",
+    "run_incremental_dedup",
+    "split_documents_for_replay",
+}
+
+
+def __getattr__(name: str):
+    if name in _DEDUP_EXPORTS:
+        from emulating_hadoop_with_mpi_spark.streaming import dedup as _dedup
+
+        return getattr(_dedup, name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
 
 __all__ = [
     "IncrementalMinHash",

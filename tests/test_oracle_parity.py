@@ -129,3 +129,18 @@ def test_registry_is_populated():
     assert len(REGISTRY) >= 20
     # every query has a docstring (judge-facing parity citations live there)
     assert all(q.doc for q in REGISTRY.values())
+
+
+def test_registry_cap_and_front_load():
+    """The driver runs at most 50 queries in registration order (NOTES.md,
+    round 3): the registry must stay ≤ 50 entries, with the three queries
+    that historically missed the cap registered first.  Guards against an
+    import-order reshuffle (e.g. a package __init__ eagerly importing
+    other registering modules)."""
+    names = list(REGISTRY)
+    assert len(names) <= 50, f"registry over driver cap: {len(names)}"
+    assert names[:3] == [
+        "q78_multimodal_features",
+        "q90_stream_windowed_counts",
+        "q91_stream_sessionized",
+    ], names[:6]
