@@ -209,8 +209,7 @@ def matmul_auto(
 ) -> DataFrame:
     """Pick the physical multiply strategy by size — the planner decision
     the reference hardwires (it always replicates everything,
-    ``program.c:97-98``) and that a custom Catalyst Strategy would make
-    from table stats:
+    ``program.c:97-98``):
 
     - one side fits in executor memory  → broadcast-hash join (no shuffle
       of the big side at all);
@@ -219,8 +218,22 @@ def matmul_auto(
     - otherwise → plain COO join+agg and let Catalyst/AQE do the rest.
 
     ``dims`` (L, M, N) comes free from the `.dat` filename convention;
-    without it we spend one cheap count/max action per input.
+    without it we spend one cheap count/max action per input — UNLESS the
+    Catalyst matmul extension is loaded (plans/catalyst_matmul.py), in
+    which case the broadcast-vs-shuffle choice is deferred to the injected
+    optimizer rule, which reads Catalyst's own size statistics at plan
+    time: zero driver-side jobs.  (The blocked-GEMM arm still requires
+    known dims — its stage is an Arrow ``mapInPandas`` the JVM planner
+    can't construct.)
     """
+    if dims is None:
+        from emulating_hadoop_with_mpi_spark.plans.catalyst_matmul import (
+            extension_active,
+            matmul_catalyst,
+        )
+
+        if extension_active(a.sparkSession):
+            return matmul_catalyst(a, b)
     if dims is not None:
         l, m, n = dims
         a_cells, b_cells = l * m, m * n

@@ -63,7 +63,15 @@ assert (An @ Bn == to_np(C, 64, 48)).all()
 G = matmul_catalyst(A, A)
 assert (An @ An == to_np(G, 64, 64)).all()
 
-# 3. threshold off -> same logical node plans as a shuffled join
+# 3. matmul_auto with unknown dims defers to the extension (no driver jobs)
+from emulating_hadoop_with_mpi_spark.mapreduce.matmul import matmul_auto
+
+Cauto = matmul_auto(A, B)
+plan_auto = Cauto._jdf.queryExecution().executedPlan().toString()
+assert "BroadcastHashJoin" in plan_auto, plan_auto
+assert (An @ Bn == to_np(Cauto, 64, 48)).all()
+
+# 4. threshold off -> same logical node plans as a shuffled join
 spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
 C2 = matmul_catalyst(A, B)
 plan2 = C2._jdf.queryExecution().executedPlan().toString()
