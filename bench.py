@@ -95,15 +95,37 @@ def main() -> None:
         b = generate_matrix_df(spark, n, n, seed=2, num_partitions=int(cpus))
         timings[label] = run_timed(lambda: fn(a, b))
 
+    # .dat scan + multiply end-to-end: times the vectorized binary reader
+    # (sources/matrix.py byte-range splits + Arrow batches) on the
+    # reference's own file format, not just generated DataFrames.
+    import tempfile
+
+    import numpy as np
+
+    from emulating_hadoop_with_mpi_spark.mapreduce.matmul import multiply_dat_files
+    from emulating_hadoop_with_mpi_spark.sources.matrix import write_matrix_dat
+
+    extras: dict[str, float] = {}
+    with tempfile.TemporaryDirectory() as dat_dir:
+        rng = np.random.default_rng(7)
+        pa = write_matrix_dat(
+            rng.integers(0, 100, (768, 768), dtype=np.int32), dat_dir, 1
+        )
+        pb = write_matrix_dat(
+            rng.integers(0, 100, (768, 768), dtype=np.int32), dat_dir, 2
+        )
+        extras["matmul_dat_768"] = run_timed(lambda: multiply_dat_files(spark, pa, pb))
+
     total = round(sum(timings.values()), 3)
 
     # Skewed-key join legs (VERDICT r2 item 4): one hot key holding 80% of
     # a generated fact table, joined to a 1k-row dim with broadcast joins
     # DISABLED (the regime where salting matters — when the small side
     # can't broadcast, e.g. it's only small relative to the fact table).
-    # Reported under "extras", NOT in the headline total, so the ratcheted
-    # total stays comparable across rounds (same 22-entry basket).
-    extras = bench_skew_join(spark, run_timed, rows=16_000_000)
+    # Like matmul_dat_768, reported under "extras", NOT in the headline
+    # total, so the ratcheted total stays comparable across rounds (same
+    # 22-entry basket).
+    extras.update(bench_skew_join(spark, run_timed, rows=16_000_000))
 
     print(
         json.dumps(

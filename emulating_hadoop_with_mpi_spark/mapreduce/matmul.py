@@ -276,8 +276,15 @@ def multiply_dat_files(spark: SparkSession, path_a: str, path_b: str) -> DataFra
         raise ValueError(
             f"dimensions are incompatible to multiply: {l}x{m1} × {m2}x{n}"
         )
-    return matmul_coo(
-        read_matrix_coo(spark, path_a, (l, m1)), read_matrix_coo(spark, path_b, (m2, n))
+    # matmul_auto, not matmul_coo: the binary scan is a MapInPandas whose
+    # size Catalyst can't estimate (unknown stats → never auto-broadcast),
+    # but the filename gives exact dims — let the dispatcher pick
+    # broadcast/COO/block instead of silently sort-merge-joining a side
+    # that fits in memory (measured 5× on 768² inputs).
+    return matmul_auto(
+        read_matrix_coo(spark, path_a, (l, m1)),
+        read_matrix_coo(spark, path_b, (m2, n)),
+        dims=(l, m1, n),
     )
 
 
