@@ -121,3 +121,35 @@ def test_map_reduce_wordcount_equals_python(spark, words):
     combined = dict(map_reduce(rdd, mapper, reducer, combiner=reducer).collect())
     by_key = dict(map_reduce_by_key(rdd, mapper, lambda a, b: a + b).collect())
     assert grouped == expect == combined == by_key
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    shape=st.tuples(
+        st.integers(min_value=1, max_value=70),
+        st.integers(min_value=1, max_value=70),
+    ),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_dat_reader_roundtrip_any_shape(spark, tmp_path_factory, shape, seed):
+    """The vectorized byte-range .dat reader reproduces ANY matrix exactly
+    (incl. shapes that don't divide evenly into row splits, single-row,
+    single-column, and negative values)."""
+    import tempfile
+
+    from emulating_hadoop_with_mpi_spark.sources.matrix import (
+        read_matrix_coo,
+        write_matrix_dat,
+    )
+
+    rows, cols = shape
+    rng = np.random.RandomState(seed)
+    arr = rng.randint(-1000, 1000, size=(rows, cols)).astype(np.int32)
+    with tempfile.TemporaryDirectory() as d:
+        path = write_matrix_dat(arr, d, seed % 1000)
+        got = np.zeros((rows, cols), dtype=np.int64)
+        rows_out = read_matrix_coo(spark, path).collect()
+        assert len(rows_out) == rows * cols
+        for r in rows_out:
+            got[r["i"], r["j"]] = r["v"]
+    assert (got == arr).all()
