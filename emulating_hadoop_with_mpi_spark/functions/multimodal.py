@@ -165,3 +165,88 @@ def q78_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("kind")
     )
+
+
+RESIZED_SCHEMA = "doc_id long, kind string, payload binary, width int, height int"
+
+
+def resize_media(df: DataFrame, width: int = 32, height: int = 24) -> DataFrame:
+    """Resize stage: (doc_id, payload, meta) → fixed-size payloads.
+
+    Real pixel decode is stubbed (no PIL in this container): the payload is
+    treated as a 1-D uint8 sample vector and resampled to width*height
+    bytes by deterministic nearest-neighbor indexing — the exact Spark
+    plumbing (Arrow batches in, binary column out, fixed output schema) a
+    real `Image.resize` stage would use, with the same batch shape.
+
+    Scale: embarrassingly parallel mapInPandas, no shuffle; output size is
+    bounded at width*height bytes per row regardless of input blob size —
+    the property that makes downstream batches memory-safe at 100 TB.
+    """
+    target = int(width) * int(height)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            out_payloads = []
+            for p in pdf["payload"]:
+                arr = _np.frombuffer(p, dtype=_np.uint8)
+                if arr.size == 0:
+                    out_payloads.append(bytes(target))
+                    continue
+                # nearest-neighbor resample to exactly `target` samples
+                idx = (_np.arange(target) * arr.size) // target
+                out_payloads.append(arr[idx].tobytes())
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "kind": pdf["kind"].values,
+                    "payload": out_payloads,
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    flat = df.select("doc_id", "payload", F.col("meta.kind").alias("kind"))
+    return flat.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = "doc_id long, frame_idx int, n_frames int, frame binary"
+
+
+def sample_frames(df: DataFrame, every: int = 4) -> DataFrame:
+    """Frame-sampling stage (video payloads): one row in → every `every`-th
+    frame out (a one-to-many mapInPandas, the UDTF shape).
+
+    The frame decode is stubbed: the payload is split into the n_frames
+    equal chunks the metadata/decode stub reports, standing in for real
+    container demuxing (ffmpeg absent here).  Partitioning, explode shape,
+    and binary frame payloads are real.
+    """
+    decode = _make_decoder()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            doc_ids, idxs, totals, frames = [], [], [], []
+            for doc_id, payload, kind in zip(pdf["doc_id"], pdf["payload"], pdf["kind"]):
+                if not kind.startswith("video/"):
+                    continue
+                n_frames = decode(payload, kind)["n_frames"]
+                arr = _np.frombuffer(payload, dtype=_np.uint8)
+                bounds = [(arr.size * f) // n_frames for f in range(n_frames + 1)]
+                for f in range(0, n_frames, every):
+                    doc_ids.append(doc_id)
+                    idxs.append(f)
+                    totals.append(n_frames)
+                    frames.append(arr[bounds[f] : bounds[f + 1]].tobytes())
+            yield _pd.DataFrame(
+                {"doc_id": doc_ids, "frame_idx": idxs, "n_frames": totals, "frame": frames}
+            )
+
+    flat = df.select("doc_id", "payload", F.col("meta.kind").alias("kind"))
+    return flat.mapInPandas(run, schema=FRAMES_SCHEMA)

@@ -203,3 +203,61 @@ def test_multimodal_batch_plumbing(spark, sf_dir):
             expect["height"],
             expect["n_frames"],
         )
+
+
+def test_multimodal_resize_bounded_payloads(spark, sf_dir):
+    """Resize stage: every output payload is exactly width*height bytes
+    (the memory-safety property), deterministic, and Arrow-batched."""
+    from emulating_hadoop_with_mpi_spark.functions.multimodal import resize_media
+
+    media = media_table(spark, sf_dir)
+    resized = resize_media(media, width=16, height=8)
+    rows = resized.orderBy("doc_id").limit(30).collect()
+    assert rows, "resize produced no rows"
+    for r in rows:
+        assert len(bytes(r.payload)) == 16 * 8
+        assert (r.width, r.height) == (16, 8)
+    # deterministic across runs
+    again = resize_media(media, width=16, height=8).orderBy("doc_id").limit(30).collect()
+    assert [bytes(r.payload) for r in rows] == [bytes(r.payload) for r in again]
+    # nearest-neighbor content check on one row
+    import numpy as np
+
+    raw = {
+        r["doc_id"]: bytes(r["payload"])
+        for r in media.orderBy("doc_id").limit(30).collect()
+    }
+    src = np.frombuffer(raw[rows[0].doc_id], dtype=np.uint8)
+    idx = (np.arange(16 * 8) * src.size) // (16 * 8)
+    assert bytes(rows[0].payload) == src[idx].tobytes()
+
+
+def test_multimodal_frame_sampling(spark, sf_dir):
+    """Frame-sample stage: only video rows explode; sampled frame indices
+    are 0, every, 2*every, ...; chunks concatenate back to a prefix-set of
+    the original payload."""
+    from emulating_hadoop_with_mpi_spark.functions.multimodal import sample_frames
+
+    media = media_table(spark, sf_dir)
+    frames = sample_frames(media, every=4)
+    rows = frames.collect()
+    assert rows, "no frames sampled"
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    raw = {
+        r["doc_id"]: (bytes(r["payload"]), r["meta"]["kind"])
+        for r in media.collect()
+    }
+    for doc_id, doc_rows in list(by_doc.items())[:20]:
+        payload, kind = raw[doc_id]
+        assert kind == "video/fake", "non-video rows must not emit frames"
+        expect_n = decode_media(payload, kind)["n_frames"]
+        got_idx = sorted(r.frame_idx for r in doc_rows)
+        assert got_idx == list(range(0, expect_n, 4))
+        for r in doc_rows:
+            assert r.n_frames == expect_n
+            assert len(bytes(r.frame)) <= len(payload)
+    # every video doc (with a 500-doc corpus, kinds split ~1/3) appears
+    n_videos = sum(1 for _, (p, k) in raw.items() if k == "video/fake")
+    assert len(by_doc) == n_videos
