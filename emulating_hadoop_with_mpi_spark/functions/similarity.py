@@ -236,3 +236,140 @@ def q77_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOPK_K)
         .orderBy("query_id", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the OTHER classic scale path next to q77's LSH:
+# partition the corpus into nlist Voronoi cells around trained centroids;
+# each query probes only the nprobe nearest cells.  Candidate cost is
+# ~nprobe/nlist of the corpus instead of all of it.  With nprobe == nlist
+# the search is exhaustive and must EQUAL the brute-force top-k (q76) —
+# pinned in tests/test_pipeline_ops.py, alongside a recall measurement at
+# nprobe < nlist.  Not registered as a driver query (50-entry cap,
+# NOTES.md): API + tests only, like the incremental dedup pipeline.
+# ---------------------------------------------------------------------------
+
+IVF_NLIST = 16
+IVF_NPROBE = 4
+
+
+def _center_lit(center: list[int]) -> Column:
+    return F.array(*[F.lit(int(x)).cast("bigint") for x in center])
+
+
+def _cell_scores(qv: Column, centers: list[list[int]]) -> list[Column]:
+    """Per-centroid L2² score minus the row-constant |v|² term:
+    |c|² − 2·v·c — exact BIGINT math, same argmin as true L2 distance."""
+    scores = []
+    for c in centers:
+        c2 = sum(int(x) * int(x) for x in c)
+        scores.append(
+            F.lit(c2).cast("bigint") - F.lit(2).cast("bigint") * dot_q(qv, _center_lit(c))
+        )
+    return scores
+
+
+def nearest_cell(qv: Column, centers: list[list[int]]) -> Column:
+    """1-based index of the nearest centroid (ties → lowest cell id)."""
+    arr = F.array(*_cell_scores(qv, centers))
+    return F.array_position(arr, F.array_min(arr)).cast("int")
+
+
+def probe_cells(qv: Column, centers: list[list[int]], nprobe: int) -> Column:
+    """The nprobe nearest cell ids, closest first (ties → lowest cell id)."""
+    structs = [
+        F.struct(s.alias("s"), F.lit(i + 1).cast("int").alias("cell"))
+        for i, s in enumerate(_cell_scores(qv, centers))
+    ]
+    return F.transform(
+        F.slice(F.array_sort(F.array(*structs)), 1, nprobe), lambda x: x["cell"]
+    )
+
+
+def ivf_centroids(
+    corpus_qv: DataFrame, nlist: int = IVF_NLIST, lloyd_iters: int = 1
+) -> list[list[int]]:
+    """Train quantized centroids: seeded-stride init (deterministic), then
+    `lloyd_iters` distributed Lloyd steps (assign via broadcast centroid
+    literals — pure codegen scan — and element-wise mean via
+    posexplode + two hash aggregates).  Only nlist rows ever reach the
+    driver per iteration — the standard k-means sync point.  At 100 TB:
+    train on a sample, exactly this code on corpus_qv.sample()."""
+    n = corpus_qv.count()
+    stride = max(1, n // nlist)
+    init = (
+        corpus_qv.filter(
+            (F.col("vec_id") % stride == 0) & (F.col("vec_id") < stride * nlist)
+        )
+        .orderBy("vec_id")
+        .select("qv")
+        .collect()
+    )
+    centers = [list(r.qv) for r in init][:nlist]
+    for _ in range(lloyd_iters):
+        assigned = corpus_qv.withColumn("cell", nearest_cell(F.col("qv"), centers))
+        rows = (
+            assigned.select("cell", F.posexplode("qv").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(
+                "cell",
+                F.transform("pm", lambda s: F.floor(s["m"]).cast("bigint")).alias("c"),
+            )
+            .collect()
+        )
+        by_cell = {int(r.cell): list(r.c) for r in rows}
+        # empty cells keep their previous centroid
+        centers = [by_cell.get(i + 1, centers[i]) for i in range(len(centers))]
+    return centers
+
+
+def ivf_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    nlist: int = IVF_NLIST,
+    nprobe: int = IVF_NPROBE,
+    k: int = TOPK_K,
+    n_queries: int = TOPK_QUERIES,
+) -> DataFrame:
+    """IVF cosine top-k: bucket the corpus once (one codegen scan), explode
+    each query to its nprobe probe cells, equi-join on cell, exact cosine
+    on candidates only, per-query window top-k.  Same output contract and
+    tie-breaks as q76."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.select("vec_id", quantize(F.col("embedding")).alias("qv"))
+    corpus_qv = qv.withColumn("norm2", dot_q(F.col("qv"), F.col("qv")))
+    centers = ivf_centroids(corpus_qv, nlist=nlist)
+
+    corpus = corpus_qv.withColumn("cell", nearest_cell(F.col("qv"), centers))
+    queries = (
+        corpus_qv.filter(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("qv").alias("qqv"),
+            F.col("norm2").alias("qnorm2"),
+            probe_cells(F.col("qv"), centers, nprobe).alias("cells"),
+        )
+        .select("query_id", "qqv", "qnorm2", F.explode("cells").alias("cell"))
+    )
+    cands = F.broadcast(queries).join(corpus, "cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    cosine = F.round(
+        dot_q(F.col("qqv"), F.col("qv")).cast("double")
+        / F.sqrt(F.col("qnorm2").cast("double") * F.col("norm2").cast("double")),
+        6,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cands.select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), cosine.alias("cosine")
+        )
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .orderBy("query_id", "rnk")
+    )

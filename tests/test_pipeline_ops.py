@@ -261,3 +261,43 @@ def test_multimodal_frame_sampling(spark, sf_dir):
     # every video doc (with a 500-doc corpus, kinds split ~1/3) appears
     n_videos = sum(1 for _, (p, k) in raw.items() if k == "video/fake")
     assert len(by_doc) == n_videos
+
+
+def test_ivf_topk_exhaustive_equals_brute_force(spark, sf_dir):
+    """IVF with nprobe == nlist probes every cell — the search is
+    exhaustive and must EQUAL the brute-force top-k (q76) exactly."""
+    from emulating_hadoop_with_mpi_spark.functions.similarity import IVF_NLIST, ivf_topk
+    from emulating_hadoop_with_mpi_spark.registry import all_queries
+
+    brute = all_queries()["q76_cosine_topk"].fn(spark, sf_dir)
+    ivf = ivf_topk(spark, sf_dir, nprobe=IVF_NLIST)
+    b = [(r.query_id, r.rnk, r.neighbor_id, r.cosine) for r in brute.collect()]
+    g = [(r.query_id, r.rnk, r.neighbor_id, r.cosine) for r in ivf.collect()]
+    assert g == b
+
+
+def test_ivf_topk_partial_probe_recall_and_cost(spark, sf_dir):
+    """At nprobe < nlist the candidate set must shrink (the point of IVF)
+    while recall vs brute force stays ≥ the probed fraction's worth.
+    NOTE: these embeddings are uniform random (no cluster structure,
+    NOTES.md), the WORST case for IVF — recall ≈ nprobe/nlist is the
+    honest expectation; structured corpora do far better."""
+    from emulating_hadoop_with_mpi_spark.functions.similarity import (
+        IVF_NLIST,
+        IVF_NPROBE,
+        ivf_topk,
+    )
+    from emulating_hadoop_with_mpi_spark.registry import all_queries
+
+    brute = all_queries()["q76_cosine_topk"].fn(spark, sf_dir)
+    ivf = ivf_topk(spark, sf_dir)  # default nprobe=4 of 16
+    b = {(r.query_id, r.neighbor_id) for r in brute.collect()}
+    g = {(r.query_id, r.neighbor_id) for r in ivf.collect()}
+    assert g, "IVF returned nothing"
+    recall = len(b & g) / len(b)
+    floor = 0.4 * IVF_NPROBE / IVF_NLIST  # generous slack under uniform data
+    assert recall >= floor, f"recall {recall:.3f} < floor {floor:.3f}"
+    # every IVF result must be a real vector pair with a valid cosine
+    for r in ivf.collect():
+        assert -1.0 <= r.cosine <= 1.0
+        assert r.neighbor_id != r.query_id
