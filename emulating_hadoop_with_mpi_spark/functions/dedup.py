@@ -4,7 +4,9 @@ training-data pipeline at 100 TB (north-star scope).
 Five families, in increasing fuzziness:
 
 - exact        (q70): hash-groupBy on raw text — one shuffle, linear.
-- normalized   (q71): exact after lower/strip-punct/collapse-ws.
+- normalized   (q70 'normalized' branch; the former q71, folded in round
+  3 for the driver's 50-query cap): exact after
+  lower/strip-punct/collapse-ws.
 - n-gram Jaccard (q72): word-trigram shingles, self-join on shingle,
   exact integer Jaccard test (3·common ≥ na+nb ⟺ J ≥ 0.5).  Exact but
   quadratic in docs-per-shingle — the correctness baseline.
