@@ -306,3 +306,87 @@ def q84_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "term", "tf", "df", "score", "rnk")
         .orderBy("doc_id", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-batch assembly ops (API + tests; outside the 50-query driver cap,
+# NOTES.md).  Both are pure JVM expressions / window functions — no Python
+# in the scan — because they run over the ENTIRE corpus in a real pipeline.
+# ---------------------------------------------------------------------------
+
+
+def chunk_documents(
+    docs: DataFrame, window: int = 64, stride: int = 48
+) -> DataFrame:
+    """Context-window chunking: split each document's token sequence into
+    overlapping windows of `window` tokens advancing by `stride` (the
+    standard LLM pre-training chunker).  One row in → ceil((n-window)/stride)+1
+    rows out via sequence + transform + explode — all codegen, no shuffle;
+    short documents yield their single (shorter) chunk.
+
+    Output: (doc_id, chunk_idx, n_tokens, chunk_text).
+    """
+    if stride <= 0 or window <= 0:
+        raise ValueError(f"window and stride must be positive (got {window}, {stride})")
+    toks = F.col("toks")
+    n = F.size(toks)
+    # Start positions 1, 1+stride, 2·stride+1, … continuing until a window
+    # reaches the document end — FULL token coverage (the final chunk may be
+    # shorter than `window`), and no chunk is wholly contained in the
+    # previous one.  n_chunks = 1 + ceil(max(n-window, 0) / stride).
+    n_chunks = F.lit(1) + F.greatest(
+        F.ceil((n - F.lit(window)).cast("double") / F.lit(stride)).cast("int"), F.lit(0)
+    )
+    starts = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1), lambda i: i * F.lit(stride) + 1
+    )
+    chunks = F.transform(
+        starts,
+        lambda s, i: F.struct(
+            i.cast("int").alias("chunk_idx"),
+            F.slice(toks, s, window).alias("chunk_toks"),
+        ),
+    )
+    staged = docs.select("doc_id", tokens_col().alias("toks")).filter(n > 0)
+    return (
+        staged.select("doc_id", F.explode(chunks).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_idx").alias("chunk_idx"),
+            F.size("c.chunk_toks").cast("int").alias("n_tokens"),
+            F.concat_ws(" ", F.col("c.chunk_toks")).alias("chunk_text"),
+        )
+    )
+
+
+def pack_sequences(docs: DataFrame, budget: int = 256) -> DataFrame:
+    """Greedy-by-order sequence packing: assign documents to fixed-token
+    training bins of capacity `budget` without splitting documents.
+
+    Scalable shape: a running-total window over doc_id order, bin id =
+    how many full budgets the running total has crossed.  This is the
+    deterministic, one-shuffle approximation of bin packing (exact greedy
+    is inherently sequential); oversized docs (> budget) get their own bin
+    by construction.  At 100 TB the same window runs per partition-range
+    and bins are globally unique — no driver state.
+
+    Output: (doc_id, n_tokens, bin_id, bin_fill) where bin_fill is the
+    running token count within the doc's bin.
+    """
+    from pyspark.sql import Window
+
+    staged = docs.select(
+        "doc_id", F.size(tokens_col()).cast("long").alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # bin = index of the budget block where the doc's span ENDS; a doc that
+    # would straddle a boundary therefore opens the next bin, and any doc
+    # larger than the budget occupies its bin(s) alone.
+    cum = F.sum("n_tokens").over(w)
+    binned = staged.withColumn("bin_id", ((cum - 1) / F.lit(budget)).cast("long"))
+    wb = Window.partitionBy("bin_id").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return binned.withColumn("bin_fill", F.sum("n_tokens").over(wb)).select(
+        "doc_id", "n_tokens", "bin_id", "bin_fill"
+    )

@@ -38,6 +38,14 @@ class Query:
 
 QUERIES: dict[str, Query] = {}
 
+# Queries the driver must run FIRST (it caps at 50, in queries() order —
+# NOTES.md round 3): the three that historically missed the cap.
+_FRONT_QUERIES = (
+    "q78_multimodal_features",
+    "q90_stream_windowed_counts",
+    "q91_stream_sessionized",
+)
+
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Decorator registering a query + its DuckDB oracle SQL."""
@@ -73,4 +81,9 @@ def all_queries() -> dict[str, Query]:
     import emulating_hadoop_with_mpi_spark.functions.similarity  # noqa: F401
     import emulating_hadoop_with_mpi_spark.functions.text  # noqa: F401
 
-    return dict(QUERIES)
+    # Explicit order, NOT import order (which varies with whoever imported a
+    # registering module first in this process — e.g. pytest collection):
+    # the front-loaded three first, everything else in registration order.
+    front = {n: QUERIES[n] for n in _FRONT_QUERIES if n in QUERIES}
+    rest = {n: q for n, q in QUERIES.items() if n not in front}
+    return {**front, **rest}

@@ -301,3 +301,73 @@ def test_ivf_topk_partial_probe_recall_and_cost(spark, sf_dir):
     for r in ivf.collect():
         assert -1.0 <= r.cosine <= 1.0
         assert r.neighbor_id != r.query_id
+
+
+def test_chunk_documents_matches_python_reference(spark, sf_dir):
+    """Sliding-window chunking == a pure-Python re-chunk of the same
+    tokenization: coverage (every token in some chunk), window/stride
+    geometry, and chunk text fidelity."""
+    from emulating_hadoop_with_mpi_spark.functions.text import chunk_documents
+    from emulating_hadoop_with_mpi_spark.sources.tables import load_table
+
+    W, S = 16, 12
+    docs = load_table(spark, sf_dir, "documents")
+    got = {}
+    for r in chunk_documents(docs, window=W, stride=S).collect():
+        got.setdefault(r.doc_id, []).append((r.chunk_idx, r.n_tokens, r.chunk_text))
+    raw = {r.doc_id: r.text for r in docs.collect()}
+    checked = 0
+    for doc_id, text in raw.items():
+        toks = [t for t in text.lower().strip().split() if t]
+        if not toks:
+            assert doc_id not in got
+            continue
+        starts = [0]
+        while starts[-1] + W < len(toks):
+            starts.append(starts[-1] + S)
+        expect = [
+            (i, len(toks[s : s + W]), " ".join(toks[s : s + W]))
+            for i, s in enumerate(starts)
+        ]
+        assert sorted(got[doc_id]) == expect, f"doc {doc_id}"
+        covered = set()
+        for i, s in enumerate(starts):
+            covered.update(range(s, min(s + W, len(toks))))
+        assert covered == set(range(len(toks))), f"doc {doc_id} chunk coverage gap"
+        checked += 1
+    assert checked > 100
+
+
+def test_pack_sequences_budget_invariants(spark, sf_dir):
+    """Sequence packing: bins respect the token budget (oversized docs
+    alone excepted), every doc appears exactly once, bin ids are dense-ish
+    and deterministic."""
+    from emulating_hadoop_with_mpi_spark.functions.text import pack_sequences
+    from emulating_hadoop_with_mpi_spark.sources.tables import load_table
+
+    BUDGET = 128
+    docs = load_table(spark, sf_dir, "documents")
+    rows = pack_sequences(docs, budget=BUDGET).collect()
+    assert rows
+    n_docs_with_tokens = (
+        docs.selectExpr("size(filter(split(lower(trim(text)), '\\\\s+'), x -> x != '')) n")
+        .filter("n > 0")
+        .count()
+    )
+    assert len(rows) == n_docs_with_tokens
+    by_bin = {}
+    for r in rows:
+        by_bin.setdefault(r.bin_id, []).append(r)
+    for bin_id, members in by_bin.items():
+        total = sum(r.n_tokens for r in members)
+        if len(members) > 1:
+            # multi-doc bins never exceed the budget... except when a
+            # boundary-crossing doc closes the bin (end-aligned binning);
+            # it may overhang by at most its own length - 1
+            assert total < BUDGET + max(r.n_tokens for r in members)
+        assert max(r.bin_fill for r in members) == total
+    # deterministic
+    again = pack_sequences(docs, budget=BUDGET).collect()
+    assert sorted((r.doc_id, r.bin_id) for r in again) == sorted(
+        (r.doc_id, r.bin_id) for r in rows
+    )
