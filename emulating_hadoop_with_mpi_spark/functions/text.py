@@ -359,31 +359,53 @@ def chunk_documents(
     )
 
 
+PACK_RANGE_SPAN = 1024  # doc_ids per prefix-sum range partition
+
+
 def pack_sequences(docs: DataFrame, budget: int = 256) -> DataFrame:
     """Greedy-by-order sequence packing: assign documents to fixed-token
     training bins of capacity `budget` without splitting documents.
+    bin = index of the budget block where the doc's global running token
+    total ENDS, so a doc that would straddle a boundary opens the next bin
+    and any doc larger than the budget occupies its bin(s) alone.
 
-    Scalable shape: a running-total window over doc_id order, bin id =
-    how many full budgets the running total has crossed.  This is the
-    deterministic, one-shuffle approximation of bin packing (exact greedy
-    is inherently sequential); oversized docs (> budget) get their own bin
-    by construction.  At 100 TB the same window runs per partition-range
-    and bins are globally unique — no driver state.
+    Scalable shape — a DISTRIBUTED prefix sum, not a global window (a bare
+    ``Window.orderBy`` would move the whole corpus to one partition):
+
+    1. per-range running totals: window partitioned by ``doc_id div
+       PACK_RANGE_SPAN`` — parallel across ranges;
+    2. per-range grand totals: one tiny aggregate (rows = ranges);
+    3. range offsets: cumulative sum over that tiny table (single-partition
+       window over #ranges rows — driver-scale, not data-scale);
+    4. global running total = range offset + in-range running total,
+       via a broadcast join of the offsets.
+
+    Deterministic, one data shuffle (the range hash), O(corpus/ranges)
+    per-task memory.  Exact greedy packing is inherently sequential; this
+    end-aligned binning is its standard deterministic approximation.
 
     Output: (doc_id, n_tokens, bin_id, bin_fill) where bin_fill is the
     running token count within the doc's bin.
     """
     from pyspark.sql import Window
 
-    staged = docs.select(
-        "doc_id", F.size(tokens_col()).cast("long").alias("n_tokens")
-    ).filter(F.col("n_tokens") > 0)
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    # bin = index of the budget block where the doc's span ENDS; a doc that
-    # would straddle a boundary therefore opens the next bin, and any doc
-    # larger than the budget occupies its bin(s) alone.
-    cum = F.sum("n_tokens").over(w)
-    binned = staged.withColumn("bin_id", ((cum - 1) / F.lit(budget)).cast("long"))
+    staged = (
+        docs.select("doc_id", F.size(tokens_col()).cast("long").alias("n_tokens"))
+        .filter(F.col("n_tokens") > 0)
+        .withColumn("rng", F.expr(f"doc_id div {PACK_RANGE_SPAN}"))
+    )
+    w_in = Window.partitionBy("rng").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    local = staged.withColumn("cum_in", F.sum("n_tokens").over(w_in))
+    range_totals = staged.groupBy("rng").agg(F.sum("n_tokens").alias("rng_total"))
+    w_rng = Window.orderBy("rng").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = range_totals.select(
+        "rng", F.coalesce(F.sum("rng_total").over(w_rng), F.lit(0)).alias("offset")
+    )
+    binned = local.join(F.broadcast(offsets), "rng").withColumn(
+        "bin_id", F.expr(f"(offset + cum_in - 1) div {budget}")
+    )
     wb = Window.partitionBy("bin_id").orderBy("doc_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

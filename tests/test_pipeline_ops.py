@@ -371,3 +371,32 @@ def test_pack_sequences_budget_invariants(spark, sf_dir):
     assert sorted((r.doc_id, r.bin_id) for r in again) == sorted(
         (r.doc_id, r.bin_id) for r in rows
     )
+
+
+def test_pack_sequences_distributed_prefix_sum_equals_naive(spark, sf_dir):
+    """The two-phase distributed prefix sum must give exactly the bins a
+    single global running-total window would (the naive single-partition
+    formulation, acceptable only at test scale)."""
+    from pyspark.sql import Window, functions as F
+
+    from emulating_hadoop_with_mpi_spark.functions.text import pack_sequences, tokens_col
+    from emulating_hadoop_with_mpi_spark.sources.tables import load_table
+
+    BUDGET = 128
+    docs = load_table(spark, sf_dir, "documents")
+    got = {(r.doc_id, r.bin_id, r.bin_fill) for r in pack_sequences(docs, budget=BUDGET).collect()}
+    staged = docs.select(
+        "doc_id", F.size(tokens_col()).cast("long").alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    naive = staged.withColumn("cum", F.sum("n_tokens").over(w)).withColumn(
+        "bin_id", F.expr(f"(cum - 1) div {BUDGET}")
+    )
+    wb = Window.partitionBy("bin_id").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    expect = {
+        (r.doc_id, r.bin_id, r.bin_fill)
+        for r in naive.withColumn("bin_fill", F.sum("n_tokens").over(wb)).collect()
+    }
+    assert got == expect

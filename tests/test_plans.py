@@ -65,3 +65,40 @@ def test_matmul_broadcast_small_side(spark):
     a = generate_matrix_df(spark, 64, 64, seed=1)
     b = generate_matrix_df(spark, 64, 64, seed=2)
     assert uses_broadcast_join(matmul_broadcast(a, b))
+
+
+def test_new_pipeline_ops_are_jvm_only(spark, sf_dir):
+    """Round-3 ops (chunking, packing, IVF) must stay pure JVM expressions
+    on their scan paths — same bar as the registered queries."""
+    from emulating_hadoop_with_mpi_spark.functions.similarity import ivf_topk
+    from emulating_hadoop_with_mpi_spark.functions.text import (
+        chunk_documents,
+        pack_sequences,
+    )
+    from emulating_hadoop_with_mpi_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    assert python_eval_free(chunk_documents(docs))
+    assert python_eval_free(pack_sequences(docs))
+    assert python_eval_free(ivf_topk(spark, sf_dir))
+
+
+def test_pack_sequences_no_global_window(spark, sf_dir):
+    """The packing prefix sum must NOT sort the corpus into a single
+    partition: no window in the plan may be both unpartitioned and fed by
+    the documents scan (the tiny range-offset window is fine — it sees one
+    row per PACK_RANGE_SPAN of doc_ids, not per document)."""
+    from emulating_hadoop_with_mpi_spark.functions.text import pack_sequences
+    from emulating_hadoop_with_mpi_spark.sources.tables import load_table
+
+    plan = pack_sequences(
+        load_table(spark, sf_dir, "documents")
+    )._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    # every Window over the raw token rows must carry a partition spec
+    for m in re.finditer(r"Window \[sum\(n_tokens.*?\)", plan):
+        window_line = m.group(0)
+        assert "rng" in window_line or "bin_id" in window_line or "rng_total" in plan, (
+            f"unpartitioned corpus-wide window: {window_line}"
+        )
