@@ -179,7 +179,6 @@ def lsh_codes(emb: DataFrame, planes: int = LSH_PLANES, dim: int = 64) -> DataFr
     return emb.select("vec_id", "embedding", code.alias("code"))
 
 
-@query("q77_ann_lsh_topk")  # hyperplane-LSH — no SQL oracle; recall tested in tests/test_pipeline_ops.py
 def q77_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k: random-hyperplane LSH codes bucket the corpus;
     each query MULTI-PROBES its own bucket plus every Hamming-1 neighbor
@@ -245,8 +244,7 @@ def q77_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ~nprobe/nlist of the corpus instead of all of it.  With nprobe == nlist
 # the search is exhaustive and must EQUAL the brute-force top-k (q76) —
 # pinned in tests/test_pipeline_ops.py, alongside a recall measurement at
-# nprobe < nlist.  Not registered as a driver query (50-entry cap,
-# NOTES.md): API + tests only, like the incremental dedup pipeline.
+# nprobe < nlist.  Driver-visible through q77_ann_topk's 'ivf' branch.
 # ---------------------------------------------------------------------------
 
 IVF_NLIST = 16
@@ -373,3 +371,23 @@ def ivf_topk(
         .filter(F.col("rnk") <= k)
         .orderBy("query_id", "rnk")
     )
+
+
+@query("q77_ann_topk")  # xxhash/LSH + trained IVF — no SQL oracle; both recall-tested vs q76
+def q77_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both ANN scale paths over one output contract, tagged by `method`:
+    'lsh' = random-hyperplane codes with Hamming-1 multiprobe (index-free,
+    one coding pass), 'ivf' = trained inverted-file cells with nprobe
+    probing (index pays off when queried repeatedly).  Rows-only driver
+    check (hyperplane signs / trained centroids are engine-specific);
+    tests measure each branch's recall against brute-force q76, and pin
+    IVF == brute force at nprobe == nlist.  The IVF branch's centroid
+    training runs a bounded k-means sync (nlist rows to the driver per
+    Lloyd step) at plan-build time — the standard IVF train/search split."""
+    lsh = q77_ann_lsh_topk(spark, sf_dir).select(
+        F.lit("lsh").alias("method"), "query_id", "neighbor_id", "cosine", "rnk"
+    )
+    ivf = ivf_topk(spark, sf_dir).select(
+        F.lit("ivf").alias("method"), "query_id", "neighbor_id", "cosine", "rnk"
+    )
+    return lsh.unionAll(ivf).orderBy("method", "query_id", "rnk")

@@ -309,9 +309,11 @@ def q84_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Training-batch assembly ops (API + tests; outside the 50-query driver cap,
-# NOTES.md).  Both are pure JVM expressions / window functions — no Python
-# in the scan — because they run over the ENTIRE corpus in a real pipeline.
+# Training-batch assembly ops: context-window chunking and sequence packing.
+# Both are pure JVM expressions / window functions — no Python in the scan —
+# because they run over the ENTIRE corpus in a real pipeline.  Driver-visible
+# as q85/q86 (registered below, inside the 50-query cap after the round-3
+# q19+q24 / q27+q28 consolidations — NOTES.md).
 # ---------------------------------------------------------------------------
 
 
@@ -412,3 +414,74 @@ def pack_sequences(docs: DataFrame, budget: int = 256) -> DataFrame:
     return binned.withColumn("bin_fill", F.sum("n_tokens").over(wb)).select(
         "doc_id", "n_tokens", "bin_id", "bin_fill"
     )
+
+
+CHUNK_WINDOW = 64
+CHUNK_STRIDE = 48
+PACK_BUDGET = 256
+
+
+@query(
+    "q85_chunk_documents",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+    ),
+    nch AS (
+        SELECT doc_id, toks,
+               1 + GREATEST(CAST(CEIL((len(toks) - {CHUNK_WINDOW}) / {CHUNK_STRIDE}.0) AS INT), 0)
+                   AS n_chunks
+        FROM tok WHERE len(toks) > 0
+    ),
+    expanded AS (
+        SELECT doc_id, toks, unnest(generate_series(0, n_chunks - 1)) AS i FROM nch
+    )
+    SELECT doc_id,
+           CAST(i AS INT) AS chunk_idx,
+           CAST(len(array_slice(toks, i * {CHUNK_STRIDE} + 1,
+                                i * {CHUNK_STRIDE} + {CHUNK_WINDOW})) AS INT) AS n_tokens,
+           array_to_string(array_slice(toks, i * {CHUNK_STRIDE} + 1,
+                                       i * {CHUNK_STRIDE} + {CHUNK_WINDOW}), ' ') AS chunk_text
+    FROM expanded
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def q85_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking of the corpus (window {CHUNK_WINDOW},
+    stride {CHUNK_STRIDE}) — see chunk_documents for the operator."""
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, window=CHUNK_WINDOW, stride=CHUNK_STRIDE).orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
+@query(
+    "q86_pack_sequences",
+    oracle=f"""
+    WITH staged AS (
+        SELECT doc_id, CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_tokens
+        FROM documents WHERE len({_SQL_TOKENS}) > 0
+    ),
+    cum AS (
+        SELECT doc_id, n_tokens,
+               CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c
+        FROM staged
+    ),
+    binned AS (
+        SELECT doc_id, n_tokens, (c - 1) // {PACK_BUDGET} AS bin_id FROM cum
+    )
+    SELECT doc_id, n_tokens, CAST(bin_id AS BIGINT) AS bin_id,
+           CAST(SUM(n_tokens) OVER (PARTITION BY bin_id ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS bin_fill
+    FROM binned
+    ORDER BY doc_id
+    """,
+)
+def q86_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing into {PACK_BUDGET}-token training bins — see
+    pack_sequences for the distributed prefix-sum design.  The oracle is
+    the sequential (single-window) formulation: acceptable in DuckDB at
+    sf0.01, and exactly what the distributed two-phase sum must equal."""
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(docs, budget=PACK_BUDGET).orderBy("doc_id")

@@ -134,32 +134,8 @@ def asof_join_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q24_grouping_sets",
-    oracle="""
-    SELECT l_returnflag, l_linestatus,
-           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
-           COUNT(*) AS n
-    FROM lineitem
-    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
-    """,
-)
-def q24_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit GROUPING SETS through the SQL API (same Catalyst plan as
-    the DataFrame rollup/cube in q19/q20 — demonstrating the engine's SQL
-    entry point)."""
-    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
-    return spark.sql(
-        """
-        SELECT l_returnflag, l_linestatus,
-               CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
-               COUNT(*) AS n
-        FROM lineitem_gs
-        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
-        """
-    )
+# q24_grouping_sets was merged into q19_rollup_sets (operators/relational.py)
+# as its 'sets' branch — driver 50-query cap, NOTES.md round 3.
 
 
 @query(
@@ -236,16 +212,22 @@ def q26_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q28_approx_quantiles")  # t-digest/GK sketch — engine-specific, no cross-engine oracle
-def q28_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_percentile beside the exact percentile — the sketch path for
-    100 TB quantiles (mergeable per-partition state, no global sort).
-    Estimates are engine-specific → rows-only; tests bound the error
-    against q26's exact values."""
+@query("q27_approx_sketches")  # HLL + t-digest/GK sketches — engine-specific, no cross-engine oracle
+def q27_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two mergeable-sketch aggregates in one pass, each beside its
+    exact counterpart: approx_count_distinct (HyperLogLog++) — the 100 TB
+    cardinality path where exact distinct would shuffle every key — and
+    approx_percentile (GK sketch) — the 100 TB quantile path with
+    per-partition mergeable state and no global sort.  Estimates are
+    engine-specific → rows-only driver check; tests bound both errors
+    against the exact values.  (Merged q27+q28 under the driver's 50-query
+    cap — NOTES.md round 3.)"""
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
         .agg(
+            F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+            F.countDistinct("l_orderkey").alias("exact_orders"),
             F.expr("approx_percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D), 10000)").alias(
                 "approx_p"
             ),
@@ -254,29 +236,13 @@ def q28_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "l_returnflag",
+            "approx_orders",
+            "exact_orders",
             F.col("approx_p")[0].alias("approx_median"),
             F.col("approx_p")[1].alias("approx_p90"),
             F.col("approx_p")[2].alias("approx_p99"),
             "exact_median",
             "n",
-        )
-        .orderBy("l_returnflag")
-    )
-
-
-@query("q27_approx_distinct")  # HLL sketch — engine-specific estimates, no cross-engine oracle
-def q27_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HyperLogLog++) beside exact counts — the
-    sketch path for 100 TB cardinalities where exact distinct would
-    shuffle every key.  Estimates are engine-specific → rows-only check;
-    tests bound the estimation error against the exact count."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
-            F.countDistinct("l_orderkey").alias("exact_orders"),
-            F.count(F.lit(1)).alias("n"),
         )
         .orderBy("l_returnflag")
     )

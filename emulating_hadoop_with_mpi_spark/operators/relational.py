@@ -463,25 +463,48 @@ def q18_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q19_rollup",
+    "q19_rollup_sets",
     oracle="""
-    SELECT l_returnflag, l_linestatus,
+    SELECT 'rollup' AS variant, l_returnflag, l_linestatus,
            CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
            COUNT(*) AS n
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
-    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    UNION ALL
+    SELECT 'sets' AS variant, l_returnflag, l_linestatus,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    ORDER BY variant, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
     """,
 )
-def q19_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP grouping sets (not in the reference; SURVEY §2.15 breadth)."""
+def q19_rollup_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (DataFrame API) + explicit GROUPING SETS (SQL API) in one
+    tagged union — both grouping-set constructs and both engine entry
+    points under a single oracle.  (Merged q19+q24 under the driver's
+    50-query cap — NOTES.md round 3.  Not in the reference; SURVEY §2.15
+    breadth.)"""
     li = load_table(spark, sf_dir, "lineitem")
-    return (
+    rollup = (
         li.rollup("l_returnflag", "l_linestatus")
         .agg(money_sum(dec("l_quantity"), "sum_qty"), F.count(F.lit(1)).alias("n"))
-        .orderBy(
-            F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first()
-        )
+        .select(F.lit("rollup").alias("variant"), "l_returnflag", "l_linestatus", "sum_qty", "n")
+    )
+    li.createOrReplaceTempView("lineitem_gs")
+    sets = spark.sql(
+        """
+        SELECT 'sets' AS variant, l_returnflag, l_linestatus,
+               CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS n
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+    return rollup.unionAll(sets).orderBy(
+        "variant",
+        F.col("l_returnflag").asc_nulls_first(),
+        F.col("l_linestatus").asc_nulls_first(),
     )
 
 

@@ -72,6 +72,30 @@ def test_ann_lsh_is_honest_vs_brute(spark, sf_dir):
     assert ann, "ANN should return candidates from its probed buckets"
 
 
+def test_ann_topk_union_contract(spark, sf_dir):
+    """The registered q77_ann_topk is exactly the tagged union of the LSH
+    and IVF branches: both methods present, per-method rows equal to the
+    branch queries, rnk bounded by k."""
+    from emulating_hadoop_with_mpi_spark.functions.similarity import (
+        TOPK_K,
+        ivf_topk,
+        q77_ann_topk,
+    )
+
+    rows = q77_ann_topk(spark, sf_dir).collect()
+    by_method = {}
+    for r in rows:
+        by_method.setdefault(r.method, set()).add((r.query_id, r.neighbor_id, r.cosine, r.rnk))
+    assert set(by_method) == {"lsh", "ivf"}
+    assert all(r.rnk <= TOPK_K for r in rows)
+    lsh = {(r.query_id, r.neighbor_id, r.cosine, r.rnk)
+           for r in q77_ann_lsh_topk(spark, sf_dir).collect()}
+    ivf = {(r.query_id, r.neighbor_id, r.cosine, r.rnk)
+           for r in ivf_topk(spark, sf_dir).collect()}
+    assert by_method["lsh"] == lsh
+    assert by_method["ivf"] == ivf
+
+
 def test_ann_lsh_recall_on_planted_near_duplicates(spark, sf_dir):
     """The actual LSH contract: vectors that ARE near (cosine ≈ 0.99 —
     planted noisy copies) land in the same or a 1-bit-adjacent bucket with
@@ -134,9 +158,8 @@ def test_approx_sketches_bounded_error(spark, sf_dir):
     from emulating_hadoop_with_mpi_spark.registry import all_queries
 
     reg = all_queries()
-    for r in reg["q27_approx_distinct"].fn(spark, sf_dir).collect():
+    for r in reg["q27_approx_sketches"].fn(spark, sf_dir).collect():
         assert abs(r.approx_orders - r.exact_orders) / r.exact_orders < 0.05
-    for r in reg["q28_approx_quantiles"].fn(spark, sf_dir).collect():
         assert abs(r.approx_median - r.exact_median) / r.exact_median < 0.02
         assert r.approx_p90 >= r.approx_median
         assert r.approx_p99 >= r.approx_p90
