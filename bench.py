@@ -116,6 +116,13 @@ def main() -> None:
         )
         extras["matmul_dat_768"] = run_timed(lambda: multiply_dat_files(spark, pa, pb))
 
+    # Training-batch assembly ops (q85/q86, registered late round 3): in
+    # extras, not the ratcheted headline basket, to keep the 22-entry
+    # basket comparable across rounds.
+    for name in ("q85_chunk_documents", "q86_pack_sequences"):
+        q = registry[name]
+        extras[name] = run_timed(lambda: q.fn(spark, sf_dir))
+
     total = round(sum(timings.values()), 3)
 
     # Skewed-key join legs (VERDICT r2 item 4): one hot key holding 80% of
