@@ -57,3 +57,29 @@ def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = Non
 
 def write_csv(df: DataFrame, path: str, header: bool = True) -> None:
     df.write.mode("overwrite").option("header", str(header).lower()).csv(path)
+
+
+def write_training_shards(
+    packed: DataFrame, path: str, bins_per_shard: int = 64
+) -> None:
+    """Terminal sink of the chunk→pack pipeline: write `pack_sequences`
+    output (or anything carrying a ``bin_id``) as size-bounded parquet
+    shards, ``shard=<id>`` directories with EXACTLY ONE file per shard.
+
+    The 100 TB concern this addresses is small files: a naive
+    ``write.partitionBy("shard")`` emits one file per (task, shard) pair —
+    tasks × shards files, which at cluster scale floods the namenode and
+    the training loader.  ``repartition(shard)`` first hash-clusters each
+    shard into a single task, so each shard directory gets one file, and
+    shard sizes are bounded by construction (bins_per_shard × bin budget
+    tokens).  Deterministic: shard membership is pure arithmetic on
+    bin_id, no sampling."""
+    sharded = packed.withColumn(
+        "shard", F.expr(f"bin_id div {int(bins_per_shard)}").cast("long")
+    )
+    (
+        sharded.repartition("shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )

@@ -47,3 +47,33 @@ def test_csv_roundtrip(spark, tables, tmp_path):
     assert sorted(r.n_nationkey for r in back.collect()) == sorted(
         r.n_nationkey for r in tables["nation"].collect()
     )
+
+
+def test_training_shards_one_file_per_shard_roundtrip(spark, sf_dir, tmp_path):
+    """write_training_shards: shard dirs are size-bounded groups of packing
+    bins with EXACTLY one parquet file each (the small-files guarantee),
+    and the round-trip preserves every (doc_id, bin) assignment."""
+    import os
+
+    from emulating_hadoop_with_mpi_spark.functions.text import pack_sequences
+    from emulating_hadoop_with_mpi_spark.sources.sinks import write_training_shards
+    from emulating_hadoop_with_mpi_spark.sources.tables import load_table
+
+    packed = pack_sequences(load_table(spark, sf_dir, "documents"), budget=128)
+    out = str(tmp_path / "shards")
+    write_training_shards(packed, out, bins_per_shard=8)
+
+    shard_dirs = sorted(d for d in os.listdir(out) if d.startswith("shard="))
+    assert len(shard_dirs) >= 2, "expected multiple shards at this budget"
+    for d in shard_dirs:
+        files = [f for f in os.listdir(os.path.join(out, d)) if f.endswith(".parquet")]
+        assert len(files) == 1, f"{d}: {len(files)} files (want exactly 1)"
+
+    back = spark.read.parquet(out)
+    orig = {(r.doc_id, r.bin_id) for r in packed.collect()}
+    got = {(r.doc_id, r.bin_id) for r in back.collect()}
+    assert got == orig
+    # shard membership is arithmetic on bin_id
+    from pyspark.sql import functions as F
+
+    assert back.filter(back.shard != F.expr("bin_id div 8")).count() == 0
