@@ -512,6 +512,7 @@ def q19_rollup_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q20_cube",
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid,
            COUNT(*) AS n,
            CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_price
     FROM orders
@@ -520,11 +521,19 @@ def q19_rollup_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q20_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE grouping sets."""
+    """CUBE grouping sets, with grouping_id — the bit vector that
+    distinguishes a CUBE-total NULL from a data NULL (both engines follow
+    the SQL-standard encoding: first listed column = most significant
+    bit)."""
     orders = load_table(spark, sf_dir, "orders")
     return (
         orders.cube("o_orderstatus", "o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n"), money_sum(dec("o_totalprice"), "total_price"))
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            money_sum(dec("o_totalprice"), "total_price"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "n", "total_price")
         .orderBy(
             F.col("o_orderstatus").asc_nulls_first(), F.col("o_orderpriority").asc_nulls_first()
         )
