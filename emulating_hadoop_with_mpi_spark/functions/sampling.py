@@ -1,0 +1,65 @@
+"""Deterministic dataset-splitting and sampling — the selection ops of a
+training-data pipeline (train/val/test carving, per-stratum downsampling).
+
+Not in the reference (its datagen is the nearest analogue,
+``filecreation.c:8-28``); added for the LLM-pipeline surface.  Both ops are
+map-only JVM expressions: no shuffle, no driver state, stable under
+repartitioning — the properties that make a split REPRODUCIBLE on 100 TB
+across cluster sizes and re-runs (a row's assignment depends only on its
+key, never on partition layout or task order, unlike ``rand()``-based
+splitting which changes with the partitioning).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SPLIT_DENOM = 10_000  # basis points: fractions are exact to 0.01%
+
+
+def split_column(key_col: str | Column, splits: dict[str, float], salt: str = "") -> Column:
+    """Label expression assigning each row to a named split by hashing its
+    key: ``xxhash64(key, salt) mod 10000`` landing in consecutive
+    basis-point ranges.  Fractions must sum to 1 (±1e-9).  Deterministic
+    in (key, salt): re-runs, repartitions, and different cluster sizes all
+    produce the identical assignment; change ``salt`` to draw a fresh
+    independent split."""
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1 (got {total})")
+    if not splits:
+        raise ValueError("splits must be non-empty")
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    bucket = F.pmod(F.xxhash64(key, F.lit(salt)), F.lit(SPLIT_DENOM))
+    expr = None
+    cum = 0
+    names = list(splits)
+    for name in names[:-1]:
+        cum += int(round(splits[name] * SPLIT_DENOM))
+        cond = bucket < cum
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1])
+    return (last if expr is None else expr.otherwise(names[-1])).alias("split")
+
+
+def hash_split(
+    df: DataFrame, key_col: str, splits: dict[str, float], salt: str = ""
+) -> DataFrame:
+    """Tag every row with its deterministic split label (see
+    split_column).  Rows with equal keys always land in the same split —
+    the leakage guard a random split lacks (near-duplicate documents
+    sharing a key can never straddle train/test)."""
+    return df.withColumn("split", split_column(key_col, splits, salt=salt))
+
+
+def stratified_sample(
+    df: DataFrame, strata_col: str, fractions: dict, seed: int
+) -> DataFrame:
+    """Per-stratum Bernoulli sampling via sampleBy — rebalancing a corpus
+    (e.g. capping the dominant language) in one map-only pass.  Seeded →
+    reproducible for a fixed partitioning; for layout-independent
+    selection use hash_split-style keyed hashing instead (the tradeoff:
+    sampleBy gives exact per-row independence, keyed hashing gives
+    layout-independence)."""
+    return df.sampleBy(strata_col, fractions=fractions, seed=seed)

@@ -224,3 +224,53 @@ def q53_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_purchase") > 0)
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Continuous-aggregate cascade (hypertable-style rollup): coarse time
+# buckets derived by MERGING fine buckets, never rescanning raw events.
+# At 100 TB this is the difference between re-reading the corpus per
+# resolution and one raw scan + tiny re-aggregations (the coarse input is
+# |buckets| rows, not |events|).  Mergeability holds because the kept
+# state is (count, exact decimal sum) — both associative; averages etc.
+# are derived at render time.  API + tests (driver cap full, NOTES.md).
+# ---------------------------------------------------------------------------
+
+
+def time_bucket_agg(ev: DataFrame, bucket_seconds: int) -> DataFrame:
+    """(bucket_start, event_type, n_events, total_dec): tumbling buckets
+    straight from raw events.  total_dec stays DECIMAL so downstream
+    merges are exact."""
+    if bucket_seconds <= 0:
+        raise ValueError(f"bucket_seconds must be positive (got {bucket_seconds})")
+    return (
+        ev.groupBy(
+            F.expr(f"(cast(ts as long) div {bucket_seconds}) * {bucket_seconds}").alias(
+                "bucket_start"
+            ),
+            "event_type",
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).alias("total_dec"),
+        )
+    )
+
+
+def coarsen_buckets(buckets: DataFrame, coarse_seconds: int) -> DataFrame:
+    """Re-aggregate an existing bucket table to a coarser resolution.
+    Every fine bucket must nest inside one coarse bucket — callers pass
+    resolutions where coarse % fine == 0 (asserted in tests; the fine
+    bucket_start values themselves carry the alignment)."""
+    if coarse_seconds <= 0:
+        raise ValueError(f"coarse_seconds must be positive (got {coarse_seconds})")
+    return (
+        buckets.groupBy(
+            F.expr(f"(bucket_start div {coarse_seconds}) * {coarse_seconds}").alias(
+                "bucket_start"
+            ),
+            "event_type",
+        ).agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("total_dec").alias("total_dec"),
+        )
+    )

@@ -1,0 +1,95 @@
+"""Deterministic splitting/sampling ops and the continuous-aggregate
+cascade: layout-independence, reproducibility, merge-equals-rescan."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from emulating_hadoop_with_mpi_spark.functions.sampling import (
+    hash_split,
+    stratified_sample,
+)
+from emulating_hadoop_with_mpi_spark.operators.events import (
+    coarsen_buckets,
+    time_bucket_agg,
+)
+from emulating_hadoop_with_mpi_spark.sources.tables import load_table
+
+
+def test_hash_split_partitions_and_determinism(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    splits = {"train": 0.8, "val": 0.1, "test": 0.1}
+    tagged = hash_split(docs, "doc_id", splits)
+    n = docs.count()
+    by = {r["split"]: r["n"] for r in tagged.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    # exhaustive and disjoint: every row gets exactly one label
+    assert sum(by.values()) == n
+    # fractions within a loose binomial tolerance at n=500
+    assert by["train"] / n == pytest.approx(0.8, abs=0.08)
+    assert by.get("val", 0) / n == pytest.approx(0.1, abs=0.06)
+    # layout-independent: a different partitioning yields the identical assignment
+    a = {(r.doc_id, r.split) for r in tagged.select("doc_id", "split").collect()}
+    b = {
+        (r.doc_id, r.split)
+        for r in hash_split(docs.repartition(13, "lang"), "doc_id", splits)
+        .select("doc_id", "split")
+        .collect()
+    }
+    assert a == b
+    # a different salt draws a genuinely different split
+    c = {
+        (r.doc_id, r.split)
+        for r in hash_split(docs, "doc_id", splits, salt="fold2")
+        .select("doc_id", "split")
+        .collect()
+    }
+    assert a != c
+
+
+def test_hash_split_rejects_bad_fractions(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    with pytest.raises(ValueError):
+        hash_split(docs, "doc_id", {"train": 0.5, "test": 0.4})
+
+
+def test_stratified_sample_seeded_and_bounded(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    fractions = {"en": 0.5, "es": 1.0, "de": 1.0, "fr": 1.0}
+    s1 = {r.doc_id for r in stratified_sample(docs, "lang", fractions, seed=7).collect()}
+    s2 = {r.doc_id for r in stratified_sample(docs, "lang", fractions, seed=7).collect()}
+    assert s1 == s2, "same seed must reproduce the sample"
+    kept = stratified_sample(docs, "lang", fractions, seed=7)
+    en_total = docs.filter(F.col("lang") == "en").count()
+    en_kept = kept.filter(F.col("lang") == "en").count()
+    assert en_kept / en_total == pytest.approx(0.5, abs=0.15)
+    # fraction-1.0 strata are kept in full
+    for lang in ("es", "de", "fr"):
+        assert kept.filter(F.col("lang") == lang).count() == docs.filter(
+            F.col("lang") == lang
+        ).count()
+
+
+def _rows(df):
+    return {
+        (r.bucket_start, r.event_type, r.n_events, r.total_dec) for r in df.collect()
+    }
+
+
+def test_rollup_cascade_merge_equals_rescan(spark, sf_dir):
+    """Coarse-from-fine == coarse-from-raw, through two cascade levels
+    (1h -> 6h -> 24h) — the invariant that lets a 100 TB pipeline serve
+    every resolution from one raw scan."""
+    ev = load_table(spark, sf_dir, "events")
+    fine = time_bucket_agg(ev, 3600)
+    assert _rows(coarsen_buckets(fine, 21600)) == _rows(time_bucket_agg(ev, 21600))
+    cascade_day = coarsen_buckets(coarsen_buckets(fine, 21600), 86400)
+    assert _rows(cascade_day) == _rows(time_bucket_agg(ev, 86400))
+
+
+def test_rollup_cascade_rejects_bad_resolution(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    with pytest.raises(ValueError):
+        time_bucket_agg(ev, 0)
+    with pytest.raises(ValueError):
+        coarsen_buckets(time_bucket_agg(ev, 3600), -1)
