@@ -18,6 +18,11 @@ Equivalent here (one spark-submit-able module instead of mpirun):
 shared file pointer) and ``final_result/`` (whitespace-separated dense rows).
 ``check`` re-reads ``reducer_output`` and compares against NumPy ``A @ B`` —
 exactly the checking.c workflow, automated.
+
+Beyond the reference trio, ``pipeline`` runs the LLM-corpus curation
+composition (functions/pipeline.py) over a testdata directory:
+
+    python -m emulating_hadoop_with_mpi_spark.cli pipeline /root/testdata/sf0.01 --out DIR
 """
 
 from __future__ import annotations
@@ -91,6 +96,40 @@ def cmd_check(args: argparse.Namespace) -> int:
     return 1
 
 
+def cmd_pipeline(args: argparse.Namespace) -> int:
+    """Curate a documents table end-to-end (quality gate -> dedup ->
+    chunk -> pack -> split -> shards) and print a one-line JSON summary."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from emulating_hadoop_with_mpi_spark.functions.pipeline import (
+        curate_corpus,
+        write_curated_shards,
+    )
+    from emulating_hadoop_with_mpi_spark.sources.tables import load_table
+
+    spark = _spark()
+    docs = load_table(spark, args.sf_dir, "documents")
+    curated = curate_corpus(
+        docs, min_quality=args.min_quality, budget=args.budget
+    ).cache()
+    write_curated_shards(curated, args.out, bins_per_shard=args.bins_per_shard)
+    summary = {
+        "docs_in": docs.count(),
+        "docs_kept": curated.select("doc_id").distinct().count(),
+        "chunks": curated.count(),
+        "bins": curated.select("split", "bin_id").distinct().count(),
+        "by_split": {
+            r["split"]: r["n"]
+            for r in curated.groupBy("split").agg(F.count("*").alias("n")).collect()
+        },
+        "out": args.out,
+    }
+    print(json.dumps(summary))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="emulating_hadoop_with_mpi_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -114,6 +153,16 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("file_b")
     c.add_argument("out")
     c.set_defaults(fn=cmd_check)
+
+    pl = sub.add_parser(
+        "pipeline", help="curate documents: quality->dedup->chunk->pack->split->shards"
+    )
+    pl.add_argument("sf_dir")
+    pl.add_argument("--out", default="./curated")
+    pl.add_argument("--min-quality", type=float, default=0.2)
+    pl.add_argument("--budget", type=int, default=256)
+    pl.add_argument("--bins-per-shard", type=int, default=64)
+    pl.set_defaults(fn=cmd_pipeline)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -117,6 +117,13 @@ def q81_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     alpha/digit ratios, stopword ratio, length gate — combined into a
     [0,1] score (the classic Gopher/C4-style filter-feature family)."""
     docs = load_table(spark, sf_dir, "documents")
+    return quality_scores(docs).orderBy("doc_id")
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """(doc_id, counts, ratios, quality) for any documents frame — the
+    reusable core of q81 (also the gate stage of
+    functions/pipeline.curate_corpus)."""
     staged0 = docs.select("doc_id", "text", tokens_col().alias("toks"))
     feats = staged0.select(
         "doc_id",
@@ -150,7 +157,7 @@ def q81_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         digit_r.alias("digit_ratio"),
         stop_r.alias("stopword_ratio"),
         quality.alias("quality"),
-    ).orderBy("doc_id")
+    )
 
 
 def _lang_score_sql(lang: str) -> str:
@@ -364,7 +371,9 @@ def chunk_documents(
 PACK_RANGE_SPAN = 1024  # doc_ids per prefix-sum range partition
 
 
-def pack_sequences(docs: DataFrame, budget: int = 256) -> DataFrame:
+def pack_sequences(
+    docs: DataFrame, budget: int = 256, group_col: str | None = None
+) -> DataFrame:
     """Greedy-by-order sequence packing: assign documents to fixed-token
     training bins of capacity `budget` without splitting documents.
     bin = index of the budget block where the doc's global running token
@@ -383,36 +392,50 @@ def pack_sequences(docs: DataFrame, budget: int = 256) -> DataFrame:
        via a broadcast join of the offsets.
 
     Deterministic, one data shuffle (the range hash), O(corpus/ranges)
-    per-task memory.  Exact greedy packing is inherently sequential; this
-    end-aligned binning is its standard deterministic approximation.
+    per-task memory.  Exact greedy packing is inherently sequential (each
+    bin boundary depends on the waste of every earlier bin); this
+    end-aligned binning is its standard deterministic approximation, with
+    a bounded overshoot: a bin whose FIRST document straddles the budget
+    boundary holds up to ``budget + that_doc_len - 1`` tokens (the
+    straddler counts fully toward the bin it ends in).  Consumers size
+    ``budget`` with max-document headroom or truncate at load.
 
     Output: (doc_id, n_tokens, bin_id, bin_fill) where bin_fill is the
     running token count within the doc's bin.
+
+    With ``group_col`` (e.g. a train/val/test split label) the whole
+    scheme runs independently PER GROUP — every window/aggregate above
+    gains the group as a leading partition key, so bins are group-pure by
+    construction and bin_ids restart per group.  Same cost shape: the
+    group key just rides along in the one data shuffle.
     """
     from pyspark.sql import Window
 
+    g = [group_col] if group_col else []
     staged = (
-        docs.select("doc_id", F.size(tokens_col()).cast("long").alias("n_tokens"))
+        docs.select(*g, "doc_id", F.size(tokens_col()).cast("long").alias("n_tokens"))
         .filter(F.col("n_tokens") > 0)
         .withColumn("rng", F.expr(f"doc_id div {PACK_RANGE_SPAN}"))
     )
-    w_in = Window.partitionBy("rng").orderBy("doc_id").rowsBetween(
+    w_in = Window.partitionBy(*g, "rng").orderBy("doc_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     local = staged.withColumn("cum_in", F.sum("n_tokens").over(w_in))
-    range_totals = staged.groupBy("rng").agg(F.sum("n_tokens").alias("rng_total"))
-    w_rng = Window.orderBy("rng").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = range_totals.select(
-        "rng", F.coalesce(F.sum("rng_total").over(w_rng), F.lit(0)).alias("offset")
+    range_totals = staged.groupBy(*g, "rng").agg(F.sum("n_tokens").alias("rng_total"))
+    w_rng = Window.partitionBy(*g).orderBy("rng").rowsBetween(
+        Window.unboundedPreceding, -1
     )
-    binned = local.join(F.broadcast(offsets), "rng").withColumn(
+    offsets = range_totals.select(
+        *g, "rng", F.coalesce(F.sum("rng_total").over(w_rng), F.lit(0)).alias("offset")
+    )
+    binned = local.join(F.broadcast(offsets), [*g, "rng"]).withColumn(
         "bin_id", F.expr(f"(offset + cum_in - 1) div {budget}")
     )
-    wb = Window.partitionBy("bin_id").orderBy("doc_id").rowsBetween(
+    wb = Window.partitionBy(*g, "bin_id").orderBy("doc_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     return binned.withColumn("bin_fill", F.sum("n_tokens").over(wb)).select(
-        "doc_id", "n_tokens", "bin_id", "bin_fill"
+        *g, "doc_id", "n_tokens", "bin_id", "bin_fill"
     )
 
 

@@ -1,0 +1,124 @@
+"""curate_corpus composition invariants + CLI pipeline smoke test."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from emulating_hadoop_with_mpi_spark.functions.pipeline import (
+    curate_corpus,
+    write_curated_shards,
+)
+from emulating_hadoop_with_mpi_spark.functions.text import quality_scores
+from emulating_hadoop_with_mpi_spark.sources.tables import load_table
+
+
+def test_curate_corpus_invariants(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    MINQ, BUDGET = 0.2, 256
+    cur = curate_corpus(docs, min_quality=MINQ, budget=BUDGET).cache()
+    rows = cur.collect()
+    assert rows
+
+    # quality gate: every surviving doc scored >= threshold
+    kept_ids = {r.doc_id for r in rows}
+    scores = {
+        r.doc_id: r.quality for r in quality_scores(docs).collect()
+    }
+    assert all(scores[d] >= MINQ for d in kept_ids)
+
+    # exact dedup: of each identical-text group, only the lowest doc_id survives
+    dup_groups = (
+        docs.groupBy("text")
+        .agg(F.collect_set("doc_id").alias("ids"))
+        .filter(F.size("ids") > 1)
+        .collect()
+    )
+    for g in dup_groups:
+        ids = sorted(g.ids)
+        assert not (set(ids[1:]) & kept_ids), f"non-winner duplicates survived: {ids}"
+
+    # leakage-safe split: all chunks of a doc share one split label
+    per_doc = cur.groupBy("doc_id").agg(F.countDistinct("split").alias("k")).collect()
+    assert all(r.k == 1 for r in per_doc)
+
+    # packing: every chunk fits a window, and bin fill respects the
+    # end-aligned bound budget + chunk_len - 1 (the straddling first doc
+    # of a bin counts fully toward it — see pack_sequences docstring)
+    assert all(r.n_tokens <= 64 for r in rows)
+    assert all(r.bin_fill <= BUDGET + 64 - 1 for r in rows)
+    # and the overshoot is the exception, not the rule
+    over = sum(1 for r in rows if r.bin_fill > BUDGET)
+    assert over / len(rows) < 0.2
+
+    # chunk_id decodes to (doc_id, chunk_idx)
+    assert all(r.chunk_id == r.doc_id * (1 << 20) + r.chunk_idx for r in rows)
+    cur.unpersist()
+
+
+def test_cli_pipeline_writes_split_shards(spark, sf_dir, tmp_path, monkeypatch, capsys):
+    """CLI smoke: runs end-to-end, prints a sane JSON summary, and the
+    sink is split=*/shard=* with one file per leaf."""
+    import json
+
+    import emulating_hadoop_with_mpi_spark.cli as cli
+
+    out = str(tmp_path / "curated")
+    # reuse the test session instead of building a second JVM session
+    monkeypatch.setattr(cli, "_spark", lambda: spark)
+    rc = cli.main(["pipeline", sf_dir, "--out", out, "--bins-per-shard", "8"])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["docs_in"] >= summary["docs_kept"] > 0
+    assert summary["chunks"] >= summary["docs_kept"]
+    assert set(summary["by_split"]) <= {"train", "val", "test"}
+
+    leaves = []
+    for split_dir in sorted(os.listdir(out)):
+        if not split_dir.startswith("split="):
+            continue
+        for shard_dir in sorted(os.listdir(os.path.join(out, split_dir))):
+            if shard_dir.startswith("shard="):
+                leaves.append(os.path.join(out, split_dir, shard_dir))
+    assert leaves, "expected split=*/shard=* directories"
+    for leaf in leaves:
+        files = [f for f in os.listdir(leaf) if f.endswith(".parquet")]
+        assert len(files) == 1, f"{leaf}: {len(files)} files"
+
+    back = spark.read.parquet(out)
+    assert back.count() == summary["chunks"]
+
+
+def test_grouped_pack_equals_per_group_pack(spark, sf_dir):
+    """pack_sequences(group_col=...) must equal running the ungrouped
+    packer on each group separately — and bins are group-pure."""
+    from emulating_hadoop_with_mpi_spark.functions.text import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "grp", (F.col("doc_id") % 3).cast("string")
+    )
+    grouped = pack_sequences(docs, budget=128, group_col="grp").collect()
+    got = {}
+    for r in grouped:
+        got.setdefault(r.grp, set()).add((r.doc_id, r.n_tokens, r.bin_id, r.bin_fill))
+    assert set(got) == {"0", "1", "2"}
+    for g in ("0", "1", "2"):
+        solo = {
+            (r.doc_id, r.n_tokens, r.bin_id, r.bin_fill)
+            for r in pack_sequences(
+                docs.filter(F.col("grp") == g), budget=128
+            ).collect()
+        }
+        assert got[g] == solo, f"group {g}"
+
+
+def test_curated_bins_are_split_pure(spark, sf_dir):
+    cur = curate_corpus(load_table(spark, sf_dir, "documents"))
+    impure = (
+        cur.groupBy("split", "bin_id")
+        .agg(F.countDistinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+    )
+    assert impure == 0
