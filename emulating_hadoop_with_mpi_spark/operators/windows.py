@@ -137,3 +137,26 @@ def q33_window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dense_rank().over(w).alias("size_dense_rank"),
         F.ntile(4).over(wt).cast("int").alias("quartile"),
     ).orderBy("p_brand", "p_partkey")
+
+
+def rolling_percentile(
+    ev: DataFrame, value_col: str = "value", frame_rows: int = 20, p: float = 0.5
+) -> DataFrame:
+    """Percentile over a sliding row frame (rolling median by default) per
+    user — the last backlog item of SURVEY §2.15's window family.  Spark
+    evaluates exact `percentile` as a window aggregate over the frame;
+    cost is one shuffle on the partition key plus a per-frame sort of
+    ≤ frame_rows values — frame size, not partition size, bounds the
+    per-row work, so the op scales like any keyed window.  API + tests
+    (driver cap full, NOTES.md); exactness is pinned against a per-row
+    Python recomputation in tests/test_pipeline_ops.py."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(frame_rows - 1), Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.expr(f"percentile({value_col}, {p}D)").over(w).alias("rolling_p"),
+    )

@@ -423,3 +423,34 @@ def test_pack_sequences_distributed_prefix_sum_equals_naive(spark, sf_dir):
         for r in naive.withColumn("bin_fill", F.sum("n_tokens").over(wb)).collect()
     }
     assert got == expect
+
+
+def test_rolling_percentile_matches_python(spark, sf_dir):
+    """Window-framed percentile == per-row Python recomputation of the
+    exact `percentile` (linear interpolation) over the same frame."""
+    from pyspark.sql import functions as F
+
+    from emulating_hadoop_with_mpi_spark.operators.windows import rolling_percentile
+    from emulating_hadoop_with_mpi_spark.sources.tables import load_table
+
+    FRAME = 5
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 11 == 0)
+    got = {
+        r.event_id: r.rolling_p
+        for r in rolling_percentile(ev, frame_rows=FRAME, p=0.5).collect()
+    }
+    rows = sorted(
+        ev.select("user_id", "event_id", "ts", "value").collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    assert got
+    by_user = {}
+    for r in rows:
+        hist = by_user.setdefault(r.user_id, [])
+        hist.append(r)
+        frame = sorted(x.value for x in hist[-FRAME:])
+        # exact percentile, linear interpolation (Spark's definition)
+        idx = 0.5 * (len(frame) - 1)
+        lo, hi = int(idx), min(int(idx) + 1, len(frame) - 1)
+        expect = frame[lo] + (idx - lo) * (frame[hi] - frame[lo])
+        assert abs(got[r.event_id] - expect) < 1e-9, r.event_id
