@@ -153,7 +153,9 @@ def asof_join_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
                    v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000) AS BIGINT)
                         * CAST(FLOOR(CAST(v AS DOUBLE) * 1000) AS BIGINT))),
                (a, b) -> a + b) AS q_norm2,
-           CAST(list_max(list_transform(embedding, v -> abs(v))) AS DOUBLE) AS vmax_abs
+           CAST(list_max(list_transform(embedding, v -> abs(v))) AS DOUBLE) AS vmax_abs,
+           CAST(list_sort(embedding)[3] AS DOUBLE) AS third_smallest,
+           CAST(list_sort(embedding)[CAST(len(embedding) // 2 AS INT)] AS DOUBLE) AS median_elem
     FROM embeddings
     WHERE vec_id % 7 = 0
     ORDER BY vec_id
@@ -161,8 +163,10 @@ def asof_join_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q25_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-function breadth over array<float>: size, min/max, folds
-    (sum / L2² in exact quantized integers), element-wise transform —
-    all JVM higher-order functions."""
+    (sum / L2² in exact quantized integers), element-wise transform,
+    sort + positional indexing (array_sort / element_at — stored-float
+    pass-throughs, bit-identical across engines) — all JVM higher-order
+    functions."""
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 7 == 0)
     q = F.transform(F.col("embedding"), lambda v: F.floor(v.cast("double") * 1000).cast("bigint"))
     fold = lambda arr: F.aggregate(arr, F.lit(0).cast("bigint"), lambda a, b: a + b)  # noqa: E731
@@ -176,6 +180,12 @@ def q25_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max(F.transform(F.col("embedding"), lambda v: F.abs(v)))
         .cast("double")
         .alias("vmax_abs"),
+        F.element_at(F.array_sort("embedding"), 3).cast("double").alias("third_smallest"),
+        F.element_at(
+            F.array_sort("embedding"), (F.size("embedding") / 2).cast("int")
+        )
+        .cast("double")
+        .alias("median_elem"),
     ).orderBy("vec_id")
 
 
