@@ -153,3 +153,46 @@ def test_dat_reader_roundtrip_any_shape(spark, tmp_path_factory, shape, seed):
         for r in rows_out:
             got[r["i"], r["j"]] = r["v"]
     assert (got == arr).all()
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    pts=st.lists(st.integers(min_value=-100, max_value=100), min_size=1, max_size=20),
+    ivs=st.lists(
+        st.tuples(
+            st.integers(min_value=-100, max_value=100),
+            st.integers(min_value=-30, max_value=60),  # negative => empty interval
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    width=st.integers(min_value=1, max_value=50),
+)
+def test_range_join_equals_python_any_input(spark, pts, ivs, width):
+    """Bucketized range join == a plain Python double loop for arbitrary
+    points, intervals (including empty/negative-length), and widths —
+    negative coordinates exercise floor-division bucketing of `div`."""
+    from pyspark.sql import functions as F
+
+    from emulating_hadoop_with_mpi_spark.operators.rangejoin import range_join
+
+    points = spark.createDataFrame(
+        [(i, int(p)) for i, p in enumerate(pts)], "pid int, p long"
+    )
+    intervals = spark.createDataFrame(
+        [(j, int(s), int(s + d)) for j, (s, d) in enumerate(ivs)],
+        "iv_id int, start long, end long",
+    )
+    got = {
+        (r.pid, r.iv_id)
+        for r in range_join(
+            points, intervals, "p", "start", "end", bucket_width=width
+        ).collect()
+    }
+    expect = {
+        (i, j)
+        for i, p in enumerate(pts)
+        for j, (s, d) in enumerate(ivs)
+        if s <= p < s + d
+    }
+    assert got == expect
