@@ -196,3 +196,37 @@ def test_range_join_equals_python_any_input(spark, pts, ivs, width):
         if s <= p < s + d
     }
     assert got == expect
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    docs=st.dictionaries(
+        st.integers(min_value=0, max_value=5000),  # sparse ids across ranges
+        st.integers(min_value=0, max_value=12),  # zero-token docs drop out
+        min_size=1,
+        max_size=25,
+    ),
+    budget=st.integers(min_value=1, max_value=40),
+)
+def test_pack_sequences_equals_python_any_input(spark, docs, budget):
+    """Distributed prefix-sum packing == sequential Python end-aligned
+    binning for arbitrary doc-id/length sets and budgets (ids sparse
+    across PACK_RANGE_SPAN ranges exercise the offset join)."""
+    from emulating_hadoop_with_mpi_spark.functions.text import pack_sequences
+
+    rows = [(d, " ".join(["w"] * n)) for d, n in docs.items()]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.bin_id, r.bin_fill)
+        for r in pack_sequences(df, budget=budget).collect()
+    }
+    cum, fills, expect = 0, {}, set()
+    for d in sorted(docs):
+        n = docs[d]
+        if n == 0:
+            continue
+        cum += n
+        b = (cum - 1) // budget
+        fills[b] = fills.get(b, 0) + n
+        expect.add((d, b, fills[b]))
+    assert got == expect
