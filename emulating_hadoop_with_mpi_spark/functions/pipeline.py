@@ -26,7 +26,9 @@ from emulating_hadoop_with_mpi_spark.functions.text import (
 
 # chunk_id = doc_id * FACTOR + chunk_idx: keeps one sortable key through
 # packing so bins preserve document locality (a doc's chunks pack
-# adjacently), and decodes back without a join.
+# adjacently), and decodes back without a join.  The encoding is GUARDED:
+# any chunk_idx >= factor raises inside the plan (distributed assert_true,
+# no extra action) instead of silently colliding with the next doc_id.
 CHUNK_ID_FACTOR = 1 << 20
 
 DEFAULT_SPLITS = {"train": 0.9, "val": 0.05, "test": 0.05}
@@ -40,6 +42,7 @@ def curate_corpus(
     budget: int = 256,
     splits: dict[str, float] | None = None,
     salt: str = "",
+    chunk_id_factor: int = CHUNK_ID_FACTOR,
 ) -> DataFrame:
     """Chunk-level curated table: (doc_id, chunk_idx, chunk_id, split,
     n_tokens, bin_id, bin_fill, chunk_text).
@@ -47,7 +50,11 @@ def curate_corpus(
     - quality gate: keep docs with quality >= min_quality (exact integer
       scoring, functions/text.quality_scores);
     - exact dedup: one hash shuffle, winner = lowest doc_id per identical
-      text (the q70 rule);
+      text (the q70 rule).  TRULY exact: the group key is (xxhash64(text),
+      text), so a 64-bit hash collision between distinct documents cannot
+      silently merge them — map-side partial aggregation still collapses
+      the duplicate copies before the shuffle, and within each hash bucket
+      the text itself disambiguates;
     - split: hashed on the ORIGINAL doc_id, so every chunk of a document
       (and every exact duplicate, post-dedup trivially) lands in the same
       split — the train/test-leakage guard a row-level random split lacks;
@@ -65,24 +72,46 @@ def curate_corpus(
     kept = docs.join(scored, "doc_id").filter(F.col("quality") >= min_quality)
 
     hashed = kept.withColumn("__h", F.xxhash64("text"))
-    winners = hashed.groupBy("__h").agg(F.min("doc_id").alias("doc_id"))
-    uniq = hashed.join(winners, ["__h", "doc_id"], "left_semi").drop("__h")
+    # group by (hash, text): exact even under 64-bit collisions.  doc_ids
+    # are unique, so the semi-join back on (hash, winner doc_id) alone is
+    # sufficient to select exactly the winner rows.
+    winners = hashed.groupBy("__h", "text").agg(F.min("doc_id").alias("doc_id"))
+    uniq = hashed.join(
+        winners.select("__h", "doc_id"), ["__h", "doc_id"], "left_semi"
+    ).drop("__h")
 
     chunks = chunk_documents(uniq, window=window, stride=stride).withColumn(
         "split", split_column("doc_id", splits, salt=salt)
     )
+    # Distributed overflow guard at zero extra actions: the encoding is
+    # NULL iff chunk_idx >= factor, and coalesce only then reaches the
+    # assert_true — whose (false) condition raises in the executor with a
+    # row-specific message instead of silently colliding chunk_ids.
+    in_range = F.col("chunk_idx") < F.lit(chunk_id_factor)
+    guard = F.assert_true(
+        in_range,
+        F.format_string(
+            f"chunk_idx %s overflows the chunk_id encoding (factor {chunk_id_factor}); "
+            "raise chunk_id_factor or shorten documents",
+            F.col("chunk_idx"),
+        ),
+    )
+    encoded = F.coalesce(
+        F.when(in_range, F.col("doc_id") * chunk_id_factor + F.col("chunk_idx")),
+        guard.cast("long"),
+    )
     as_docs = chunks.select(
         "split",
-        (F.col("doc_id") * CHUNK_ID_FACTOR + F.col("chunk_idx")).alias("doc_id"),
+        encoded.alias("doc_id"),
         F.col("chunk_text").alias("text"),
     )
     packed = pack_sequences(as_docs, budget=budget, group_col="split").select(
         "split", F.col("doc_id").alias("chunk_id"), "n_tokens", "bin_id", "bin_fill"
     )
     return (
-        packed.withColumn("doc_id", F.expr(f"chunk_id div {CHUNK_ID_FACTOR}"))
+        packed.withColumn("doc_id", F.expr(f"chunk_id div {chunk_id_factor}"))
         .withColumn(
-            "chunk_idx", F.pmod("chunk_id", F.lit(CHUNK_ID_FACTOR)).cast("int")
+            "chunk_idx", F.pmod("chunk_id", F.lit(chunk_id_factor)).cast("int")
         )
         .join(
             chunks.select("doc_id", "chunk_idx", "chunk_text"),

@@ -25,11 +25,11 @@ def split_column(key_col: str | Column, splits: dict[str, float], salt: str = ""
     in (key, salt): re-runs, repartitions, and different cluster sizes all
     produce the identical assignment; change ``salt`` to draw a fresh
     independent split."""
+    if not splits:
+        raise ValueError("splits must be non-empty")
     total = sum(splits.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"split fractions must sum to 1 (got {total})")
-    if not splits:
-        raise ValueError("splits must be non-empty")
     key = F.col(key_col) if isinstance(key_col, str) else key_col
     bucket = F.pmod(F.xxhash64(key, F.lit(salt)), F.lit(SPLIT_DENOM))
     expr = None

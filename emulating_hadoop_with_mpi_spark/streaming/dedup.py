@@ -89,7 +89,23 @@ class IncrementalMinHash:
         spark = batch_docs.sparkSession
         if not batch_docs.head(1):
             return
-        sigs = minhash_signatures(shingles_df(batch_docs)).cache()
+        # First-appearance semantics END-TO-END: a doc_id that was already
+        # ingested (possibly with different text — upstream mutation or a
+        # corrupted replay) is a no-op, so signatures, band buckets, and
+        # candidate pairs can never disagree about which text a doc_id
+        # means.  One anti-join against the signature store's doc_ids.
+        if os.path.isdir(self.sig_dir):
+            seen = spark.read.parquet(self.sig_dir).select("doc_id")
+            batch_docs = batch_docs.join(seen, "doc_id", "left_anti")
+            if not batch_docs.head(1):
+                return
+        # localCheckpoint (eager), NOT cache: this batch's lineage reads
+        # sig_dir (the anti-join) and step 1 below APPENDS to sig_dir, so a
+        # later job that re-evaluated the lineage instead of hitting the
+        # cache would re-list the directory, see the batch's own rows, and
+        # anti-join the whole batch away.  Checkpointing cuts the lineage —
+        # batch-sized state on executors, safe at any corpus scale.
+        sigs = minhash_signatures(shingles_df(batch_docs)).localCheckpoint()
         new_buckets = _band_buckets(sigs)
 
         # 1+2: upsert signatures and buckets (append + batch_id; readers
@@ -121,20 +137,26 @@ class IncrementalMinHash:
             .withColumn("batch_id", F.lit(batch_id))
         )
         pairs.write.mode("append").parquet(self.cand_dir)
-        sigs.unpersist()
 
     # -- state readers ------------------------------------------------------
     @staticmethod
     def _read_first_appearance(spark: SparkSession, path: str, key: str) -> DataFrame:
+        """All rows of each `key`'s FIRST batch (e.g. every band-bucket row
+        a doc_id wrote on first ingest).  Partitioning by `key` — not by
+        all payload columns — is what keeps a doc_id that reappears with
+        different text consistent: its later (different) rows are dropped
+        wholesale instead of interleaving two generations of state.
+        distinct() absorbs replayed appends of the same batch."""
         df = spark.read.parquet(path)
-        w_cols = [c for c in df.columns if c != "batch_id"]
+        out_cols = [c for c in df.columns if c != "batch_id"]
         from pyspark.sql import Window
 
-        w = Window.partitionBy(*w_cols).orderBy("batch_id")
+        w = Window.partitionBy(key)
         return (
-            df.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select(*w_cols)
+            df.withColumn("__first", F.min("batch_id").over(w))
+            .filter(F.col("batch_id") == F.col("__first"))
+            .select(*out_cols)
+            .distinct()
         )
 
     def signatures(self, spark: SparkSession) -> DataFrame:

@@ -122,3 +122,33 @@ def test_curated_bins_are_split_pure(spark, sf_dir):
         .count()
     )
     assert impure == 0
+
+
+def test_chunk_id_overflow_guard_raises(spark, sf_dir):
+    """ADVICE r3: chunk_id = doc_id * factor + chunk_idx must REFUSE to
+    encode a chunk_idx >= factor (silent collision otherwise).  A tiny
+    factor forces the distributed assert_true to fire."""
+    import pytest as _pytest
+
+    docs = load_table(spark, sf_dir, "documents")
+    with _pytest.raises(Exception) as exc:
+        curate_corpus(
+            docs, window=8, stride=4, budget=16, chunk_id_factor=2
+        ).count()
+    assert "overflows the chunk_id encoding" in str(exc.value)
+
+
+def test_exact_dedup_groups_by_hash_and_text(spark):
+    """ADVICE r3: the pipeline's exact dedup must group by (hash, text),
+    not hash alone — the plan itself must carry the text in the dedup
+    aggregate so a 64-bit xxhash64 collision cannot merge distinct docs."""
+    long_text = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    other = "one two three four five six seven eight nine ten " * 4
+    docs = spark.createDataFrame(
+        [(1, long_text), (2, long_text), (3, other)], "doc_id long, text string"
+    )
+    cur = curate_corpus(docs, min_quality=0.0, window=8, stride=8, budget=64)
+    assert set(r.doc_id for r in cur.collect()) == {1, 3}
+    # plan-shape pin: some hash aggregate groups on the raw text column
+    plan = cur._jdf.queryExecution().optimizedPlan().toString()
+    assert "xxhash64" in plan and "text" in plan

@@ -93,3 +93,12 @@ def test_rollup_cascade_rejects_bad_resolution(spark, sf_dir):
         time_bucket_agg(ev, 0)
     with pytest.raises(ValueError):
         coarsen_buckets(time_bucket_agg(ev, 3600), -1)
+
+
+def test_split_column_empty_splits_raises():
+    import pytest as _pytest
+
+    from emulating_hadoop_with_mpi_spark.functions.sampling import split_column
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        split_column("doc_id", {})

@@ -271,3 +271,64 @@ def test_incremental_minhash_equals_batch(spark, sf_dir, tmp_path):
     )
     inc_cands = sorted((r.doc_a, r.doc_b) for r in inc.candidates(spark).collect())
     assert inc_cands == batch_cands, "incremental candidate union != batch candidates"
+
+
+def test_incremental_minhash_first_appearance_wins(spark, tmp_path):
+    """ADVICE r3 (streaming/dedup.py): a doc_id that reappears in a later
+    micro-batch with DIFFERENT text must be a no-op — signatures, band
+    buckets, and candidates all keep the first-appearance text, mutually
+    consistent."""
+    from emulating_hadoop_with_mpi_spark.functions.dedup import (
+        lsh_candidates,
+        minhash_signatures,
+        shingles_df,
+    )
+    from emulating_hadoop_with_mpi_spark.streaming.dedup import run_incremental_dedup
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    text_a = "the quick brown fox jumps over the lazy dog again and again"
+    text_mut = "completely different replacement payload with no shared trigrams here"
+    text_a_near = "the quick brown fox jumps over the lazy dog again and again today"
+    replay = tmp_path / "replay"
+    replay.mkdir()
+    b0 = spark.createDataFrame(
+        [(1, text_a, "en", "s", 10), (2, "unrelated filler words apple pear plum", "en", "s", 10)],
+        schema,
+    )
+    b1 = spark.createDataFrame(
+        [(1, text_mut, "en", "s", 10), (3, text_a_near, "en", "s", 10)], schema
+    )
+    b0.coalesce(1).write.parquet(str(replay / "b0"))
+    b1.coalesce(1).write.parquet(str(replay / "b1"))
+    # flatten to ordered files so the file stream replays b0 before b1
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    for i, d in enumerate(("b0", "b1")):
+        src = _glob.glob(str(replay / d / "*.parquet"))[0]
+        dst = str(replay / f"part-{i:03d}.parquet")
+        _shutil.move(src, dst)
+        _os.utime(dst, (1_000_000 + i * 1000, 1_000_000 + i * 1000))
+        _shutil.rmtree(str(replay / d))
+
+    inc = run_incremental_dedup(spark, str(replay), str(tmp_path / "state"))
+
+    # expected corpus under first-appearance semantics: doc1 keeps text_a
+    expected_docs = spark.createDataFrame(
+        [(1, text_a), (2, "unrelated filler words apple pear plum"), (3, text_a_near)],
+        "doc_id long, text string",
+    )
+    exp_sigs = minhash_signatures(shingles_df(expected_docs))
+    got_sigs = inc.signatures(spark)
+    assert sorted(map(tuple, got_sigs.select(*exp_sigs.columns).collect())) == sorted(
+        map(tuple, exp_sigs.collect())
+    )
+    # (1,3) is a near-dup under text_a but NOT under the mutated text —
+    # its presence proves first-appearance text drives the buckets
+    cands = sorted((r.doc_a, r.doc_b) for r in inc.candidates(spark).collect())
+    exp_cands = sorted(
+        (r.doc_a, r.doc_b) for r in lsh_candidates(exp_sigs).collect()
+    )
+    assert cands == exp_cands
+    assert (1, 3) in cands
