@@ -12,7 +12,9 @@ SPARK_JARS=$(python -c "import pyspark, os; print(os.path.join(os.path.dirname(p
 CLASSES=target/classes
 rm -rf "$CLASSES" && mkdir -p "$CLASSES"
 
-java -cp "$SPARK_JARS/scala-compiler-2.13.17.jar:$SPARK_JARS/scala-library-2.13.17.jar:$SPARK_JARS/scala-reflect-2.13.17.jar" \
+# resolve the wheel's scala toolchain jars by glob — version-agnostic
+SCALA_CP=$(ls "$SPARK_JARS"/scala-compiler-*.jar "$SPARK_JARS"/scala-library-*.jar "$SPARK_JARS"/scala-reflect-*.jar | paste -sd:)
+java -cp "$SCALA_CP" \
   scala.tools.nsc.Main \
   -classpath "$SPARK_JARS/*" \
   -d "$CLASSES" \
