@@ -8,10 +8,12 @@ One place to encode the session defaults the engine relies on:
 - Arrow-backed Python↔JVM transfer for the few Pandas-UDF code paths.
 - UTC session timezone so timestamp semantics line up with the DuckDB
   oracle (both treat the driver tables' timestamps as naive/UTC).
-- ``spark.sql.legacy.parquet.nanosAsLong`` — the driver's ``events.ts`` is
-  parquet TIMESTAMP(NANOS); Spark has no nanosecond timestamp type, so we
-  read it as a long and convert to microseconds in the loader
-  (DuckDB likewise truncates ns → µs, keeping the oracle aligned).
+- ``spark.sql.legacy.parquet.nanosAsLong`` — kept on defensively: some
+  writers emit ``events.ts`` as parquet TIMESTAMP(NANOS), which Spark can
+  only scan as a long (no ns timestamp type).  The loader normalizes that
+  long — and naive-µs TIMESTAMP_NTZ scans alike — to a UTC ``timestamp``
+  (``sources/tables.py:_normalize_ts``), so downstream code is agnostic to
+  the writer's choice.
 
 Tests and bench run on ``local[N]``; on a real cluster the same builder is
 used with master/deploy settings supplied by spark-submit.

@@ -9,9 +9,13 @@ split planning the reference hand-rolled in ``sendInputToMappers``
 Scale notes (100 TB design intent):
 - Everything goes through ``spark.read.parquet`` → columnar scan, predicate
   pushdown and column pruning are available to every downstream operator.
-- ``events.ts`` arrives as parquet TIMESTAMP(NANOS); with
-  ``spark.sql.legacy.parquet.nanosAsLong=true`` it scans as a long which we
-  convert to a µs timestamp *after* the scan — a cheap projection, no UDF.
+- ``events.ts`` arrives in whatever physical type the writer chose — the
+  driver has produced both TIMESTAMP(NANOS) and naive TIMESTAMP(MICROS)
+  parquet across rounds.  ``load_table`` normalizes *every* variant to a
+  session-tz (UTC) ``timestamp`` right after the scan: a cheap projection,
+  no UDF, and downstream operators never see writer variation.  This is the
+  schema-on-read duty the reference skipped by hard-coding filename parsing
+  (``program.c:34-43``).
 """
 
 from __future__ import annotations
@@ -41,18 +45,38 @@ BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # Defensive for sessions WE didn't build (e.g. the driver's): the
-        # nanos-as-long switch is required to scan TIMESTAMP(NANOS) parquet
-        # at all, and UTC keeps F.window/time-bucket alignment identical to
-        # the oracle.  Both are runtime-settable SQL confs.
+        # nanos-as-long switch is required if the writer chose
+        # TIMESTAMP(NANOS) parquet, and UTC keeps F.window/time-bucket
+        # alignment identical to the oracle.  Both are runtime-settable.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    if name == "events":
+        df = _normalize_ts(df)
+    return df
+
+
+def _normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize ``col`` to a session-tz ``timestamp`` regardless of how the
+    parquet writer encoded it.
+
+    Writers vary: TIMESTAMP(NANOS) scans as ``bigint`` under the
+    nanos-as-long conf, naive TIMESTAMP(MICROS) scans as ``timestamp_ntz``
+    (Spark 4), and tz-adjusted MICROS/MILLIS scan as ``timestamp`` already.
+    All downstream epoch math (``F.unix_micros``, window buckets, as-of /
+    range joins) requires plain ``timestamp``.
+    """
+    dtype = dict(df.dtypes).get(col)
+    if dtype == "bigint":
         # nanos-as-long → µs timestamp.  INTEGER division (`div`), not
         # floor(double/1000): epoch-ns values (~1.7e18) exceed double's
         # 53-bit mantissa, so fp division is off by ±1µs on some rows.
         # Truncating integer division matches DuckDB's ns→µs cast.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if dtype == "timestamp_ntz":
+        # Naive micros: under the UTC session tz this cast maps wall-clock
+        # to the identical instant DuckDB's CAST(ts AS TIMESTAMP) computes.
+        return df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

@@ -36,7 +36,7 @@ from pyspark.sql.types import (
 EVENTS_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # parquet TIMESTAMP(NANOS) scans as long
+        StructField("ts", LongType()),  # epoch-ns INT64 (replay staging writes this)
         StructField("user_id", LongType()),
         StructField("event_type", StringType()),
         StructField("value", DoubleType()),
