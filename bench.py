@@ -65,22 +65,38 @@ def main() -> None:
     # warm the JVM + file listing with a trivial action
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
-    def run_timed(build) -> float:
-        """min of two runs — steady-state, less single-JVM JIT/GC noise"""
-        best = float("inf")
-        for _ in range(2):
+    samples: dict[str, list[float]] = {}
+    errors: dict[str, str] = {}
+
+    def run_timed(build, label: str | None = None) -> float:
+        """min of three runs — steady-state, less single-JVM JIT/GC noise.
+        All per-leg samples are recorded into the JSON so a ratchet reader
+        can tell noise (one bad leg) from regression (all legs slow)."""
+        legs: list[float] = []
+        for _ in range(3):
             t0 = time.perf_counter()
             build().write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
+            legs.append(round(time.perf_counter() - t0, 3))
         # queries that cache intermediates (q72/q73) must not carry memory
         # pressure into the next measurement
         spark.catalog.clearCache()
-        return round(best, 3)
+        if label is not None:
+            samples[label] = legs
+        return min(legs)
+
+    def run_entry(label: str, build, sink: dict[str, float]) -> None:
+        """Failure-isolated: one broken query records an error entry and
+        the rest of the bench still produces numbers."""
+        try:
+            sink[label] = run_timed(build, label)
+        except Exception as e:  # noqa: BLE001 — harness must degrade per-entry
+            spark.catalog.clearCache()
+            errors[label] = f"{type(e).__name__}: {e}"[:500]
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
         q = registry[name]
-        timings[name] = run_timed(lambda: q.fn(spark, sf_dir))
+        run_entry(name, lambda: q.fn(spark, sf_dir), timings)
 
     # flagship matrix-multiply at generated scale (the reference's own job;
     # 768^3 = 906M scalar products vs its 32^3 default)
@@ -93,7 +109,7 @@ def main() -> None:
     ):
         a = generate_matrix_df(spark, n, n, seed=1, num_partitions=int(cpus))
         b = generate_matrix_df(spark, n, n, seed=2, num_partitions=int(cpus))
-        timings[label] = run_timed(lambda: fn(a, b))
+        run_entry(label, lambda: fn(a, b), timings)
 
     # .dat scan + multiply end-to-end: times the vectorized binary reader
     # (sources/matrix.py byte-range splits + Arrow batches) on the
@@ -114,14 +130,14 @@ def main() -> None:
         pb = write_matrix_dat(
             rng.integers(0, 100, (768, 768), dtype=np.int32), dat_dir, 2
         )
-        extras["matmul_dat_768"] = run_timed(lambda: multiply_dat_files(spark, pa, pb))
+        run_entry("matmul_dat_768", lambda: multiply_dat_files(spark, pa, pb), extras)
 
     # Training-batch assembly ops (q85/q86, registered late round 3): in
     # extras, not the ratcheted headline basket, to keep the 22-entry
     # basket comparable across rounds.
     for name in ("q85_chunk_documents", "q86_pack_sequences"):
         q = registry[name]
-        extras[name] = run_timed(lambda: q.fn(spark, sf_dir))
+        run_entry(name, lambda: q.fn(spark, sf_dir), extras)
 
     # The full curation composition (functions/pipeline.py): quality gate
     # -> exact dedup -> leakage-safe split -> chunk -> grouped pack ->
@@ -130,7 +146,7 @@ def main() -> None:
     from emulating_hadoop_with_mpi_spark.sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    extras["pipeline_curate"] = run_timed(lambda: curate_corpus(docs))
+    run_entry("pipeline_curate", lambda: curate_corpus(docs), extras)
 
     total = round(sum(timings.values()), 3)
 
@@ -141,24 +157,24 @@ def main() -> None:
     # Like matmul_dat_768, reported under "extras", NOT in the headline
     # total, so the ratcheted total stays comparable across rounds (same
     # 22-entry basket).
-    extras.update(bench_skew_join(spark, run_timed, rows=16_000_000))
+    extras.update(bench_skew_join(spark, run_timed, run_entry, rows=16_000_000))
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "extras": extras,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "extras": extras,
+        "samples": samples,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 
-def bench_skew_join(spark, run_timed, rows: int = 4_000_000) -> dict[str, float]:
+def bench_skew_join(spark, run_timed, run_entry, rows: int = 4_000_000) -> dict[str, float]:
     """Three legs over the same skewed join (reference worst case — its
     contiguous key ranges put the whole hot key on one rank,
     program.c:378-413):
@@ -213,7 +229,7 @@ def bench_skew_join(spark, run_timed, rows: int = 4_000_000) -> dict[str, float]
         for k, v in confs.items():
             spark.conf.set(k, v)
         try:
-            out[label] = run_timed(build)
+            run_entry(label, build, out)
         finally:
             for k, v in saved.items():
                 if v is None:

@@ -55,3 +55,36 @@ def test_salted_join_left_keeps_unmatched(spark):
     plain = big.join(small, "k", "left").count()
     salted = salted_join(big, small, "k", how="left").count()
     assert plain == salted == 5000
+
+
+def test_salting_structurally_spreads_hot_key(spark):
+    """Structural (not wall-clock) proof that salting fixes the skew: after
+    hashing on (k, __salt) the hot key's rows land in ~`salt` partitions of
+    ~rows/salt each, while the unsalted hash puts ~90% of all rows in ONE
+    partition.  Wall-clock differences are noise on local[4]; partition row
+    counts via spark_partition_id are deterministic."""
+    n, salt, parts = 40_000, 16, 32
+    big = _skewed(spark, n)  # 90% of rows share k=7
+    hot_rows = big.filter(F.col("k") == 7).count()
+
+    def max_partition_rows(df, keys):
+        sizes = (
+            df.repartition(parts, *keys)
+            .groupBy(F.spark_partition_id().alias("pid"))
+            .count()
+            .collect()
+        )
+        return max(r["count"] for r in sizes)
+
+    unsalted_max = max_partition_rows(big, ["k"])
+    salted = big.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt)).cast("int")
+    )
+    salted_max = max_partition_rows(salted, ["k", "__salt"])
+
+    # unsalted: the whole hot key in one partition
+    assert unsalted_max >= hot_rows
+    # salted: no partition holds more than ~2x the ideal rows/salt share of
+    # the hot key (xxhash spread is uniform-ish, 2x is generous slack)
+    assert salted_max <= 2 * hot_rows / salt + (n - hot_rows)
+    assert salted_max < unsalted_max / 4
