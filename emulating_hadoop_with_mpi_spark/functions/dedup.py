@@ -132,9 +132,12 @@ _SQL_SHINGLES = f"""
 """
 
 
-@query(
-    "q72_ngram_jaccard_pairs",
-    oracle=f"""
+# Shared by q72 (computes exactly this) and q73 (MinHash-LSH candidates +
+# exact verification provably reproduce the same answer — P(LSH misses a
+# J>=0.8 pair) ~= 5e-8, and equality on the driver data is additionally
+# pinned in tests/test_pipeline_ops.py — so the exact-pairs SQL is a true
+# oracle for BOTH paths).
+_EXACT_JACCARD_ORACLE = f"""
     WITH ds AS ({_SQL_SHINGLES}),
     cnt AS (SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY doc_id),
     pairs AS (
@@ -149,8 +152,10 @@ _SQL_SHINGLES = f"""
     JOIN cnt cb ON doc_b = cb.doc_id
     WHERE {JACCARD_THRESHOLD_NUM} * n_common >= ca.n + cb.n
     ORDER BY doc_a, doc_b
-    """,
-)
+    """
+
+
+@query("q72_ngram_jaccard_pairs", oracle=_EXACT_JACCARD_ORACLE)
 def q72_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram-Jaccard near-dup pairs (J ≥ 0.5 tested in integers:
     3·common ≥ |A|+|B|) via a direct shingle self-join + count aggregate —
@@ -271,13 +276,19 @@ def lsh_candidates(sigs: DataFrame, bands: int = BANDS, rows: int = ROWS_PER_BAN
     )
 
 
-@query("q73_minhash_lsh_neardup")  # xxhash64-based — no SQL oracle; see tests/test_pipeline_ops.py
+@query("q73_minhash_lsh_neardup", oracle=_EXACT_JACCARD_ORACLE)
 def q73_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(128) + LSH(32 bands × 4 rows) near-dup detection with exact
     Jaccard verification of candidates (J ≥ 0.5).  Same output contract as
     q72 but near-linear: candidates are generated by bucket joins instead
     of the full shingle self-join.  At 100 TB this is the dedup operator:
-    O(corpus) signature pass + bucket-collision verification."""
+    O(corpus) signature pass + bucket-collision verification.
+
+    Oracle-checked against the EXACT pairs SQL (shared with q72): the
+    verify stage computes true Jaccard on every candidate, so the only way
+    to diverge from the exact answer is an LSH recall miss — ~5e-8 at the
+    planted J≥0.8, and hash-equality holds on the driver corpus (also
+    pinned Spark-side in tests/test_pipeline_ops.py)."""
     docs = load_table(spark, sf_dir, "documents")
     ds = shingles_df(docs).cache()
     # ONE shuffle of the shingle set produces both the MinHash signatures

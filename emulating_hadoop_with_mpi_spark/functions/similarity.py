@@ -5,15 +5,15 @@
   products and norms are exact BIGINT math in both engines; only the final
   cosine = dot/sqrt(na·nb) touches floating point (identical doubles in,
   identical doubles out).
-- q76: brute-force cosine top-k for a set of query vectors — the ANN
-  baseline: broadcast the queries, one pass over the corpus, zip_with dot
-  products in JVM expressions, per-query window top-k.  O(Q·N·d) with no
-  shuffle of the corpus — this is exactly how you'd run it on 100 TB of
-  vectors (queries broadcast; corpus scanned once).
-- q77: LSH-bucketed ANN (random signed hyperplanes → 16-bit code →
-  search only same-bucket candidates).  The scale path when Q is large:
-  corpus is bucketed once, each query probes one bucket.  Rows-only for
-  the driver; tests/test_pipeline_ops.py measures recall vs q76.
+- q76: exact cosine top-k computed two ways under one oracle — 'brute'
+  (broadcast the queries, one pass over the corpus, zip_with dot products
+  in JVM expressions, per-query window top-k; O(Q·N·d), no corpus
+  shuffle — exactly how you'd brute-force 100 TB) and 'ivf_full' (the
+  trained IVF index probed exhaustively).  The driver's value-hash proves
+  both equal the SQL answer.
+- q77: the APPROXIMATE scale paths — hyperplane-LSH bucketing and IVF at
+  nprobe < nlist.  Rows-only for the driver (hash/centroid internals are
+  engine-specific); tests/test_pipeline_ops.py measures recall vs brute.
 """
 
 from __future__ import annotations
@@ -96,9 +96,11 @@ def q75_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q76_cosine_topk",
-    oracle=f"""
+# The exact top-k answer in SQL, tagged twice: the driver's hash-match
+# proves BOTH Spark paths (brute broadcast scan AND exhaustive IVF at
+# nprobe == nlist) compute the identical rows — the IVF==brute equivalence
+# promoted from a pytest-only proof to driver correctness.
+_TOPK_ORACLE = f"""
     WITH q AS (SELECT vec_id, {_SQL_QVEC} AS qv FROM embeddings),
     n AS (SELECT vec_id, list_reduce(list_transform(qv, x -> x * x), (a, b) -> a + b) AS norm2
           FROM q),
@@ -111,16 +113,21 @@ def q75_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM q qs JOIN q c ON qs.vec_id < {TOPK_QUERIES} AND c.vec_id <> qs.vec_id
         JOIN n nq ON qs.vec_id = nq.vec_id
         JOIN n nc ON c.vec_id = nc.vec_id
+    ),
+    topk AS (
+        SELECT query_id, neighbor_id, cosine, CAST(rnk AS INT) AS rnk FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY cosine DESC, neighbor_id) AS rnk
+            FROM scored
+        ) WHERE rnk <= {TOPK_K}
     )
-    SELECT query_id, neighbor_id, cosine, CAST(rnk AS INT) AS rnk FROM (
-        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                                     ORDER BY cosine DESC, neighbor_id) AS rnk
-        FROM scored
-    ) WHERE rnk <= {TOPK_K}
-    ORDER BY query_id, rnk
-    """,
-)
-def q76_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    SELECT m.method, query_id, neighbor_id, cosine, rnk
+    FROM topk CROSS JOIN (VALUES ('brute'), ('ivf_full')) m(method)
+    ORDER BY m.method, query_id, rnk
+    """
+
+
+def brute_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k: broadcast Q query vectors against one scan
     of the corpus (no corpus shuffle), exact integer dots, per-query
     window top-k on the ROUNDED cosine (ties broken by neighbor_id so the
@@ -155,6 +162,32 @@ def q76_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOPK_K)
         .orderBy("query_id", "rnk")
     )
+
+
+@query("q76_cosine_topk", oracle=_TOPK_ORACLE)
+def q76_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k computed TWO ways over one output contract,
+    tagged by `method`:
+
+    - 'brute':    one broadcast-join scan of the corpus (q75/q76 family
+                  baseline — how you'd brute-force 100 TB: queries
+                  broadcast, corpus scanned once, no corpus shuffle).
+    - 'ivf_full': the trained IVF index probed exhaustively
+                  (nprobe == nlist) — every cell searched, so the result
+                  must equal brute force exactly.
+
+    The single SQL oracle emits the exact answer under both tags, so the
+    driver's value-hash proves the IVF machinery (centroid training, cell
+    assignment, probe ordering, candidate scoring) reproduces the exact
+    top-k — the equivalence that justifies trusting IVF at nprobe < nlist
+    (the approximate scale path, registered as q77's 'ivf' branch)."""
+    brute = brute_cosine_topk(spark, sf_dir).select(
+        F.lit("brute").alias("method"), "query_id", "neighbor_id", "cosine", "rnk"
+    )
+    ivf_full = ivf_topk(spark, sf_dir, nprobe=IVF_NLIST).select(
+        F.lit("ivf_full").alias("method"), "query_id", "neighbor_id", "cosine", "rnk"
+    )
+    return brute.unionAll(ivf_full).orderBy("method", "query_id", "rnk")
 
 
 def _hyperplane_sign(plane: int, dim: int) -> int:
@@ -380,8 +413,9 @@ def q77_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     one coding pass), 'ivf' = trained inverted-file cells with nprobe
     probing (index pays off when queried repeatedly).  Rows-only driver
     check (hyperplane signs / trained centroids are engine-specific);
-    tests measure each branch's recall against brute-force q76, and pin
-    IVF == brute force at nprobe == nlist.  The IVF branch's centroid
+    tests measure each branch's recall against the brute-force baseline;
+    IVF == brute at nprobe == nlist is driver-hash-checked as q76's
+    'ivf_full' branch.  The IVF branch's centroid
     training runs a bounded k-means sync (nlist rows to the driver per
     Lloyd step) at plan-build time — the standard IVF train/search split."""
     lsh = q77_ann_lsh_topk(spark, sf_dir).select(

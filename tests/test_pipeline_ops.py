@@ -21,7 +21,7 @@ from emulating_hadoop_with_mpi_spark.functions.multimodal import (
 from emulating_hadoop_with_mpi_spark.functions.similarity import (
     TOPK_K,
     TOPK_QUERIES,
-    q76_cosine_topk,
+    brute_cosine_topk,
     q77_ann_lsh_topk,
 )
 
@@ -58,7 +58,7 @@ def test_ann_lsh_is_honest_vs_brute(spark, sf_dir):
     even true top-10 'neighbors' sit at cosine ≈0.4 — far from collinear —
     and differ in ~6 of 16 code bits.  Recall on genuinely-near pairs is
     what LSH promises; tested separately below.)"""
-    brute = q76_cosine_topk(spark, sf_dir).collect()
+    brute = brute_cosine_topk(spark, sf_dir).collect()
     ann = q77_ann_lsh_topk(spark, sf_dir).collect()
     brute_sets = {}
     for r in brute:
@@ -292,7 +292,7 @@ def test_ivf_topk_exhaustive_equals_brute_force(spark, sf_dir):
     from emulating_hadoop_with_mpi_spark.functions.similarity import IVF_NLIST, ivf_topk
     from emulating_hadoop_with_mpi_spark.registry import all_queries
 
-    brute = all_queries()["q76_cosine_topk"].fn(spark, sf_dir)
+    brute = brute_cosine_topk(spark, sf_dir)
     ivf = ivf_topk(spark, sf_dir, nprobe=IVF_NLIST)
     b = [(r.query_id, r.rnk, r.neighbor_id, r.cosine) for r in brute.collect()]
     g = [(r.query_id, r.rnk, r.neighbor_id, r.cosine) for r in ivf.collect()]
@@ -312,7 +312,7 @@ def test_ivf_topk_partial_probe_recall_and_cost(spark, sf_dir):
     )
     from emulating_hadoop_with_mpi_spark.registry import all_queries
 
-    brute = all_queries()["q76_cosine_topk"].fn(spark, sf_dir)
+    brute = brute_cosine_topk(spark, sf_dir)
     ivf = ivf_topk(spark, sf_dir)  # default nprobe=4 of 16
     b = {(r.query_id, r.neighbor_id) for r in brute.collect()}
     g = {(r.query_id, r.neighbor_id) for r in ivf.collect()}
