@@ -5,11 +5,14 @@ metadata, processed by Arrow-batched Pandas functions via mapInPandas —
 the Spark-side pattern for decode / feature-extract / resize / frame-sample
 stages in a training-data pipeline.
 
-The actual media decode is STUBBED (no PIL/ffmpeg in this container):
-``decode_media`` tries the real libraries and otherwise falls back to a
-clearly-marked deterministic fake that derives pseudo-features from the
-bytes.  Everything around the stub — binary schema, metadata struct,
-mapInPandas batch shape, partitioning — is real and tested.
+Image decode is REAL for real image bytes: PIL full decode when the
+library is importable, else pure-stdlib header parsing (PNG IHDR / GIF
+LSD / JPEG SOFn) — tested against PNG/GIF/JPEG files synthesized
+in-process.  Non-image payloads (and this repo's synthetic text-bytes
+blobs) fall back to a clearly-marked deterministic fake; audio/video
+demuxing stays stubbed (no ffmpeg in this container).  Everything around
+the decode — binary schema, metadata struct, mapInPandas batch shape,
+partitioning — is real and tested.
 
 Scale notes: binary payloads ride the columnar scan like any other column;
 mapInPandas processes whole Arrow batches (no per-row Python), and feature
@@ -59,36 +62,82 @@ def _make_decoder():
     serializes it by value — Python workers must not need this package on
     their import path (the driver may launch Spark from any cwd)."""
 
+    def image_dims(payload: bytes):
+        """REAL image decode for actual image bytes: (width, height) or
+        None if the payload is not a recognizable image.
+
+        Prefers a full PIL decode when the library is importable; falls
+        back to pure-stdlib header parsing (PNG IHDR, GIF logical screen
+        descriptor, JPEG SOFn scan) so real images get real dimensions
+        even in containers without PIL.  Audio/video container demuxing
+        (ffmpeg) stays stubbed — not installed here."""
+        import struct as _struct
+
+        try:  # full decode when available
+            import io as _io
+
+            from PIL import Image  # noqa: PLC0415
+
+            try:
+                with Image.open(_io.BytesIO(payload)) as im:
+                    return int(im.width), int(im.height)
+            except Exception:
+                return None
+        except ImportError:
+            pass
+        # PNG: 8-byte signature, IHDR payload starts at offset 16
+        if payload[:8] == b"\x89PNG\r\n\x1a\n" and len(payload) >= 24:
+            w, h = _struct.unpack(">II", payload[16:24])
+            return int(w), int(h)
+        # GIF87a/89a: logical screen descriptor at offset 6, little-endian
+        if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
+            w, h = _struct.unpack("<HH", payload[6:10])
+            return int(w), int(h)
+        # JPEG: walk the marker stream to the first SOFn frame header
+        if payload[:2] == b"\xff\xd8":
+            i = 2
+            while i + 9 < len(payload):
+                if payload[i] != 0xFF:
+                    break
+                marker = payload[i + 1]
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    h, w = _struct.unpack(">HH", payload[i + 5 : i + 9])
+                    return int(w), int(h)
+                seg_len = _struct.unpack(">H", payload[i + 2 : i + 4])[0]
+                i += 2 + seg_len
+            return None
+        return None
+
     def decode_media(payload: bytes, kind: str) -> dict:
         """Decode one media payload into features.
 
-        Real decode path is NOT available in this container (no PIL/
-        librosa/ffmpeg) — it is stubbed behind an import-try.  The
-        fallback is a DETERMINISTIC FAKE: features derived arithmetically
-        from the bytes, stable across runs/partitions, so the pipeline
-        shape is testable.
-        """
+        Image payloads that are REAL images (PNG/GIF/JPEG) get their true
+        decoded dimensions via ``image_dims``.  Anything else — including
+        this repo's synthetic text-bytes payloads — takes the clearly
+        marked DETERMINISTIC FAKE: features derived arithmetically from
+        the bytes, stable across runs/partitions, so the pipeline shape
+        stays testable without media libraries (audio/video demux is not
+        available in this container)."""
         import numpy as _np
 
-        if kind.startswith("image/"):
-            try:  # pragma: no cover - not installed in this container
-                from PIL import Image  # noqa: F401
-                # STUB: a real decode (Image.open(io.BytesIO(payload))...)
-                # would go here; it is deliberately NOT wired, so even with
-                # PIL present we fall through to the deterministic fake.
-            except ImportError:
-                pass
         arr = _np.frombuffer(payload, dtype=_np.uint8)
         n = int(arr.size)
         byte_sum = int(arr.sum(dtype=_np.int64))
+        dims = image_dims(payload) if kind.startswith("image/") else None
+        if dims is not None:
+            width, height = dims
+        else:  # deterministic fake
+            width = (byte_sum % 640) + 1
+            height = (n % 480) + 1
         return {
             "n_bytes": n,
             "byte_sum": byte_sum,
-            "width": (byte_sum % 640) + 1,
-            "height": (n % 480) + 1,
+            "width": width,
+            "height": height,
             "n_frames": (byte_sum % 24) + 1 if kind.startswith("video/") else 1,
         }
 
+    decode_media.image_dims = image_dims  # expose for direct testing
     return decode_media
 
 

@@ -1,0 +1,120 @@
+"""Real-image decode tests: PNG/GIF/JPEG files are synthesized IN-PROCESS
+(pure stdlib — zlib + struct; no PIL required to build them) and must come
+back from ``decode_media`` with their true pixel dimensions, both directly
+and through the full Spark mapInPandas pipeline.  Non-image bytes keep the
+deterministic fake."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+from pyspark.sql import functions as F
+
+from emulating_hadoop_with_mpi_spark.functions.multimodal import (
+    FEATURE_SCHEMA,
+    decode_media,
+    extract_features,
+)
+
+
+def make_png(width: int, height: int) -> bytes:
+    """Minimal valid grayscale PNG, built from spec primitives."""
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    # each scanline: filter byte 0 + `width` gray pixels
+    raw = b"".join(b"\x00" + bytes((x * 7 + y) % 256 for x in range(width)) for y in range(height))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def make_gif(width: int, height: int) -> bytes:
+    """Minimal GIF89a: header + logical screen descriptor (no frames needed
+    for dimension decode)."""
+    return (
+        b"GIF89a"
+        + struct.pack("<HH", width, height)
+        + b"\x00\x00\x00"  # flags, bg color, aspect
+        + b"\x3b"  # trailer
+    )
+
+
+def make_jpeg(width: int, height: int) -> bytes:
+    """Minimal JPEG marker stream through SOF0 (enough for header decode;
+    not a renderable image, but dimension-wise spec-valid)."""
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    sof0 = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", height, width) + b"\x01\x11\x00"
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def test_png_dims_decoded():
+    assert decode_media(make_png(17, 9), "image/png")[
+        "width"
+    ] == 17 and decode_media(make_png(17, 9), "image/png")["height"] == 9
+
+
+def test_gif_dims_decoded():
+    feats = decode_media(make_gif(33, 21), "image/gif")
+    assert (feats["width"], feats["height"]) == (33, 21)
+
+
+def test_jpeg_dims_decoded():
+    feats = decode_media(make_jpeg(64, 48), "image/jpeg")
+    assert (feats["width"], feats["height"]) == (64, 48)
+
+
+def test_non_image_bytes_fall_back_to_fake():
+    payload = b"just some text, not an image"
+    feats = decode_media(payload, "image/fake")
+    assert feats["width"] == (sum(payload) % 640) + 1
+    assert feats["height"] == (len(payload) % 480) + 1
+
+
+def test_audio_kind_never_image_decoded():
+    # a PNG payload tagged audio must NOT take the image path
+    payload = make_png(5, 5)
+    feats = decode_media(payload, "audio/fake")
+    assert feats["width"] == (sum(payload) % 640) + 1
+
+
+def test_real_png_through_spark_pipeline(spark):
+    """End-to-end: real PNG bytes ride the binary column through Arrow
+    mapInPandas and come out with true dimensions."""
+    rows = [
+        (1, make_png(17, 9), ("image/png", 0, "test")),
+        (2, make_gif(33, 21), ("image/gif", 0, "test")),
+        (3, b"plain text payload", ("image/fake", 0, "test")),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, payload binary, meta struct<kind:string,n_bytes:int,source:string>"
+    )
+    out = {r.doc_id: r for r in extract_features(df).collect()}
+    assert (out[1].width, out[1].height) == (17, 9)
+    assert (out[2].width, out[2].height) == (33, 21)
+    fake = decode_media(b"plain text payload", "image/fake")
+    assert (out[3].width, out[3].height) == (fake["width"], fake["height"])
+    assert "width int" in FEATURE_SCHEMA
+
+
+def test_pil_path_when_available():
+    """When PIL is importable the full decode must agree with the header
+    parse (skipped in containers without PIL)."""
+    import pytest
+
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        pytest.skip("PIL not installed")
+    assert decode_media.image_dims(make_png(17, 9)) == (17, 9)
