@@ -168,9 +168,17 @@ def q72_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix variant here and it LOSES on this synthetic corpus: with a
     ~40-word vocabulary every shingle is common (df≈55 at sf0.1), so
     prefix filtering prunes nothing and pays extra shuffles + per-pair
-    set intersections.  The direct count-join stays in pure codegen."""
-    docs = load_table(spark, sf_dir, "documents")
-    ds = shingles_df(docs).cache()
+    set intersections.  The direct count-join stays in pure codegen.
+    The prefix-filtered sibling now exists as ``ppjoin_pairs`` (equality
+    pytest-pinned; the Zipfian crossover where it WINS is measured in
+    bench extras)."""
+    return exact_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def exact_jaccard_pairs(docs: DataFrame, ngram: int = 3) -> DataFrame:
+    """q72's body over any (doc_id, text) frame: direct shingle self-join
+    + count aggregate; exact, Σ df² cost."""
+    ds = shingles_df(docs, n=ngram).cache()
     cnt = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = ds.alias("a")
     b = ds.alias("b")
@@ -201,6 +209,84 @@ def q72_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("jaccard"),
         )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def ppjoin_pairs(docs: DataFrame, ngram: int = 3) -> DataFrame:
+    """PPJoin-style prefix-filtered EXACT Jaccard pairs (J ≥ 0.5) — the
+    scale-safe exact sibling of q72's direct shingle self-join.
+
+    Prefix filtering (Chaudhuri et al. SSJoin, Xiao et al. PPJoin, both
+    published): order every document's shingles by ascending global
+    document frequency (rarest first, shingle text as tie-break — one
+    total order for the whole corpus).  J(A,B) ≥ 0.5 implies
+    |A∩B| ≥ ⌈|A|/2⌉, so if B shares no element of A's first
+    ⌊|A|/2⌋+1 shingles, the pair can't qualify — candidates need a match
+    between PREFIXES, never full sets.  On a long-tail (Zipfian) corpus
+    the prefixes are dominated by rare shingles (tiny document frequency),
+    so candidate generation is near-linear, while the direct self-join
+    pays Σ df² on every hot shingle.  Verification computes true
+    intersection sizes on candidates only — the result is EXACTLY q72's
+    output (pinned in tests/test_ppjoin.py on both the driver corpus and
+    a synthetic Zipfian one; the crossover is measured in bench extras).
+
+    Plan shape at 100 TB: two hash aggregations (df computation, per-doc
+    rank), one equi-join on prefix shingles, one verify join — all
+    key-partitioned, no all-pairs product anywhere."""
+    from pyspark.sql import Window
+
+    ds = shingles_df(docs, n=ngram)
+    df_counts = ds.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        ds.join(df_counts, "shingle")
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("shingle"))
+            ),
+        )
+    ).cache()
+    # prefix = first floor(n/2)+1 shingles in global rarity order
+    prefix = ranked.filter(F.col("rk") <= F.floor(F.col("n") / 2) + 1).select(
+        "doc_id", "shingle"
+    )
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sets_df = ranked.groupBy("doc_id").agg(
+        F.collect_set("shingle").alias("shset"), F.first("n").alias("n")
+    )
+    sa = sets_df.select(
+        F.col("doc_id").alias("doc_a"), F.col("shset").alias("set_a"), F.col("n").alias("n_a")
+    )
+    sb = sets_df.select(
+        F.col("doc_id").alias("doc_b"), F.col("shset").alias("set_b"), F.col("n").alias("n_b")
+    )
+    common = F.size(F.array_intersect("set_a", "set_b"))
+    return (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            common.alias("n_common"),
+            "n_a",
+            "n_b",
+            F.round(
+                common.cast("double") / (F.col("n_a") + F.col("n_b") - common), 6
+            ).alias("jaccard"),
+        )
+        .filter(JACCARD_THRESHOLD_NUM * F.col("n_common") >= F.col("n_a") + F.col("n_b"))
         .orderBy("doc_a", "doc_b")
     )
 

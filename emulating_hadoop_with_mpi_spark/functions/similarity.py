@@ -284,61 +284,74 @@ IVF_NLIST = 16
 IVF_NPROBE = 4
 
 
-def _center_lit(center: list[int]) -> Column:
-    return F.array(*[F.lit(int(x)).cast("bigint") for x in center])
+def _centroids_df(spark: SparkSession, centers: list[list[int]]) -> DataFrame:
+    """(cell, cvec, c2) — the trained centroids as a (tiny, broadcastable)
+    DataFrame.  Joining against this beats baking the centroids in as
+    literal arrays: nlist × dim literals made Catalyst analysis/codegen
+    the dominant cost (measured ~12 s per run at nlist=16, dim=64 —
+    10× the actual search), while the broadcast join keeps ONE dot_q
+    expression in the plan regardless of nlist."""
+    rows = [(i + 1, [int(x) for x in c], sum(int(x) * int(x) for x in c)) for i, c in enumerate(centers)]
+    return spark.createDataFrame(rows, "cell int, cvec array<bigint>, c2 bigint")
 
 
-def _cell_scores(qv: Column, centers: list[list[int]]) -> list[Column]:
-    """Per-centroid L2² score minus the row-constant |v|² term:
-    |c|² − 2·v·c — exact BIGINT math, same argmin as true L2 distance."""
-    scores = []
-    for c in centers:
-        c2 = sum(int(x) * int(x) for x in c)
-        scores.append(
-            F.lit(c2).cast("bigint") - F.lit(2).cast("bigint") * dot_q(qv, _center_lit(c))
-        )
-    return scores
+def _cell_scored(qv_df: DataFrame, centroids: DataFrame, qv_col: str = "qv") -> DataFrame:
+    """Input rows × all centroids, with the exact BIGINT L2² score minus
+    the row-constant |v|² term: |c|² − 2·v·c (same argmin as true L2)."""
+    score = F.col("c2") - F.lit(2).cast("bigint") * dot_q(F.col(qv_col), F.col("cvec"))
+    return qv_df.join(F.broadcast(centroids)).withColumn("cell_score", score)
 
 
-def nearest_cell(qv: Column, centers: list[list[int]]) -> Column:
-    """1-based index of the nearest centroid (ties → lowest cell id)."""
-    arr = F.array(*_cell_scores(qv, centers))
-    return F.array_position(arr, F.array_min(arr)).cast("int")
+def assign_cells(qv_df: DataFrame, centroids: DataFrame, qv_col: str = "qv") -> DataFrame:
+    """Nearest-centroid assignment (ties → lowest cell id): broadcast
+    nested-loop score + per-row min — one corpus scan, no corpus shuffle
+    beyond the window's hash partition on vec_id."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.asc("cell_score"), F.asc("cell"))
+    return (
+        _cell_scored(qv_df, centroids, qv_col)
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk", "cvec", "c2", "cell_score")
+    )
 
 
-def probe_cells(qv: Column, centers: list[list[int]], nprobe: int) -> Column:
-    """The nprobe nearest cell ids, closest first (ties → lowest cell id)."""
-    structs = [
-        F.struct(s.alias("s"), F.lit(i + 1).cast("int").alias("cell"))
-        for i, s in enumerate(_cell_scores(qv, centers))
-    ]
-    return F.transform(
-        F.slice(F.array_sort(F.array(*structs)), 1, nprobe), lambda x: x["cell"]
+def probe_cells_df(qv_df: DataFrame, centroids: DataFrame, nprobe: int, qv_col: str = "qv") -> DataFrame:
+    """One row per (input row, probed cell): the nprobe nearest cells
+    (ties → lowest cell id).  Already exploded — ready to equi-join the
+    bucketed corpus."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.asc("cell_score"), F.asc("cell"))
+    return (
+        _cell_scored(qv_df, centroids, qv_col)
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= nprobe)
+        .drop("__rk", "cvec", "c2", "cell_score")
     )
 
 
 def ivf_centroids(
     corpus_qv: DataFrame, nlist: int = IVF_NLIST, lloyd_iters: int = 1
 ) -> list[list[int]]:
-    """Train quantized centroids: seeded-stride init (deterministic), then
-    `lloyd_iters` distributed Lloyd steps (assign via broadcast centroid
-    literals — pure codegen scan — and element-wise mean via
-    posexplode + two hash aggregates).  Only nlist rows ever reach the
-    driver per iteration — the standard k-means sync point.  At 100 TB:
-    train on a sample, exactly this code on corpus_qv.sample()."""
-    n = corpus_qv.count()
-    stride = max(1, n // nlist)
+    """Train quantized centroids: deterministic pseudo-random init (the
+    nlist lowest xxhash64(vec_id) rows — one job, no separate count pass),
+    then `lloyd_iters` distributed Lloyd steps (assign via the broadcast
+    centroid join and element-wise mean via posexplode + two hash
+    aggregates).  Only nlist rows ever reach the driver per iteration —
+    the standard k-means sync point.  At 100 TB: train on a sample,
+    exactly this code on corpus_qv.sample()."""
     init = (
-        corpus_qv.filter(
-            (F.col("vec_id") % stride == 0) & (F.col("vec_id") < stride * nlist)
-        )
-        .orderBy("vec_id")
-        .select("qv")
+        corpus_qv.select("vec_id", "qv")
+        .orderBy(F.xxhash64("vec_id"), "vec_id")
+        .limit(nlist)
         .collect()
     )
     centers = [list(r.qv) for r in init][:nlist]
+    spark = corpus_qv.sparkSession
     for _ in range(lloyd_iters):
-        assigned = corpus_qv.withColumn("cell", nearest_cell(F.col("qv"), centers))
+        assigned = assign_cells(corpus_qv, _centroids_df(spark, centers))
         rows = (
             assigned.select("cell", F.posexplode("qv").alias("pos", "val"))
             .groupBy("cell", "pos")
@@ -373,19 +386,22 @@ def ivf_topk(
 
     emb = load_table(spark, sf_dir, "embeddings")
     qv = emb.select("vec_id", quantize(F.col("embedding")).alias("qv"))
-    corpus_qv = qv.withColumn("norm2", dot_q(F.col("qv"), F.col("qv")))
+    # cached: training (count + init + Lloyd) and the search plan all scan
+    # the quantized corpus — without this the quantization recomputes once
+    # per driver action.  (At real scale: persist to storage once, or
+    # train on corpus_qv.sample() only.)
+    corpus_qv = qv.withColumn("norm2", dot_q(F.col("qv"), F.col("qv"))).cache()
     centers = ivf_centroids(corpus_qv, nlist=nlist)
+    centroids = _centroids_df(spark, centers)
 
-    corpus = corpus_qv.withColumn("cell", nearest_cell(F.col("qv"), centers))
-    queries = (
-        corpus_qv.filter(F.col("vec_id") < n_queries)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("qv").alias("qqv"),
-            F.col("norm2").alias("qnorm2"),
-            probe_cells(F.col("qv"), centers, nprobe).alias("cells"),
-        )
-        .select("query_id", "qqv", "qnorm2", F.explode("cells").alias("cell"))
+    corpus = assign_cells(corpus_qv, centroids)
+    queries = probe_cells_df(
+        corpus_qv.filter(F.col("vec_id") < n_queries), centroids, nprobe
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("qqv"),
+        F.col("norm2").alias("qnorm2"),
+        "cell",
     )
     cands = F.broadcast(queries).join(corpus, "cell").filter(
         F.col("vec_id") != F.col("query_id")

@@ -1,0 +1,85 @@
+"""PPJoin prefix-filtered exact dedup: equality with the direct shingle
+self-join (q72's semantics) on BOTH corpus regimes, and a structural proof
+that the prefix actually prunes on a long-tail corpus."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from emulating_hadoop_with_mpi_spark.functions.dedup import (
+    exact_jaccard_pairs,
+    ppjoin_pairs,
+    shingles_df,
+)
+from emulating_hadoop_with_mpi_spark.sources.datagen import zipf_corpus
+from emulating_hadoop_with_mpi_spark.sources.tables import load_table
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_ppjoin_equals_direct_on_driver_corpus(spark, sf_dir):
+    """Small-vocab driver corpus — the regime where prefix filtering can't
+    prune; results must STILL be identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    assert _rows(ppjoin_pairs(docs)) == _rows(exact_jaccard_pairs(docs))
+
+
+def test_ppjoin_equals_direct_on_zipf_corpus(spark):
+    """Long-tail Zipfian corpus with planted near-dups — PPJoin's home
+    regime; exactness must hold there too."""
+    docs = zipf_corpus(spark, n_docs=400, doc_len=40, vocab=20_000, seed=7)
+    got = _rows(ppjoin_pairs(docs))
+    want = _rows(exact_jaccard_pairs(docs))
+    assert got == want
+    assert want, "Zipf corpus should contain planted qualifying pairs"
+
+
+def test_zipf_corpus_is_deterministic_and_planted(spark):
+    a = zipf_corpus(spark, n_docs=100, doc_len=30, vocab=5_000, seed=3)
+    b = zipf_corpus(spark, n_docs=100, doc_len=30, vocab=5_000, seed=3)
+    assert _rows(a) == _rows(b)
+    # planting: doc_id % (2*near_dup_every) == 1 → doc 1 mutates doc 0,
+    # doc 21 mutates doc 20, ...; doc 2 is an independent draw
+    rows = {r.doc_id: r.text for r in a.collect()}
+    w0, w1 = rows[0].split(" "), rows[1].split(" ")
+    shared = sum(1 for x, y in zip(w0, w1) if x == y)
+    assert shared >= 0.8 * len(w0), "planted near-dup should share most words"
+    w2 = rows[2].split(" ")
+    assert sum(1 for x, y in zip(w0, w2) if x == y) < 0.5 * len(w0)
+
+
+def test_prefix_prunes_on_zipf_corpus(spark):
+    """Structural scale claim: on the Zipfian corpus the candidate-pair
+    count from prefix joining is a small fraction of the direct shingle
+    self-join's pair count (Σ df² over all shingles vs over prefixes)."""
+    docs = zipf_corpus(spark, n_docs=400, doc_len=40, vocab=20_000, seed=7)
+    ds = shingles_df(docs)
+    direct_pairs = (
+        ds.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .agg(F.sum(F.col("df") * (F.col("df") - 1) / 2).alias("p"))
+        .collect()[0]["p"]
+    )
+    from pyspark.sql import Window
+
+    df_counts = ds.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        ds.join(df_counts, "shingle")
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("shingle"))
+            ),
+        )
+    )
+    prefix = ranked.filter(F.col("rk") <= F.floor(F.col("n") / 2) + 1)
+    prefix_pairs = (
+        prefix.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .agg(F.sum(F.col("df") * (F.col("df") - 1) / 2).alias("p"))
+        .collect()[0]["p"]
+    )
+    assert prefix_pairs < direct_pairs / 2, (prefix_pairs, direct_pairs)
