@@ -1,6 +1,10 @@
 from emulating_hadoop_with_mpi_spark.streaming.events import (
     dedup_stream,
+    events_source,
     events_stream,
+    events_stream_auto,
+    kafka_events_stream,
+    normalize_event_stream,
     run_to_memory,
     running_user_totals,
     sessionized,
@@ -32,7 +36,11 @@ __all__ = [
     "IncrementalMinHash",
     "dedup_stream",
     "documents_stream",
+    "events_source",
     "events_stream",
+    "events_stream_auto",
+    "kafka_events_stream",
+    "normalize_event_stream",
     "run_incremental_dedup",
     "run_to_memory",
     "running_user_totals",

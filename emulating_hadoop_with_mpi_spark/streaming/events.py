@@ -45,16 +45,83 @@ EVENTS_SCHEMA = StructType(
 )
 
 
+def normalize_event_stream(raw: DataFrame) -> DataFrame:
+    """The SEAM every event source flows through: normalize `ts` to a
+    session-tz timestamp whatever the wire/file encoding was — epoch-ns
+    INT64 (the replay staging format), TIMESTAMP_NTZ (naive-µs parquet),
+    or already-correct TIMESTAMP.  Downstream operators (watermarks,
+    windows, session gaps, stream-stream joins) never see the source's
+    physical type.  Pure projections — valid on streaming plans."""
+    from emulating_hadoop_with_mpi_spark.sources.tables import _normalize_ts
+
+    return _normalize_ts(raw)
+
+
 def events_stream(spark: SparkSession, path: str) -> DataFrame:
-    """File-based event stream (one file per micro-batch in tests via
-    maxFilesPerTrigger; swap for Kafka at scale)."""
+    """File-based event stream in the replay staging layout (epoch-ns
+    INT64 `ts`; one file per micro-batch in tests via maxFilesPerTrigger)."""
     raw = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 1)
         .parquet(path)
     )
-    # integer division — see sources/tables.py: fp division corrupts epoch-ns
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_event_stream(raw)
+
+
+def events_stream_auto(spark: SparkSession, path: str) -> DataFrame:
+    """File stream over ANY events parquet encoding: probe the static
+    schema once (one driver-side file listing — readStream requires an
+    explicit schema), then normalize through the seam.  This is what makes
+    a raw driver-written events.parquet streamable without the DuckDB
+    epoch-ns staging step."""
+    static_schema = spark.read.parquet(path).schema
+    raw = (
+        spark.readStream.schema(static_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    return normalize_event_stream(raw)
+
+
+def kafka_events_stream(
+    spark: SparkSession, brokers: str, topic: str, starting_offsets: str = "earliest"
+) -> DataFrame:
+    """Kafka-shaped source through the same seam: JSON events on the wire
+    (`ts` as epoch-ns int64, matching the replay staging contract), value
+    parsed with from_json, then ts-normalized like every other source.
+
+    The spark-sql-kafka connector jars are NOT in this container, so
+    .load() raises at stream start — the factory seam isolates that
+    limitation to exactly this function; swapping a test's file source for
+    Kafka is a one-argument change in events_source()."""
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    parsed = raw.select(
+        F.from_json(F.col("value").cast("string"), EVENTS_SCHEMA).alias("e")
+    ).select("e.*")
+    return normalize_event_stream(parsed)
+
+
+def events_source(spark: SparkSession, kind: str = "replay", **kw) -> DataFrame:
+    """Factory over every event-stream source, all sharing the
+    normalization seam:
+
+    - 'replay':      staged epoch-ns parquet files (path=...)
+    - 'parquet':     raw parquet in any timestamp encoding (path=...)
+    - 'kafka':       Kafka topic, JSON values (brokers=..., topic=...)
+    """
+    if kind == "replay":
+        return events_stream(spark, kw["path"])
+    if kind == "parquet":
+        return events_stream_auto(spark, kw["path"])
+    if kind == "kafka":
+        return kafka_events_stream(spark, kw["brokers"], kw["topic"], kw.get("starting_offsets", "earliest"))
+    raise ValueError(f"unknown event source kind: {kind!r}")
 
 
 def windowed_counts(stream: DataFrame, window: str = "6 hours", watermark: str = "30 minutes") -> DataFrame:
