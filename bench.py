@@ -159,6 +159,44 @@ def main() -> None:
     # 22-entry basket).
     extras.update(bench_skew_join(spark, run_timed, run_entry, rows=16_000_000))
 
+    # PPJoin crossover (VERDICT r5 item 6): on a long-tail Zipfian corpus
+    # the prefix-filtered exact join must beat the direct shingle
+    # self-join; on the driver's tiny-vocab corpus it loses (documented in
+    # q72's docstring).  Both measured so the crossover is data, not lore.
+    from emulating_hadoop_with_mpi_spark.functions.dedup import (
+        exact_jaccard_pairs,
+        ppjoin_pairs,
+    )
+    from emulating_hadoop_with_mpi_spark.sources.datagen import zipf_corpus
+
+    zipf = zipf_corpus(spark, n_docs=20_000, doc_len=60, vocab=200_000, num_partitions=int(cpus))
+    run_entry("zipf_direct_jaccard", lambda: exact_jaccard_pairs(zipf), extras)
+    run_entry("zipf_ppjoin_jaccard", lambda: ppjoin_pairs(zipf), extras)
+    run_entry("docs_ppjoin_jaccard", lambda: ppjoin_pairs(docs), extras)
+
+    # Scale-slope legs (VERDICT r3/r4/r5 standing order): the same queries
+    # at a decade above the bench SF, generated locally by
+    # sources/scale.py (the driver ships nothing above sf0.1).  The
+    # t_sf1/t_sf0.1 ratio is the measured answer to "would this survive a
+    # scale-up" — recorded per query as slope_<name>.
+    sf1_dir = os.environ.get(
+        "SPARK_GRAFT_SF1_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "localdata", "sf1"),
+    )
+    if os.path.isdir(sf1_dir):
+        slope_set = [
+            "q01_pricing_summary",
+            "q05_region_revenue",
+            "q70_dedup_exact",
+            "q72_ngram_jaccard_pairs",
+            "q73_minhash_lsh_neardup",
+        ]
+        for name in slope_set:
+            q = registry[name]
+            run_entry(f"sf1_{name}", lambda: q.fn(spark, sf1_dir), extras)
+            if name in timings and f"sf1_{name}" in extras:
+                extras[f"slope_{name}"] = round(extras[f"sf1_{name}"] / timings[name], 2)
+
     out = {
         "metric": "headline_query_wall_seconds",
         "value": total,
