@@ -172,13 +172,22 @@ def q72_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     The prefix-filtered sibling now exists as ``ppjoin_pairs`` (equality
     pytest-pinned; the Zipfian crossover where it WINS is measured in
     bench extras)."""
-    return exact_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+    return exact_jaccard_pairs(load_table(spark, sf_dir, "documents"), persist=True)
 
 
-def exact_jaccard_pairs(docs: DataFrame, ngram: int = 3) -> DataFrame:
+def exact_jaccard_pairs(docs: DataFrame, ngram: int = 3, persist: bool = False) -> DataFrame:
     """q72's body over any (doc_id, text) frame: direct shingle self-join
-    + count aggregate; exact, Σ df² cost."""
-    ds = shingles_df(docs, n=ngram).cache()
+    + count aggregate; exact, Σ df² cost.
+
+    ``persist=False`` (library default) leaves cache lifetime to the
+    caller — repeated calls in one session must not accumulate cached
+    partitions nobody unpersists.  The bench and the registered query pass
+    ``persist=True`` and clear the cache after each measurement; without
+    it the self-join's two identical scan subplans are deduplicated by
+    ReusedExchange anyway."""
+    ds = shingles_df(docs, n=ngram)
+    if persist:
+        ds = ds.cache()
     cnt = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = ds.alias("a")
     b = ds.alias("b")
@@ -213,7 +222,7 @@ def exact_jaccard_pairs(docs: DataFrame, ngram: int = 3) -> DataFrame:
     )
 
 
-def ppjoin_pairs(docs: DataFrame, ngram: int = 3) -> DataFrame:
+def ppjoin_pairs(docs: DataFrame, ngram: int = 3, persist: bool = False) -> DataFrame:
     """PPJoin-style prefix-filtered EXACT Jaccard pairs (J ≥ 0.5) — the
     scale-safe exact sibling of q72's direct shingle self-join.
 
@@ -247,7 +256,12 @@ def ppjoin_pairs(docs: DataFrame, ngram: int = 3) -> DataFrame:
                 Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("shingle"))
             ),
         )
-    ).cache()
+    )
+    # ranked feeds three consumers (prefix a/b + the verify sets); caching
+    # is opt-in so library callers own the lifetime (bench clears the
+    # cache between measurements; see exact_jaccard_pairs).
+    if persist:
+        ranked = ranked.cache()
     # prefix = first floor(n/2)+1 shingles in global rarity order
     prefix = ranked.filter(F.col("rk") <= F.floor(F.col("n") / 2) + 1).select(
         "doc_id", "shingle"

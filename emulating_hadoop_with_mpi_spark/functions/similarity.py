@@ -5,12 +5,15 @@
   products and norms are exact BIGINT math in both engines; only the final
   cosine = dot/sqrt(na·nb) touches floating point (identical doubles in,
   identical doubles out).
-- q76: exact cosine top-k computed two ways under one oracle — 'brute'
-  (broadcast the queries, one pass over the corpus, zip_with dot products
-  in JVM expressions, per-query window top-k; O(Q·N·d), no corpus
-  shuffle — exactly how you'd brute-force 100 TB) and 'ivf_full' (the
-  trained IVF index probed exhaustively).  The driver's value-hash proves
-  both equal the SQL answer.
+- q76: exact cosine top-k, brute force — broadcast the queries, one pass
+  over the corpus, zip_with dot products in JVM expressions, per-query
+  window top-k; O(Q·N·d), no corpus shuffle — exactly how you'd
+  brute-force 100 TB.  Brute-only so the headline timing stays
+  round-comparable.
+- q76b: the same exact answer computed two ways under one oracle ('brute'
+  and 'ivf_full' = the trained IVF index probed exhaustively).  The
+  driver's value-hash proves both equal the SQL answer — the IVF==brute
+  equivalence as driver correctness, separate from the timed q76.
 - q77: the APPROXIMATE scale paths — hyperplane-LSH bucketing and IVF at
   nprobe < nlist.  Rows-only for the driver (hash/centroid internals are
   engine-specific); tests/test_pipeline_ops.py measures recall vs brute.
@@ -96,11 +99,11 @@ def q75_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# The exact top-k answer in SQL, tagged twice: the driver's hash-match
-# proves BOTH Spark paths (brute broadcast scan AND exhaustive IVF at
-# nprobe == nlist) compute the identical rows — the IVF==brute equivalence
-# promoted from a pytest-only proof to driver correctness.
-_TOPK_ORACLE = f"""
+# The exact top-k answer in SQL.  Used twice: q76 checks the brute
+# broadcast scan against it (the ratcheted headline entry, brute-ONLY so
+# its timing stays comparable across rounds), and q76b re-emits it under
+# two method tags to hash-check that the exhaustive-probe IVF equals brute.
+_TOPK_CORE = f"""
     WITH q AS (SELECT vec_id, {_SQL_QVEC} AS qv FROM embeddings),
     n AS (SELECT vec_id, list_reduce(list_transform(qv, x -> x * x), (a, b) -> a + b) AS norm2
           FROM q),
@@ -121,6 +124,13 @@ _TOPK_ORACLE = f"""
             FROM scored
         ) WHERE rnk <= {TOPK_K}
     )
+    """
+
+_TOPK_ORACLE = _TOPK_CORE + """
+    SELECT query_id, neighbor_id, cosine, rnk FROM topk ORDER BY query_id, rnk
+    """
+
+_TOPK_BOTH_WAYS_ORACLE = _TOPK_CORE + """
     SELECT m.method, query_id, neighbor_id, cosine, rnk
     FROM topk CROSS JOIN (VALUES ('brute'), ('ivf_full')) m(method)
     ORDER BY m.method, query_id, rnk
@@ -166,18 +176,26 @@ def brute_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q76_cosine_topk", oracle=_TOPK_ORACLE)
 def q76_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-k computed TWO ways over one output contract,
-    tagged by `method`:
+    """Exact cosine top-k, brute force: one broadcast-join scan of the
+    corpus — how you'd brute-force 100 TB: queries broadcast, corpus
+    scanned once, no corpus shuffle.  Brute-ONLY so the ratcheted headline
+    timing stays comparable across rounds; the IVF==brute equivalence
+    proof lives in q76b_ivf_equals_brute."""
+    return brute_cosine_topk(spark, sf_dir)
 
-    - 'brute':    one broadcast-join scan of the corpus (q75/q76 family
-                  baseline — how you'd brute-force 100 TB: queries
-                  broadcast, corpus scanned once, no corpus shuffle).
+
+@query("q76b_ivf_equals_brute", oracle=_TOPK_BOTH_WAYS_ORACLE)
+def q76b_ivf_equals_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF==brute equivalence proof, driver-hash-checked: the exact
+    top-k computed TWO ways under one output contract, tagged by `method`:
+
+    - 'brute':    the q76 broadcast scan.
     - 'ivf_full': the trained IVF index probed exhaustively
                   (nprobe == nlist) — every cell searched, so the result
                   must equal brute force exactly.
 
-    The single SQL oracle emits the exact answer under both tags, so the
-    driver's value-hash proves the IVF machinery (centroid training, cell
+    The SQL oracle emits the exact answer under both tags, so the driver's
+    value-hash proves the IVF machinery (centroid training, cell
     assignment, probe ordering, candidate scoring) reproduces the exact
     top-k — the equivalence that justifies trusting IVF at nprobe < nlist
     (the approximate scale path, registered as q77's 'ivf' branch)."""
@@ -285,50 +303,63 @@ IVF_NPROBE = 4
 
 
 def _centroids_df(spark: SparkSession, centers: list[list[int]]) -> DataFrame:
-    """(cell, cvec, c2) — the trained centroids as a (tiny, broadcastable)
-    DataFrame.  Joining against this beats baking the centroids in as
-    literal arrays: nlist × dim literals made Catalyst analysis/codegen
-    the dominant cost (measured ~12 s per run at nlist=16, dim=64 —
-    10× the actual search), while the broadcast join keeps ONE dot_q
-    expression in the plan regardless of nlist."""
-    rows = [(i + 1, [int(x) for x in c], sum(int(x) * int(x) for x in c)) for i, c in enumerate(centers)]
-    return spark.createDataFrame(rows, "cell int, cvec array<bigint>, c2 bigint")
+    """ONE row holding `carr: array<struct<cell, cvec, c2>>` — the trained
+    centroids as data, not literals.  Broadcast-cross-joining this single
+    row beats baking the centroids in as literal arrays: nlist × dim
+    literals made Catalyst analysis/codegen the dominant cost (measured
+    ~12 s per run at nlist=16, dim=64 — 10× the actual search).  And
+    carrying ALL centroids in one array column lets nearest-cell
+    assignment be a pure projection (transform + array_sort over nlist
+    structs per row) — zero shuffle, vs the earlier per-(row, centroid)
+    explode + window argmin that hash-partitioned the whole corpus per
+    Lloyd iteration and per search."""
+    arr = [
+        (i + 1, [int(x) for x in c], sum(int(x) * int(x) for x in c))
+        for i, c in enumerate(centers)
+    ]
+    return spark.createDataFrame(
+        [(arr,)], "carr array<struct<cell: int, cvec: array<bigint>, c2: bigint>>"
+    )
 
 
-def _cell_scored(qv_df: DataFrame, centroids: DataFrame, qv_col: str = "qv") -> DataFrame:
-    """Input rows × all centroids, with the exact BIGINT L2² score minus
-    the row-constant |v|² term: |c|² − 2·v·c (same argmin as true L2)."""
-    score = F.col("c2") - F.lit(2).cast("bigint") * dot_q(F.col(qv_col), F.col("cvec"))
-    return qv_df.join(F.broadcast(centroids)).withColumn("cell_score", score)
+def _scored_cells(qv_col: str) -> Column:
+    """array<struct<cell_score, cell>> — exact BIGINT L2² score minus the
+    row-constant |v|² term (|c|² − 2·v·c, same argmin as true L2) against
+    every centroid.  Field order (score first) makes array_sort's
+    lexicographic struct ordering exactly our (score asc, cell asc)
+    tie-break."""
+    return F.transform(
+        F.col("carr"),
+        lambda c: F.struct(
+            (c["c2"] - F.lit(2).cast("bigint") * dot_q(F.col(qv_col), c["cvec"])).alias(
+                "cell_score"
+            ),
+            c["cell"].alias("cell"),
+        ),
+    )
 
 
 def assign_cells(qv_df: DataFrame, centroids: DataFrame, qv_col: str = "qv") -> DataFrame:
-    """Nearest-centroid assignment (ties → lowest cell id): broadcast
-    nested-loop score + per-row min — one corpus scan, no corpus shuffle
-    beyond the window's hash partition on vec_id."""
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("vec_id").orderBy(F.asc("cell_score"), F.asc("cell"))
+    """Nearest-centroid assignment (ties → lowest cell id): broadcast the
+    one-row centroid array, then a pure projection takes the argmin —
+    one corpus scan, NO shuffle of any kind."""
+    best = F.array_sort(_scored_cells(qv_col))[0]["cell"]
     return (
-        _cell_scored(qv_df, centroids, qv_col)
-        .withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") == 1)
-        .drop("__rk", "cvec", "c2", "cell_score")
+        qv_df.join(F.broadcast(centroids))
+        .withColumn("cell", best)
+        .drop("carr")
     )
 
 
 def probe_cells_df(qv_df: DataFrame, centroids: DataFrame, nprobe: int, qv_col: str = "qv") -> DataFrame:
     """One row per (input row, probed cell): the nprobe nearest cells
-    (ties → lowest cell id).  Already exploded — ready to equi-join the
-    bucketed corpus."""
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("vec_id").orderBy(F.asc("cell_score"), F.asc("cell"))
+    (ties → lowest cell id), via the same projection-only sort + slice.
+    Already exploded — ready to equi-join the bucketed corpus."""
+    probes = F.slice(F.array_sort(_scored_cells(qv_col)), 1, nprobe)
     return (
-        _cell_scored(qv_df, centroids, qv_col)
-        .withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") <= nprobe)
-        .drop("__rk", "cvec", "c2", "cell_score")
+        qv_df.join(F.broadcast(centroids))
+        .withColumn("cell", F.explode(F.transform(probes, lambda s: s["cell"])))
+        .drop("carr")
     )
 
 
@@ -430,7 +461,7 @@ def q77_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probing (index pays off when queried repeatedly).  Rows-only driver
     check (hyperplane signs / trained centroids are engine-specific);
     tests measure each branch's recall against the brute-force baseline;
-    IVF == brute at nprobe == nlist is driver-hash-checked as q76's
+    IVF == brute at nprobe == nlist is driver-hash-checked as q76b's
     'ivf_full' branch.  The IVF branch's centroid
     training runs a bounded k-means sync (nlist rows to the driver per
     Lloyd step) at plan-build time — the standard IVF train/search split."""

@@ -112,7 +112,7 @@ def test_double_columns_are_rounded(duck, name):
         "q25_array_ops",  # list_min/max of stored embedding floats
         "q26_exact_percentiles",  # quantile_cont over exact integer cents
         "q30_window_topk_per_customer",  # o_totalprice pass-through
-        "q41_union_high_value_parties",  # acctbal pass-through
+        "q40_set_ops",  # acctbal pass-through (former q41 section)
     }
     if name in passthrough_ok:
         return
