@@ -14,14 +14,16 @@ Five families, in increasing fuzziness:
   path.  Candidates come from band-bucket equality joins (linear in
   corpus + bucket collisions), then are verified with exact Jaccard.
   P(miss | J=0.8) ≈ (1-0.8⁴)³² ≈ 5e-8.
-- SimHash      (q74): 64-bit sign-of-sum sketch over token hashes;
-  candidate pairs from 16-bit chunk pigeonholing, verified by Hamming
-  distance.
+- SimHash      (q74): 64-bit sign-of-sum sketch over md5 token hashes;
+  candidate pairs from 10-chunk pigeonholing (guaranteed-complete at
+  Hamming ≤ 9), verified by exact Hamming distance.
 
-q72 is DuckDB-oracle-checked (pure SQL semantics).  q73/q74 use
-xxhash64, which the oracle can't reproduce — the driver records rows-only;
-tests/test_pipeline_ops.py proves q73's verified output equals q72's exact answer
-and checks q74's sketch properties.
+q72, q73 and q74 are all DuckDB-oracle-checked: q72 is pure SQL
+semantics; q73 shares q72's exact-pairs oracle (its verify step recovers
+the exact answer); q74 uses md5 token hashes — which DuckDB computes
+identically — so the oracle re-derives the full sketch + all-pairs
+Hamming answer independently (promoted from rows-only, round 7).
+tests/test_pipeline_ops.py additionally checks sketch recall properties.
 
 Everything is JVM expressions (split/transform/explode/xxhash64) — no
 Python in the hot path.
@@ -40,14 +42,19 @@ NUM_PERM = 128
 BANDS = 32
 ROWS_PER_BAND = NUM_PERM // BANDS
 JACCARD_THRESHOLD_NUM = 3  # 3*common >= na+nb  ⟺  J >= 0.5
-SIMHASH_BITS = 64
-# 8 chunks × 8 bits: pigeonhole guarantees a shared chunk for any pair with
-# Hamming ≤ 7 (and ≈99.9% at 8-9) — 4×16 only guaranteed ≤ 3 and measured
-# 0.89 recall on the planted pairs at sf0.1.  Tradeoff: 8-bit bucket values
-# collide more (bigger candidate sets), which the exact-Hamming verify step
-# absorbs; at extreme corpus sizes move back toward wider chunks + multiprobe.
-SIMHASH_CHUNKS = 8
+SIMHASH_BITS = 64  # held as two 32-bit halves (sim_lo, sim_hi): engine-
+# portable bit math — bit 63 of a single int64 sketch flips the sign,
+# which engines shift/compare differently.
 HAMMING_MAX = 9
+# 10 pigeonhole chunks (5 per 32-bit half; widths 6,6,6,7,7): a pair at
+# Hamming ≤ 9 differs in at most 9 chunks, so with 10 chunks it MUST share
+# one — candidate generation is guaranteed-complete for the ≤9 threshold,
+# making q74's pair set EXACT (and therefore oracle-checkable), not
+# probabilistic.  (The former 8×8-bit layout only guaranteed Hamming ≤ 7,
+# leaving 8-9 to ≈99.9% luck.)  Tradeoff: narrow 6-7-bit bucket values
+# collide more (bigger candidate sets), absorbed by the cheap bit-math
+# verify; at extreme corpus sizes move toward wider chunks + multiprobe.
+SIMHASH_CHUNK_LAYOUT = [(0, 6), (6, 6), (12, 6), (18, 7), (25, 7)]  # per half
 
 
 _SQL_NORM = (
@@ -471,57 +478,121 @@ def q79_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simhash_df(docs: DataFrame) -> DataFrame:
-    """(doc_id, simhash) — 64-bit SimHash over token hashes: bit i of the
-    sketch is the sign of Σ_token_occurrences (±1 from bit i of
-    xxhash64(token)).  Term-frequency weighting (every occurrence counts)
-    — on short/small-vocab corpora, distinct-token SimHash degenerates
-    (random pairs collide); tf-weighting keeps planted near-dups ≤9 bits
-    apart while random pairs sit at ~18."""
-    toks = docs.select("doc_id", F.explode(tokens_col()).alias("tok")).withColumn(
-        "h", F.xxhash64("tok")
+    """(doc_id, sim_lo, sim_hi) — 64-bit SimHash over token hashes, held
+    as two 32-bit halves: bit i of the sketch is the sign of
+    Σ_token_occurrences (±1 from bit i of the token hash).  Term-frequency
+    weighting (every occurrence counts) — on short/small-vocab corpora,
+    distinct-token SimHash degenerates (random pairs collide);
+    tf-weighting keeps planted near-dups ≤9 bits apart while random pairs
+    sit at ~18.
+
+    Token hash = md5 (bits 0-31 of the sketch draw from hex chars 1-15,
+    bits 32-63 from chars 16-30).  md5 — not xxhash64 — because both Spark
+    and DuckDB compute the identical digest, which is what lets q74's
+    whole pair set be driver-oracle-checked; the ±1 signs are the same in
+    both engines, so the sketches are too."""
+    md5 = F.md5(F.col("tok"))
+    toks = docs.select("doc_id", F.explode(tokens_col()).alias("tok")).select(
+        "doc_id",
+        F.conv(F.substring(md5, 1, 15), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(md5, 16, 15), 16, 10).cast("long").alias("h2"),
     )
     bit_sums = toks.groupBy("doc_id").agg(
         *[
             F.sum(
-                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"b{i}")
-            for i in range(SIMHASH_BITS)
+                F.when(F.shiftright(F.col(h), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"{name}{i}")
+            for name, h in (("lo", "h1"), ("hi", "h2"))
+            for i in range(32)
         ]
     )
-    sim = None
-    for i in range(SIMHASH_BITS):
-        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = F.shiftleft(bit, i)
-        sim = term if sim is None else sim.bitwiseOR(term)
-    return bit_sums.select("doc_id", sim.alias("simhash"))
-
-
-@query("q74_simhash_neardup")  # xxhash64-based — no SQL oracle; see tests/test_pipeline_ops.py
-def q74_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: candidates by 8-bit chunk pigeonholing
-    (guaranteed recall for Hamming ≤ 7; see SIMHASH_CHUNKS note), verified
-    by exact Hamming distance ≤ 9."""
-    docs = load_table(spark, sf_dir, "documents")
-    sims = simhash_df(docs).cache()
-    chunk_width = SIMHASH_BITS // SIMHASH_CHUNKS
-    mask = (1 << chunk_width) - 1
-    chunks = sims.select(
-        "doc_id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("c"),
-                        F.shiftrightunsigned(F.col("simhash"), c * chunk_width)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("v"),
-                    )
-                    for c in range(SIMHASH_CHUNKS)
-                ]
+    halves = []
+    for name in ("lo", "hi"):
+        acc = None
+        for i in range(32):
+            bit = (
+                F.when(F.col(f"{name}{i}") > 0, F.lit(1).cast("long"))
+                .otherwise(F.lit(0).cast("long"))
             )
-        ).alias("ck"),
-    ).select("doc_id", "simhash", F.col("ck.c").alias("c"), F.col("ck.v").alias("v"))
+            term = F.shiftleft(bit, i)
+            acc = term if acc is None else acc.bitwiseOR(term)
+        halves.append(acc.alias(f"sim_{name}"))
+    return bit_sums.select("doc_id", *halves)
+
+
+def simhash_hamming(prefix_a: str = "a.", prefix_b: str = "b.") -> Column:
+    """Exact Hamming distance between two (sim_lo, sim_hi) sketches."""
+    return (
+        F.bit_count(F.col(f"{prefix_a}sim_lo").bitwiseXOR(F.col(f"{prefix_b}sim_lo")))
+        + F.bit_count(F.col(f"{prefix_a}sim_hi").bitwiseXOR(F.col(f"{prefix_b}sim_hi")))
+    ).cast("int")
+
+
+# The full SimHash pipeline, re-derived in DuckDB: md5 token hashes →
+# per-bit sign sums → 32-bit sketch halves → all-pairs Hamming ≤ 9.  The
+# oracle needs no pigeonholing (it is allowed to be quadratic at sf0.01),
+# so a hash-match ALSO proves the Spark side's chunk-bucket candidate
+# generation misses nothing — which the 10-chunk layout guarantees.
+_SIMHASH_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_SQL_TOKENS}) AS tok FROM documents
+    ),
+    hs AS (
+        SELECT doc_id,
+               CAST('0x' || substring(md5(tok), 1, 15) AS BIGINT) AS h1,
+               CAST('0x' || substring(md5(tok), 16, 15) AS BIGINT) AS h2
+        FROM toks
+    ),
+    sb AS (
+        SELECT doc_id, i,
+               SUM(CASE WHEN ((CASE WHEN i < 32 THEN h1 >> i
+                                    ELSE h2 >> (i - 32) END) & 1) = 1
+                        THEN 1 ELSE -1 END) AS s
+        FROM hs CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) bits
+        GROUP BY doc_id, i
+    ),
+    sims AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN i < 32 AND s > 0 THEN 1::BIGINT << i ELSE 0 END)
+                    AS BIGINT) AS sim_lo,
+               CAST(SUM(CASE WHEN i >= 32 AND s > 0 THEN 1::BIGINT << (i - 32) ELSE 0 END)
+                    AS BIGINT) AS sim_hi
+        FROM sb GROUP BY doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.sim_lo, b.sim_lo))
+                + bit_count(xor(a.sim_hi, b.sim_hi)) AS INT) AS hamming
+    FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sim_lo, b.sim_lo))
+          + bit_count(xor(a.sim_hi, b.sim_hi)) <= {HAMMING_MAX}
+    ORDER BY doc_a, doc_b
+    """
+
+
+@query("q74_simhash_neardup", oracle=_SIMHASH_ORACLE)
+def q74_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: candidates by chunk pigeonholing (10 chunks
+    ⟹ guaranteed-complete for Hamming ≤ 9; see SIMHASH_CHUNK_LAYOUT),
+    verified by exact Hamming distance ≤ 9.  md5-based sketches make the
+    pair set identical across engines, so the driver hash-checks it
+    against an all-pairs DuckDB re-derivation (promoted from rows-only,
+    round 7)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sims = simhash_df(docs)
+    chunk_cols = []
+    for half_idx, half in enumerate(("sim_lo", "sim_hi")):
+        for k, (off, width) in enumerate(SIMHASH_CHUNK_LAYOUT):
+            chunk_cols.append(
+                F.struct(
+                    F.lit(half_idx * len(SIMHASH_CHUNK_LAYOUT) + k).alias("c"),
+                    F.shiftrightunsigned(F.col(half), off)
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    .alias("v"),
+                )
+            )
+    chunks = sims.select(
+        "doc_id", "sim_lo", "sim_hi", F.explode(F.array(*chunk_cols)).alias("ck")
+    ).select("doc_id", "sim_lo", "sim_hi", F.col("ck.c").alias("c"), F.col("ck.v").alias("v"))
     a = chunks.alias("a")
     b = chunks.alias("b")
     pairs = (
@@ -534,14 +605,11 @@ def q74_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sim_a"),
-            F.col("b.simhash").alias("sim_b"),
+            simhash_hamming().alias("hamming"),
         )
         .distinct()
     )
-    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return (
-        pairs.select("doc_a", "doc_b", hamming.alias("hamming"))
-        .filter(F.col("hamming") <= HAMMING_MAX)
+        pairs.filter(F.col("hamming") <= HAMMING_MAX)
         .orderBy("doc_a", "doc_b")
     )
