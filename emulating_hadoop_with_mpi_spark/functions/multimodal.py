@@ -93,13 +93,26 @@ def _make_decoder():
         if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
             w, h = _struct.unpack("<HH", payload[6:10])
             return int(w), int(h)
-        # JPEG: walk the marker stream to the first SOFn frame header
+        # JPEG: walk the marker stream to the first SOFn frame header.
+        # Spec details that desync a naive walker (ADVICE r6): 0xFF fill
+        # bytes may pad between segments, and standalone markers (TEM
+        # 0x01, RSTn 0xD0-0xD7, SOI 0xD8, EOI 0xD9) carry NO length field.
         if payload[:2] == b"\xff\xd8":
             i = 2
-            while i + 9 < len(payload):
+            while i + 1 < len(payload):
                 if payload[i] != 0xFF:
                     break
+                # skip 0xFF fill bytes before the marker code
+                while i + 1 < len(payload) and payload[i + 1] == 0xFF:
+                    i += 1
+                if i + 1 >= len(payload):
+                    break
                 marker = payload[i + 1]
+                if marker == 0x01 or 0xD0 <= marker <= 0xD9:
+                    i += 2  # standalone marker, no length field
+                    continue
+                if i + 9 >= len(payload):
+                    break
                 if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
                     h, w = _struct.unpack(">HH", payload[i + 5 : i + 9])
                     return int(w), int(h)
@@ -107,6 +120,48 @@ def _make_decoder():
                 i += 2 + seg_len
             return None
         return None
+
+    def gif_frame_ranges(payload: bytes):
+        """REAL container demux for animated GIFs, pure stdlib: walk the
+        block stream (extensions / image descriptors / trailer) and return
+        one (start, end) byte range per frame — the actual per-frame data,
+        not an arithmetic split.  None if the payload isn't a
+        structurally-valid GIF."""
+        if payload[:6] not in (b"GIF87a", b"GIF89a") or len(payload) < 13:
+            return None
+        n = len(payload)
+        i = 6
+        flags = payload[i + 4]
+        i += 7  # logical screen descriptor
+        if flags & 0x80:  # global color table
+            i += 3 * (2 << (flags & 0x07))
+        ranges = []
+        try:
+            while i < n:
+                b0 = payload[i]
+                if b0 == 0x3B:  # trailer
+                    break
+                if b0 == 0x21:  # extension: introducer, label, sub-blocks
+                    i += 2
+                    while i < n and payload[i] != 0:
+                        i += 1 + payload[i]
+                    i += 1
+                elif b0 == 0x2C:  # image descriptor = one frame
+                    start = i
+                    lflags = payload[i + 9]
+                    i += 10
+                    if lflags & 0x80:  # local color table
+                        i += 3 * (2 << (lflags & 0x07))
+                    i += 1  # LZW min code size
+                    while i < n and payload[i] != 0:
+                        i += 1 + payload[i]
+                    i += 1
+                    ranges.append((start, min(i, n)))
+                else:
+                    return None  # not a valid block introducer
+        except IndexError:
+            return None
+        return ranges or None
 
     def decode_media(payload: bytes, kind: str) -> dict:
         """Decode one media payload into features.
@@ -129,15 +184,21 @@ def _make_decoder():
         else:  # deterministic fake
             width = (byte_sum % 640) + 1
             height = (n % 480) + 1
+        if kind.startswith("video/"):
+            ranges = gif_frame_ranges(payload)  # real demux for animated GIFs
+            n_frames = len(ranges) if ranges else (byte_sum % 24) + 1
+        else:
+            n_frames = 1
         return {
             "n_bytes": n,
             "byte_sum": byte_sum,
             "width": width,
             "height": height,
-            "n_frames": (byte_sum % 24) + 1 if kind.startswith("video/") else 1,
+            "n_frames": n_frames,
         }
 
     decode_media.image_dims = image_dims  # expose for direct testing
+    decode_media.gif_frame_ranges = gif_frame_ranges
     return decode_media
 
 
@@ -269,10 +330,13 @@ def sample_frames(df: DataFrame, every: int = 4) -> DataFrame:
     """Frame-sampling stage (video payloads): one row in → every `every`-th
     frame out (a one-to-many mapInPandas, the UDTF shape).
 
-    The frame decode is stubbed: the payload is split into the n_frames
-    equal chunks the metadata/decode stub reports, standing in for real
-    container demuxing (ffmpeg absent here).  Partitioning, explode shape,
-    and binary frame payloads are real.
+    Animated-GIF payloads get REAL container demuxing (the pure-stdlib
+    block walker in ``gif_frame_ranges``): each emitted frame is that
+    frame's actual image-descriptor byte range.  Other containers
+    (mp4/mkv/...) still take the documented stub — the payload split into
+    the n_frames equal chunks the decode stub reports (ffmpeg absent
+    here).  Partitioning, explode shape, and binary frame payloads are
+    real in both paths.
     """
     decode = _make_decoder()
 
@@ -284,6 +348,16 @@ def sample_frames(df: DataFrame, every: int = 4) -> DataFrame:
             doc_ids, idxs, totals, frames = [], [], [], []
             for doc_id, payload, kind in zip(pdf["doc_id"], pdf["payload"], pdf["kind"]):
                 if not kind.startswith("video/"):
+                    continue
+                ranges = decode.gif_frame_ranges(payload)
+                if ranges:  # real demux
+                    n_frames = len(ranges)
+                    for f in range(0, n_frames, every):
+                        s, e = ranges[f]
+                        doc_ids.append(doc_id)
+                        idxs.append(f)
+                        totals.append(n_frames)
+                        frames.append(bytes(payload[s:e]))
                     continue
                 n_frames = decode(payload, kind)["n_frames"]
                 arr = _np.frombuffer(payload, dtype=_np.uint8)

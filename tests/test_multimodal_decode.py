@@ -75,6 +75,25 @@ def test_jpeg_dims_decoded():
     assert (feats["width"], feats["height"]) == (64, 48)
 
 
+def make_tricky_jpeg(width: int, height: int) -> bytes:
+    """Spec-valid-but-awkward JPEG marker stream (ADVICE r6): a standalone
+    TEM marker (0x01, no length field), a 0xFF fill byte padding the next
+    marker, a DRI segment, and a standalone RST0 — all before SOF0.  A
+    walker that assumes every marker carries a 2-byte length desyncs on
+    this and falls back to fake dimensions."""
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    dri = b"\xff\xdd" + struct.pack(">H", 4) + struct.pack(">H", 8)
+    sof0 = (
+        b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", height, width) + b"\x01\x11\x00"
+    )
+    return b"\xff\xd8" + b"\xff\x01" + b"\xff" + app0 + dri + b"\xff\xd0" + sof0 + b"\xff\xd9"
+
+
+def test_jpeg_standalone_markers_and_fill_bytes():
+    feats = decode_media(make_tricky_jpeg(80, 25), "image/jpeg")
+    assert (feats["width"], feats["height"]) == (80, 25)
+
+
 def test_non_image_bytes_fall_back_to_fake():
     payload = b"just some text, not an image"
     feats = decode_media(payload, "image/fake")
@@ -106,6 +125,67 @@ def test_real_png_through_spark_pipeline(spark):
     fake = decode_media(b"plain text payload", "image/fake")
     assert (out[3].width, out[3].height) == (fake["width"], fake["height"])
     assert "width int" in FEATURE_SCHEMA
+
+
+def make_multiframe_gif(width: int, height: int, n_frames: int) -> bytes:
+    """Structurally-valid animated GIF89a: graphic-control extension +
+    image descriptor + minimal LZW data sub-blocks per frame."""
+    head = b"GIF89a" + struct.pack("<HH", width, height) + b"\x00\x00\x00"
+    body = b""
+    for k in range(n_frames):
+        gce = b"\x21\xf9\x04\x00\x0a\x00\x00\x00"
+        imgdesc = b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+        lzw = b"\x02" + bytes([3, 0x4C, 0x01, k % 256]) + b"\x00"
+        body += gce + imgdesc + lzw
+    return head + body + b"\x3b"
+
+
+def test_gif_demux_frame_ranges():
+    """The stdlib GIF walker finds the true per-frame byte ranges."""
+    gif = make_multiframe_gif(11, 7, 5)
+    ranges = decode_media.gif_frame_ranges(gif)
+    assert len(ranges) == 5
+    # every range starts at an image descriptor and ranges are disjoint
+    for (s, e), (s2, _) in zip(ranges, ranges[1:] + [(len(gif), None)]):
+        assert gif[s] == 0x2C and s < e <= s2
+    assert decode_media(gif, "video/gif")["n_frames"] == 5
+
+
+def test_gif_demux_through_sample_frames(spark):
+    """End-to-end: a real animated GIF rides the binary column through
+    mapInPandas and comes out as its actual per-frame byte slices."""
+    from emulating_hadoop_with_mpi_spark.functions.multimodal import sample_frames
+
+    gif = make_multiframe_gif(11, 7, 6)
+    stub = b"not a gif, arithmetic split stands in"
+    df = spark.createDataFrame(
+        [(1, gif, ("video/gif", 0, "t")), (2, stub, ("video/fake", 0, "t"))],
+        "doc_id long, payload binary, meta struct<kind:string,n_bytes:int,source:string>",
+    )
+    rows = sample_frames(df, every=2).collect()
+    real = sorted((r.frame_idx, bytes(r.frame)) for r in rows if r.doc_id == 1)
+    ranges = decode_media.gif_frame_ranges(gif)
+    assert [i for i, _ in real] == [0, 2, 4]
+    assert all(f == gif[ranges[i][0] : ranges[i][1]] for i, f in real)
+    assert all(r.n_frames == 6 for r in rows if r.doc_id == 1)
+    # the non-GIF payload still takes the documented arithmetic stub
+    fake_n = decode_media(stub, "video/fake")["n_frames"]
+    assert {r.frame_idx for r in rows if r.doc_id == 2} == set(range(0, fake_n, 2))
+
+
+def test_gif_demux_agrees_with_pil_when_available():
+    import pytest
+
+    try:
+        from PIL import Image
+    except ImportError:
+        pytest.skip("PIL not installed")
+    import io
+
+    gif = make_multiframe_gif(11, 7, 4)
+    assert getattr(Image.open(io.BytesIO(gif)), "n_frames", 1) == len(
+        decode_media.gif_frame_ranges(gif)
+    )
 
 
 def test_pil_path_when_available():
