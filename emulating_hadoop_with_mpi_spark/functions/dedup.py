@@ -170,21 +170,35 @@ def q72_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale note: cost is Σ_shingle df², so on a real long-tail corpus at
     100 TB the moves are (a) q73's MinHash-LSH, or (b) a PPJoin-style
-    prefix-filtering join (join only on each doc's globally-rarest
-    ⌊n/2⌋+1 shingles — exact, no false negatives).  We benchmarked the
-    prefix variant here and it LOSES on this synthetic corpus: with a
-    ~40-word vocabulary every shingle is common (df≈55 at sf0.1), so
-    prefix filtering prunes nothing and pays extra shuffles + per-pair
-    set intersections.  The direct count-join stays in pure codegen.
-    The prefix-filtered sibling now exists as ``ppjoin_pairs`` (equality
-    pytest-pinned; the Zipfian crossover where it WINS is measured in
-    bench extras)."""
+    prefix-filtering join (``ppjoin_pairs`` — exact, no false negatives,
+    equality pytest-pinned at thresholds 0.5 and 0.8).  Where each wins
+    is MEASURED, not assumed (bench extras, round 7): at THIS query's
+    t = 0.5 the prefix keeps half of every doc's shingles, and the direct
+    count-join (pure codegen, no extra shuffles) wins at every corpus
+    size reachable on local[32] — 20k through 200k docs.  At the classic
+    near-dup threshold t = 0.8 the prefix keeps ~20% and PPJoin crosses
+    over at 200k docs (zipf200k_*_t08 extras).  The structural pruning
+    evidence (candidate count, tests/test_ppjoin.py) holds at every
+    threshold."""
     return exact_jaccard_pairs(load_table(spark, sf_dir, "documents"), persist=True)
 
 
-def exact_jaccard_pairs(docs: DataFrame, ngram: int = 3, persist: bool = False) -> DataFrame:
+def _jaccard_ge(t_num: int, t_den: int):
+    """Integer predicate for J = c/(a+b-c) ≥ t_num/t_den:
+    (t_den + t_num)·c ≥ t_num·(a+b).  (1, 2) reproduces q72's 3c ≥ a+b."""
+    return (t_den + t_num) * F.col("n_common") >= t_num * (F.col("n_a") + F.col("n_b"))
+
+
+def exact_jaccard_pairs(
+    docs: DataFrame,
+    ngram: int = 3,
+    persist: bool = False,
+    t_num: int = 1,
+    t_den: int = 2,
+) -> DataFrame:
     """q72's body over any (doc_id, text) frame: direct shingle self-join
-    + count aggregate; exact, Σ df² cost.
+    + count aggregate; exact, Σ df² cost.  Threshold J ≥ t_num/t_den
+    (default 0.5, q72's contract) tested in exact integers.
 
     ``persist=False`` (library default) leaves cache lifetime to the
     caller — repeated calls in one session must not accumulate cached
@@ -212,7 +226,7 @@ def exact_jaccard_pairs(docs: DataFrame, ngram: int = 3, persist: bool = False) 
     return (
         pairs.join(ca, "doc_a")
         .join(cb, "doc_b")
-        .filter(JACCARD_THRESHOLD_NUM * F.col("n_common") >= F.col("n_a") + F.col("n_b"))
+        .filter(_jaccard_ge(t_num, t_den))
         .select(
             "doc_a",
             "doc_b",
@@ -229,38 +243,54 @@ def exact_jaccard_pairs(docs: DataFrame, ngram: int = 3, persist: bool = False) 
     )
 
 
-def ppjoin_pairs(docs: DataFrame, ngram: int = 3, persist: bool = False) -> DataFrame:
-    """PPJoin-style prefix-filtered EXACT Jaccard pairs (J ≥ 0.5) — the
-    scale-safe exact sibling of q72's direct shingle self-join.
+def ppjoin_pairs(
+    docs: DataFrame,
+    ngram: int = 3,
+    persist: bool = False,
+    t_num: int = 1,
+    t_den: int = 2,
+) -> DataFrame:
+    """PPJoin-style prefix-filtered EXACT Jaccard pairs (J ≥ t_num/t_den,
+    default 0.5) — the scale-safe exact sibling of q72's direct shingle
+    self-join.
 
     Prefix filtering (Chaudhuri et al. SSJoin, Xiao et al. PPJoin, both
     published): order every document's shingles by ascending global
     document frequency (rarest first, shingle text as tie-break — one
-    total order for the whole corpus).  J(A,B) ≥ 0.5 implies
-    |A∩B| ≥ ⌈|A|/2⌉, so if B shares no element of A's first
-    ⌊|A|/2⌋+1 shingles, the pair can't qualify — candidates need a match
-    between PREFIXES, never full sets.  On a long-tail (Zipfian) corpus
-    the prefixes are dominated by rare shingles (tiny document frequency),
-    so candidate generation is near-linear, while the direct self-join
-    pays Σ df² on every hot shingle.  Verification computes true
-    intersection sizes on candidates only — the result is EXACTLY q72's
-    output (pinned in tests/test_ppjoin.py on both the driver corpus and
-    a synthetic Zipfian one; the crossover is measured in bench extras).
+    total order for the whole corpus).  J(A,B) ≥ t implies
+    |A∩B| ≥ ⌈t·|A|⌉, so if B shares no element of A's first
+    |A| − ⌈t·|A|⌉ + 1 shingles, the pair can't qualify — candidates need
+    a match between PREFIXES, never full sets.  The pruning power is
+    1 − t of each doc: at t = 0.5 prefixes keep HALF the shingles (weak,
+    and measured to lose to the direct join on Zipf corpora up to 200 k
+    docs on local[32]); at t = 0.8 — the classic near-dup setting — they
+    keep ~20 %, and the crossover is real (bench extras
+    zipf_*_jaccard_t08).  Verification computes true intersection sizes
+    on candidates only — the result EXACTLY equals the direct join's at
+    the same threshold (pinned in tests/test_ppjoin.py at both 0.5 and
+    0.8).
 
     Plan shape at 100 TB: two hash aggregations (df computation, per-doc
     rank), one equi-join on prefix shingles, one verify join — all
-    key-partitioned, no all-pairs product anywhere."""
+    key-partitioned, no all-pairs product anywhere.  Constant-factor
+    choices that matter at that scale (measured locally, round 7):
+    shingles are carried as xxhash64 LONGS through every shuffle/sort
+    (half the bytes of the 3-word strings; same pair counts modulo a
+    2⁻⁶⁴ collision — MinHash makes the identical trade), and the verify
+    sets are built only for docs that actually appear in a candidate pair
+    (semi-join before collect_set), so verify cost tracks candidate
+    count, not corpus size."""
     from pyspark.sql import Window
 
-    ds = shingles_df(docs, n=ngram)
-    df_counts = ds.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ds = shingles_df(docs, n=ngram).select("doc_id", F.xxhash64("shingle").alias("sh"))
+    df_counts = ds.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     ranked = (
-        ds.join(df_counts, "shingle")
+        ds.join(df_counts, "sh")
         .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
         .withColumn(
             "rk",
             F.row_number().over(
-                Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("shingle"))
+                Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("sh"))
             ),
         )
     )
@@ -269,23 +299,32 @@ def ppjoin_pairs(docs: DataFrame, ngram: int = 3, persist: bool = False) -> Data
     # cache between measurements; see exact_jaccard_pairs).
     if persist:
         ranked = ranked.cache()
-    # prefix = first floor(n/2)+1 shingles in global rarity order
-    prefix = ranked.filter(F.col("rk") <= F.floor(F.col("n") / 2) + 1).select(
-        "doc_id", "shingle"
-    )
+    # prefix = first n − ⌈t·n⌉ + 1 shingles in global rarity order
+    # (t = 1/2 ⟹ ⌊n/2⌋ + 1, the former hardcoded form)
+    prefix_len = F.col("n") - F.ceil(F.col("n") * t_num / t_den) + 1
+    prefix = ranked.filter(F.col("rk") <= prefix_len).select("doc_id", "sh")
     a = prefix.alias("a")
     b = prefix.alias("b")
     cands = (
         a.join(
             b,
-            (F.col("a.shingle") == F.col("b.shingle"))
+            (F.col("a.sh") == F.col("b.sh"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sets_df = ranked.groupBy("doc_id").agg(
-        F.collect_set("shingle").alias("shset"), F.first("n").alias("n")
+    # verify sets ONLY for docs in some candidate pair — candidate count,
+    # not corpus size, bounds the collect_set work
+    cand_docs = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sets_df = (
+        ranked.join(cand_docs, "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_set("sh").alias("shset"), F.first("n").alias("n"))
     )
     sa = sets_df.select(
         F.col("doc_id").alias("doc_a"), F.col("shset").alias("set_a"), F.col("n").alias("n_a")
@@ -307,7 +346,7 @@ def ppjoin_pairs(docs: DataFrame, ngram: int = 3, persist: bool = False) -> Data
                 common.cast("double") / (F.col("n_a") + F.col("n_b") - common), 6
             ).alias("jaccard"),
         )
-        .filter(JACCARD_THRESHOLD_NUM * F.col("n_common") >= F.col("n_a") + F.col("n_b"))
+        .filter(_jaccard_ge(t_num, t_den))
         .orderBy("doc_a", "doc_b")
     )
 

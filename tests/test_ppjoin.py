@@ -36,6 +36,20 @@ def test_ppjoin_equals_direct_on_zipf_corpus(spark):
     assert want, "Zipf corpus should contain planted qualifying pairs"
 
 
+def test_ppjoin_equals_direct_at_high_threshold(spark):
+    """J ≥ 0.8 — the classic near-dup threshold and the regime where the
+    prefix keeps only ~20% of each doc's shingles (the measured wall-clock
+    crossover regime, bench extras zipf200k_*_t08).  Exactness must hold
+    with the shorter prefixes too."""
+    docs = zipf_corpus(spark, n_docs=400, doc_len=40, vocab=20_000, seed=7)
+    got = _rows(ppjoin_pairs(docs, t_num=4, t_den=5))
+    want = _rows(exact_jaccard_pairs(docs, t_num=4, t_den=5))
+    assert got == want
+    assert want, "planted near-dups should qualify at J >= 0.8"
+    # higher threshold admits a subset of the t=0.5 pairs
+    assert set(got) <= set(_rows(exact_jaccard_pairs(docs)))
+
+
 def test_zipf_corpus_is_deterministic_and_planted(spark):
     a = zipf_corpus(spark, n_docs=100, doc_len=30, vocab=5_000, seed=3)
     b = zipf_corpus(spark, n_docs=100, doc_len=30, vocab=5_000, seed=3)
