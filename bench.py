@@ -54,10 +54,28 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
+    # Load the Catalyst matmul extension when its jar is built
+    # (jvm/build.sh) so the stats-driven matmul_auto dispatch is exercised
+    # under the benched config (VERDICT r6 item 8).  spark.jars /
+    # spark.sql.extensions are start-time confs — they must go through the
+    # session builder, not conf.set.
+    jar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "emulating_hadoop_with_mpi_spark", "jvm", "matmul-extensions.jar",
+    )
+    ext_conf = (
+        {
+            "spark.jars": jar,
+            "spark.sql.extensions": "emulatinghadoop.spark.matmul.MatmulExtensions",
+        }
+        if os.path.exists(jar)
+        else {}
+    )
     spark = get_spark(
         app_name="bench",
         master=f"local[{cpus}]",
         shuffle_partitions=int(cpus),
+        extra_conf=ext_conf,
     )
     spark.sparkContext.setLogLevel("ERROR")
     registry = all_queries()
@@ -111,6 +129,19 @@ def main() -> None:
         b = generate_matrix_df(spark, n, n, seed=2, num_partitions=int(cpus))
         run_entry(label, lambda: fn(a, b), timings)
 
+    # matmul_auto with the Catalyst extension active (extras; VERDICT r6
+    # item 8): the injected optimizer rule reads Catalyst's size stats and
+    # picks broadcast-vs-shuffle with zero driver-side jobs.
+    extras: dict[str, float] = {}
+    if ext_conf:
+        from emulating_hadoop_with_mpi_spark.mapreduce.matmul import matmul_auto
+        from emulating_hadoop_with_mpi_spark.plans.catalyst_matmul import extension_active
+
+        if extension_active(spark):
+            a = generate_matrix_df(spark, 768, 768, seed=1, num_partitions=int(cpus))
+            b = generate_matrix_df(spark, 768, 768, seed=2, num_partitions=int(cpus))
+            run_entry("matmul_auto_768", lambda: matmul_auto(a, b), extras)
+
     # .dat scan + multiply end-to-end: times the vectorized binary reader
     # (sources/matrix.py byte-range splits + Arrow batches) on the
     # reference's own file format, not just generated DataFrames.
@@ -121,7 +152,6 @@ def main() -> None:
     from emulating_hadoop_with_mpi_spark.mapreduce.matmul import multiply_dat_files
     from emulating_hadoop_with_mpi_spark.sources.matrix import write_matrix_dat
 
-    extras: dict[str, float] = {}
     with tempfile.TemporaryDirectory() as dat_dir:
         rng = np.random.default_rng(7)
         pa = write_matrix_dat(
@@ -218,9 +248,9 @@ def main() -> None:
     # sources/scale.py (the driver ships nothing above sf0.1).  The
     # t_sf1/t_sf0.1 ratio is the measured answer to "would this survive a
     # scale-up" — recorded per query as slope_<name>.
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
     sf1_dir = os.environ.get(
-        "SPARK_GRAFT_SF1_DIR",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "localdata", "sf1"),
+        "SPARK_GRAFT_SF1_DIR", os.path.join(repo_dir, "localdata", "sf1")
     )
     if os.path.isdir(sf1_dir):
         slope_set = [
@@ -235,6 +265,30 @@ def main() -> None:
             run_entry(f"sf1_{name}", lambda: q.fn(spark, sf1_dir), extras)
             if name in timings and f"sf1_{name}" in extras:
                 extras[f"slope_{name}"] = round(extras[f"sf1_{name}"] / timings[name], 2)
+        sf1_docs = load_table(spark, sf1_dir, "documents")
+        run_entry("sf1_ppjoin_pairs", lambda: ppjoin_pairs(sf1_docs, persist=True), extras)
+
+    # Second slope decade for the dedup family (VERDICT r6 item 3): a 3×
+    # documents-only upscale of sf1 (sources/scale.py --only documents).
+    # slope2_<name> = t_sf3 / t_sf1 over a 3× data step — 3.0 is linear,
+    # 9.0 is quadratic; q72's Σ df² concern is measured, not argued.
+    sf3_dir = os.environ.get(
+        "SPARK_GRAFT_SF3_DIR", os.path.join(repo_dir, "localdata", "sf3")
+    )
+    if os.path.isdir(sf3_dir):
+        for name in ("q70_dedup_exact", "q72_ngram_jaccard_pairs", "q73_minhash_lsh_neardup"):
+            q = registry[name]
+            run_entry(f"sf3_{name}", lambda: q.fn(spark, sf3_dir), extras)
+            if f"sf1_{name}" in extras and f"sf3_{name}" in extras:
+                extras[f"slope2_{name}"] = round(
+                    extras[f"sf3_{name}"] / extras[f"sf1_{name}"], 2
+                )
+        sf3_docs = load_table(spark, sf3_dir, "documents")
+        run_entry("sf3_ppjoin_pairs", lambda: ppjoin_pairs(sf3_docs, persist=True), extras)
+        if "sf1_ppjoin_pairs" in extras and "sf3_ppjoin_pairs" in extras:
+            extras["slope2_ppjoin_pairs"] = round(
+                extras["sf3_ppjoin_pairs"] / extras["sf1_ppjoin_pairs"], 2
+            )
 
     # A broken headline query must never read as a speedup: if any HEADLINE
     # entry errored, the ratchet metric is invalid for this run.

@@ -172,14 +172,15 @@ def q72_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the moves are (a) q73's MinHash-LSH, or (b) a PPJoin-style
     prefix-filtering join (``ppjoin_pairs`` — exact, no false negatives,
     equality pytest-pinned at thresholds 0.5 and 0.8).  Where each wins
-    is MEASURED, not assumed (bench extras, round 7): at THIS query's
-    t = 0.5 the prefix keeps half of every doc's shingles, and the direct
-    count-join (pure codegen, no extra shuffles) wins at every corpus
-    size reachable on local[32] — 20k through 200k docs.  At the classic
-    near-dup threshold t = 0.8 the prefix keeps ~20% and PPJoin crosses
-    over at 200k docs (zipf200k_*_t08 extras).  The structural pruning
-    evidence (candidate count, tests/test_ppjoin.py) holds at every
-    threshold."""
+    is MEASURED, not assumed (BENCH_DETAIL extras): the naive PPJoin of
+    rounds 5-6 lost to this direct count-join everywhere; after round 7's
+    constant-factor work (shingles shuffled as xxhash64 longs, verify
+    sets bounded by candidate count) PPJoin wins at every measured
+    configuration — 20k-doc Zipf at t = 0.5 (1.67 s vs 1.95 s min-of-3),
+    200k docs at t = 0.8 (6.33 vs 6.78), and this driver corpus at sf0.1
+    (1.49 vs 1.68).  This query keeps the direct join as the simplest
+    pure-codegen exact baseline — the one whose Σ df² term is the
+    documented 100 TB scale concern."""
     return exact_jaccard_pairs(load_table(spark, sf_dir, "documents"), persist=True)
 
 
@@ -261,14 +262,15 @@ def ppjoin_pairs(
     |A∩B| ≥ ⌈t·|A|⌉, so if B shares no element of A's first
     |A| − ⌈t·|A|⌉ + 1 shingles, the pair can't qualify — candidates need
     a match between PREFIXES, never full sets.  The pruning power is
-    1 − t of each doc: at t = 0.5 prefixes keep HALF the shingles (weak,
-    and measured to lose to the direct join on Zipf corpora up to 200 k
-    docs on local[32]); at t = 0.8 — the classic near-dup setting — they
-    keep ~20 %, and the crossover is real (bench extras
-    zipf_*_jaccard_t08).  Verification computes true intersection sizes
-    on candidates only — the result EXACTLY equals the direct join's at
-    the same threshold (pinned in tests/test_ppjoin.py at both 0.5 and
-    0.8).
+    1 − t of each doc: at t = 0.5 prefixes keep half the shingles, at
+    t = 0.8 (the classic near-dup setting) ~20%.  With the
+    constant-factor choices below, the measured wall-clock beats the
+    direct join at every benched configuration — 20k-doc Zipf t = 0.5,
+    200k-doc Zipf t = 0.8, and the driver sf0.1 corpus (BENCH_DETAIL
+    zipf*/docs_ppjoin extras; the unoptimized rounds-5/6 version lost
+    everywhere).  Verification computes true intersection sizes on
+    candidates only — the result EXACTLY equals the direct join's at the
+    same threshold (pinned in tests/test_ppjoin.py at both 0.5 and 0.8).
 
     Plan shape at 100 TB: two hash aggregations (df computation, per-doc
     rank), one equi-join on prefix shingles, one verify join — all

@@ -66,8 +66,13 @@ def upscale(
     dst_dir: str,
     factor: int = 10,
     partitions_per_copy: int = 4,
+    only: tuple[str, ...] | None = None,
 ) -> None:
-    """Write a ``factor``-times-larger copy of ``src_dir`` into ``dst_dir``."""
+    """Write a ``factor``-times-larger copy of ``src_dir`` into ``dst_dir``.
+
+    ``only`` restricts output to the named tables (e.g. a documents-only
+    second slope decade for the dedup family) — the full plan set is still
+    built lazily, so restricted runs cost only what they write."""
     os.makedirs(dst_dir, exist_ok=True)
     src = {name: load_table(spark, src_dir, name) for name in TABLES}
     spans = {
@@ -139,6 +144,8 @@ def upscale(
         ),
     }
     for name, df in plans.items():
+        if only is not None and name not in only:
+            continue
         n_parts = 1 if name in ("region", "nation") else factor * partitions_per_copy
         df.repartition(n_parts).write.mode("overwrite").parquet(
             os.path.join(dst_dir, f"{name}.parquet")
@@ -154,10 +161,12 @@ def main() -> None:  # pragma: no cover — CLI convenience
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--dst", default="/root/repo/localdata/sf1")
     ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--only", default=None, help="comma-separated table subset")
     args = ap.parse_args()
     spark = get_spark(app_name="upscale")
     spark.sparkContext.setLogLevel("ERROR")
-    upscale(spark, args.src, args.dst, factor=args.factor)
+    only = tuple(args.only.split(",")) if args.only else None
+    upscale(spark, args.src, args.dst, factor=args.factor, only=only)
     spark.stop()
 
 
