@@ -9,8 +9,12 @@ Image decode is REAL for real image bytes: PIL full decode when the
 library is importable, else pure-stdlib header parsing (PNG IHDR / GIF
 LSD / JPEG SOFn) — tested against PNG/GIF/JPEG files synthesized
 in-process.  Non-image payloads (and this repo's synthetic text-bytes
-blobs) fall back to a clearly-marked deterministic fake; audio/video
-demuxing stays stubbed (no ffmpeg in this container).  Everything around
+blobs) fall back to a clearly-marked deterministic fake.  Real decode
+paths, all pure-stdlib-or-PIL: image dimensions (PNG/GIF/JPEG),
+animated-GIF frame demux (block walker → true per-frame byte ranges),
+and RIFF/WAVE audio (channels / sample rate / PCM frame count).  Only
+ffmpeg-class containers (mp4/mkv/mp3/...) keep the stub — the codecs
+aren't in this container.  Everything around
 the decode — binary schema, metadata struct, mapInPandas batch shape,
 partitioning — is real and tested.
 
@@ -69,8 +73,9 @@ def _make_decoder():
         Prefers a full PIL decode when the library is importable; falls
         back to pure-stdlib header parsing (PNG IHDR, GIF logical screen
         descriptor, JPEG SOFn scan) so real images get real dimensions
-        even in containers without PIL.  Audio/video container demuxing
-        (ffmpeg) stays stubbed — not installed here."""
+        even in containers without PIL.  GIF video demux and WAV audio
+        have their own real parsers below; only ffmpeg-class containers
+        stay stubbed — not installed here."""
         import struct as _struct
 
         try:  # full decode when available
@@ -163,6 +168,30 @@ def _make_decoder():
             return None
         return ranges or None
 
+    def wav_info(payload: bytes):
+        """REAL audio decode for RIFF/WAVE payloads, pure stdlib: walk the
+        chunk list and return (n_channels, sample_rate, n_samples) from
+        the fmt/data chunks, or None if the payload isn't a WAV."""
+        import struct as _struct
+
+        if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+            return None
+        i, n = 12, len(payload)
+        channels = rate = bits = data_len = None
+        while i + 8 <= n:
+            tag = payload[i : i + 4]
+            size = _struct.unpack("<I", payload[i + 4 : i + 8])[0]
+            if tag == b"fmt " and i + 24 <= n:
+                channels, rate = _struct.unpack("<HI", payload[i + 10 : i + 16])
+                bits = _struct.unpack("<H", payload[i + 22 : i + 24])[0]
+            elif tag == b"data":
+                data_len = min(size, n - i - 8)
+            i += 8 + size + (size & 1)  # chunks are word-aligned
+        if not channels or not rate or not bits or data_len is None:
+            return None
+        frame = channels * (bits // 8)
+        return int(channels), int(rate), int(data_len // frame) if frame else 0
+
     def decode_media(payload: bytes, kind: str) -> dict:
         """Decode one media payload into features.
 
@@ -187,6 +216,9 @@ def _make_decoder():
         if kind.startswith("video/"):
             ranges = gif_frame_ranges(payload)  # real demux for animated GIFs
             n_frames = len(ranges) if ranges else (byte_sum % 24) + 1
+        elif kind.startswith("audio/"):
+            wav = wav_info(payload)  # real decode for RIFF/WAVE payloads
+            n_frames = wav[2] if wav else 1  # PCM sample frames
         else:
             n_frames = 1
         return {
@@ -199,6 +231,7 @@ def _make_decoder():
 
     decode_media.image_dims = image_dims  # expose for direct testing
     decode_media.gif_frame_ranges = gif_frame_ranges
+    decode_media.wav_info = wav_info
     return decode_media
 
 

@@ -173,6 +173,41 @@ def test_gif_demux_through_sample_frames(spark):
     assert {r.frame_idx for r in rows if r.doc_id == 2} == set(range(0, fake_n, 2))
 
 
+def make_wav(n_samples: int, rate: int = 8000, channels: int = 1) -> bytes:
+    """Real RIFF/WAVE bytes via the stdlib wave module (16-bit PCM)."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(
+            b"".join(struct.pack("<h", (i * 37) % 2000 - 1000) for i in range(n_samples * channels))
+        )
+    return buf.getvalue()
+
+
+def test_wav_decoded_for_audio_payloads():
+    wav = make_wav(123, rate=8000, channels=2)
+    assert decode_media.wav_info(wav) == (2, 8000, 123)
+    feats = decode_media(wav, "audio/wav")
+    assert feats["n_frames"] == 123
+    # non-WAV audio payloads keep the stub's n_frames == 1
+    assert decode_media(b"not audio", "audio/fake")["n_frames"] == 1
+
+
+def test_wav_through_spark_pipeline(spark):
+    wav = make_wav(77)
+    df = spark.createDataFrame(
+        [(1, wav, ("audio/wav", 0, "t"))],
+        "doc_id long, payload binary, meta struct<kind:string,n_bytes:int,source:string>",
+    )
+    out = extract_features(df).collect()[0]
+    assert out.n_frames == 77
+
+
 def test_gif_demux_agrees_with_pil_when_available():
     import pytest
 
