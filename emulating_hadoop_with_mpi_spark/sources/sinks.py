@@ -59,6 +59,22 @@ def write_csv(df: DataFrame, path: str, header: bool = True) -> None:
     df.write.mode("overwrite").option("header", str(header).lower()).csv(path)
 
 
+def write_table(
+    df: DataFrame, path: str, fmt: str = "parquet", partition_by: list[str] | None = None
+) -> None:
+    """Format-parameterized sink: the one call site where a lakehouse
+    format plugs in.  ``fmt='parquet'`` works everywhere; ``'delta'`` /
+    ``'iceberg'`` additionally require their connector jars + catalog/
+    extension session confs (absent in this container — the jar-present
+    round-trip is tested with an offline auto-skip in
+    tests/test_lakehouse_connector.py).  On a cluster, swapping a
+    pipeline's sink to a lakehouse table is this one-argument change."""
+    w = df.write.mode("overwrite").format(fmt)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.save(path)
+
+
 def write_training_shards(
     packed: DataFrame, path: str, bins_per_shard: int = 64
 ) -> None:

@@ -83,6 +83,35 @@ def test_new_pipeline_ops_are_jvm_only(spark, sf_dir):
     assert python_eval_free(ivf_topk(spark, sf_dir))
 
 
+def test_ivf_cell_assignment_is_shuffle_free(spark, sf_dir):
+    """Nearest-centroid assignment must be a pure projection over a
+    broadcast of the one-row centroid array: zero shuffle exchanges per
+    Lloyd iteration / per search (ADVICE r6 — the former window argmin
+    hash-partitioned the whole corpus every pass)."""
+    from pyspark.sql import functions as F
+
+    from emulating_hadoop_with_mpi_spark.functions.similarity import (
+        _centroids_df,
+        assign_cells,
+        dot_q,
+        quantize,
+    )
+    from emulating_hadoop_with_mpi_spark.plans.inspect import executed_plan
+    from emulating_hadoop_with_mpi_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.select("vec_id", quantize(F.col("embedding")).alias("qv")).withColumn(
+        "norm2", dot_q(F.col("qv"), F.col("qv"))
+    )
+    centroids = _centroids_df(spark, [[1] * 64, [2] * 64])
+    plan = executed_plan(assign_cells(qv, centroids))
+    n_shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert n_shuffles == 0, f"cell assignment shuffles:\n{plan}"
+    # and the assignment itself is deterministic + total
+    assigned = assign_cells(qv, centroids)
+    assert assigned.filter(F.col("cell").isNull()).count() == 0
+
+
 def test_pack_sequences_no_global_window(spark, sf_dir):
     """The packing prefix sum must NOT sort the corpus into a single
     partition: no window in the plan may be both unpartitioned and fed by

@@ -77,3 +77,17 @@ def test_training_shards_one_file_per_shard_roundtrip(spark, sf_dir, tmp_path):
     from pyspark.sql import functions as F
 
     assert back.filter(back.shard != F.expr("bin_id div 8")).count() == 0
+
+
+def test_write_table_parquet_roundtrip(spark, tmp_path):
+    """The format-parameterized sink's always-available path: partitioned
+    parquet round-trip (the delta/iceberg branches are probed with
+    jar-resolution + offline skip in test_lakehouse_connector.py)."""
+    from emulating_hadoop_with_mpi_spark.sources.sinks import write_table
+
+    df = spark.range(50).selectExpr("id", "id % 5 AS grp")
+    out = str(tmp_path / "t")
+    write_table(df, out, fmt="parquet", partition_by=["grp"])
+    back = spark.read.parquet(out)
+    assert back.count() == 50
+    assert {(r.id, r.grp) for r in back.collect()} == {(i, i % 5) for i in range(50)}
