@@ -64,9 +64,12 @@ _SQL_NORM = (
 
 
 def _norm_text() -> Column:
-    return F.trim(
-        F.regexp_replace(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "), " +", " ")
-    )
+    """Casefold, strip punctuation, collapse whitespace — ONE regex pass:
+    any maximal run of non-alphanumerics (spaces included) becomes a
+    single space, which is exactly what the oracle's two-pass
+    strip-then-collapse form produces.  Normalization is q70's dominant
+    CPU term, so halving the regex passes matters at corpus scale."""
+    return F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "))
 
 
 @query(
@@ -84,24 +87,30 @@ def _norm_text() -> Column:
 def q70_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact + normalized dedup in one result, tagged by `method`.
 
-    - exact: group identical texts, keep the lowest doc_id — one hash
-      shuffle on the text (at 100 TB: shuffle a 64/128-bit text digest
-      instead of the full text — same plan shape).
+    - exact: group identical texts, keep the lowest doc_id.
     - normalized: casefold, strip punctuation, collapse whitespace, then
       hash-group — catches trivially-edited copies.
+
+    Both branches GROUP BY a 64-bit xxhash64 digest of the (normalized)
+    text, not the text itself: the shuffle carries 8-byte keys instead of
+    multi-KB documents — the difference between shuffling ~0.1% of corpus
+    bytes and all of them at 100 TB.  (Same answer modulo a 2⁻⁶⁴ digest
+    collision; the r7 slope measurement that motivated this showed q70 at
+    5.15× for 10× data — the worst of the dedup family — precisely
+    because full texts rode the exchange.)
 
     Subsumes the former q71_dedup_normalized (merged round 3 to fit the
     driver's 50-query cap, NOTES.md) — both branches stay fully
     DuckDB-oracle-checked via the UNION ALL oracle."""
     docs = load_table(spark, sf_dir, "documents")
     exact = (
-        docs.groupBy("text")
+        docs.groupBy(F.xxhash64("text").alias("__k"))
         .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
         .select(F.lit("exact").alias("method"), "keeper_doc_id", "n_copies")
     )
     normalized = (
-        docs.select("doc_id", _norm_text().alias("norm"))
-        .groupBy("norm")
+        docs.select("doc_id", F.xxhash64(_norm_text()).alias("__k"))
+        .groupBy("__k")
         .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
         .select(F.lit("normalized").alias("method"), "keeper_doc_id", "n_copies")
     )
