@@ -222,37 +222,104 @@ def q26_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q27_approx_sketches")  # HLL + t-digest/GK sketches — engine-specific, no cross-engine oracle
+# Rank-error padding for the GK within-bound flags: Spark documents
+# relative rank error <= 1/accuracy for approx_percentile; 10x padding
+# absorbs merge-order wiggle while staying a tight 0.1% rank claim.
+_GK_ACCURACY = 10_000
+_GK_RANK_PAD = 10.0 / _GK_ACCURACY
+_HLL_RSD = 0.02
+
+
+@query(
+    "q27_approx_sketches",
+    # The sketch ESTIMATES are engine-specific, but their documented error
+    # bounds are checkable facts: Spark emits the exact values plus
+    # within-bound booleans; the oracle recomputes the exact values and
+    # asserts the flags literally TRUE.  A driver hash-match therefore
+    # proves (a) the exact companions match SQL and (b) every sketch
+    # landed inside its contract — HLL++ within 3·rsd, GK percentiles
+    # within ±0.1% rank.  Percentiles run over integer cents so the
+    # exact quantile interpolation is cross-engine exact (q26 pattern).
+    oracle=f"""
+    WITH cents AS (
+        SELECT l_returnflag, l_orderkey,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cts
+        FROM lineitem
+    )
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_orderkey) AS exact_orders,
+           COUNT(*) AS n,
+           quantile_cont(cts, 0.5) AS exact_median_cents,
+           CAST(TRUE AS BOOLEAN) AS hll_within_3rsd,
+           CAST(TRUE AS BOOLEAN) AS gk_median_in_bounds,
+           CAST(TRUE AS BOOLEAN) AS gk_p90_in_bounds,
+           CAST(TRUE AS BOOLEAN) AS gk_p99_in_bounds
+    FROM cents
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
 def q27_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The two mergeable-sketch aggregates in one pass, each beside its
     exact counterpart: approx_count_distinct (HyperLogLog++) — the 100 TB
     cardinality path where exact distinct would shuffle every key — and
     approx_percentile (GK sketch) — the 100 TB quantile path with
-    per-partition mergeable state and no global sort.  Estimates are
-    engine-specific → rows-only driver check; tests bound both errors
-    against the exact values.  (Merged q27+q28 under the driver's 50-query
-    cap — NOTES.md round 3.)"""
+    per-partition mergeable state and no global sort.
+
+    Promoted from rows-only to oracle-checked (round 7): the estimates
+    themselves stay engine-specific, so the OUTPUT carries the exact
+    values plus deterministic within-documented-bound flags — HLL within
+    3·rsd of exact distinct, each GK percentile between the exact
+    percentiles at p ± {_GK_RANK_PAD} rank.  The flags are reproducible
+    (HLL++ is hash-deterministic; GK honors its ε under any merge order),
+    so the driver's value-hash now checks the sketch CONTRACTS, not just
+    row counts.  tests/ additionally bound the raw estimate errors.
+    (Merged q27+q28 under the driver's 50-query cap — NOTES.md round 3.)"""
     li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
-            F.countDistinct("l_orderkey").alias("exact_orders"),
-            F.expr("approx_percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D), 10000)").alias(
-                "approx_p"
-            ),
-            F.expr("percentile(l_extendedprice, 0.5D)").alias("exact_median"),
-            F.count(F.lit(1)).alias("n"),
+    d = _GK_RANK_PAD
+    ps = (0.5, 0.9, 0.99)
+    lo = [max(0.0, p - d) for p in ps]
+    hi = [min(1.0, p + d) for p in ps]
+    cents = li.select(
+        "l_returnflag",
+        "l_orderkey",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cts"),
+    )
+    agg = cents.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=_HLL_RSD).alias("approx_orders"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.expr(
+            f"approx_percentile(cts, array({', '.join(f'{p}D' for p in ps)}), {_GK_ACCURACY})"
+        ).alias("approx_p"),
+        F.expr(
+            "percentile(cts, array("
+            + ", ".join(f"{p}D" for p in list(lo) + list(hi) + [0.5])
+            + "))"
+        ).alias("exact_p"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    k = len(ps)
+    flags = [
+        (
+            F.col("approx_p")[i].cast("double") >= F.col("exact_p")[i]
         )
-        .select(
+        & (F.col("approx_p")[i].cast("double") <= F.col("exact_p")[k + i])
+        for i in range(k)
+    ]
+    hll_ok = (
+        F.abs(F.col("approx_orders") - F.col("exact_orders"))
+        <= 3 * _HLL_RSD * F.col("exact_orders")
+    )
+    return (
+        agg.select(
             "l_returnflag",
-            "approx_orders",
             "exact_orders",
-            F.col("approx_p")[0].alias("approx_median"),
-            F.col("approx_p")[1].alias("approx_p90"),
-            F.col("approx_p")[2].alias("approx_p99"),
-            "exact_median",
             "n",
+            F.col("exact_p")[2 * k].alias("exact_median_cents"),
+            hll_ok.alias("hll_within_3rsd"),
+            flags[0].alias("gk_median_in_bounds"),
+            flags[1].alias("gk_p90_in_bounds"),
+            flags[2].alias("gk_p99_in_bounds"),
         )
         .orderBy("l_returnflag")
     )

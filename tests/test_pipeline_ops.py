@@ -153,16 +153,32 @@ def test_cogroup_asof_equals_window_asof(spark, sf_dir):
 
 
 def test_approx_sketches_bounded_error(spark, sf_dir):
-    """Sketch queries (rows-only for the driver) carry exact companions in
-    their own output — assert the estimation error bounds here."""
+    """q27 (oracle-checked since r7) emits within-documented-bound flags
+    beside the exact companions — every flag must hold, and the raw
+    estimates must track their exact values (checked here directly on the
+    underlying aggregates, since the query's output carries the verdicts,
+    not the estimates)."""
+    from pyspark.sql import functions as F
+
     from emulating_hadoop_with_mpi_spark.registry import all_queries
+    from emulating_hadoop_with_mpi_spark.sources.tables import load_table
 
     reg = all_queries()
     for r in reg["q27_approx_sketches"].fn(spark, sf_dir).collect():
-        assert abs(r.approx_orders - r.exact_orders) / r.exact_orders < 0.05
-        assert abs(r.approx_median - r.exact_median) / r.exact_median < 0.02
-        assert r.approx_p90 >= r.approx_median
-        assert r.approx_p99 >= r.approx_p90
+        assert r.hll_within_3rsd, r
+        assert r.gk_median_in_bounds and r.gk_p90_in_bounds and r.gk_p99_in_bounds, r
+        assert r.exact_orders <= r.n
+    # raw estimate error, independent of the flags' padding
+    li = load_table(spark, sf_dir, "lineitem")
+    raw = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("a"),
+        F.countDistinct("l_orderkey").alias("e"),
+        F.expr("approx_percentile(l_extendedprice, 0.5D, 10000)").alias("am"),
+        F.expr("percentile(l_extendedprice, 0.5D)").alias("em"),
+    )
+    for r in raw.collect():
+        assert abs(r.a - r.e) / r.e < 0.05
+        assert abs(r.am - r.em) / r.em < 0.02
 
 
 def test_pandas_udf_cosine_matches_jvm_path(spark, sf_dir):
