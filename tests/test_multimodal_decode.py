@@ -223,6 +223,44 @@ def test_gif_demux_agrees_with_pil_when_available():
     )
 
 
+def test_decoders_never_raise_on_arbitrary_bytes():
+    """Operational property for 100 TB ingest: a corrupt/truncated blob
+    must yield the deterministic fake (or None from the parsers), never an
+    exception that kills the executor task.  Fuzz with arbitrary bytes
+    plus adversarial truncations of every valid container."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    valid = [
+        make_png(9, 5),
+        make_gif(7, 3),
+        make_jpeg(16, 8),
+        make_tricky_jpeg(10, 10),
+        make_multiframe_gif(6, 4, 3),
+        make_wav(40),
+    ]
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(min_size=0, max_size=256), st.sampled_from(["image/x", "audio/x", "video/x"]))
+    def fuzz(payload, kind):
+        feats = decode_media(payload, kind)
+        assert feats["n_bytes"] == len(payload)
+
+    fuzz()
+
+    for v in valid:
+        for cut in (0, 1, 2, 5, 9, len(v) // 2, len(v) - 1):
+            for kind in ("image/x", "audio/x", "video/x"):
+                feats = decode_media(v[:cut], kind)
+                assert feats["n_bytes"] == cut
+    # flipped bytes inside otherwise-valid containers
+    for v in valid:
+        for pos in (3, 8, 12, min(20, len(v) - 1)):
+            mutated = v[:pos] + bytes([v[pos] ^ 0xFF]) + v[pos + 1 :]
+            for kind in ("image/x", "audio/x", "video/x"):
+                decode_media(mutated, kind)  # must not raise
+
+
 def test_pil_path_when_available():
     """When PIL is importable the full decode must agree with the header
     parse (skipped in containers without PIL)."""
