@@ -46,15 +46,17 @@ SIMHASH_BITS = 64  # held as two 32-bit halves (sim_lo, sim_hi): engine-
 # portable bit math — bit 63 of a single int64 sketch flips the sign,
 # which engines shift/compare differently.
 HAMMING_MAX = 9
-# 10 pigeonhole chunks (5 per 32-bit half; widths 6,6,6,7,7): a pair at
-# Hamming ≤ 9 differs in at most 9 chunks, so with 10 chunks it MUST share
-# one — candidate generation is guaranteed-complete for the ≤9 threshold,
-# making q74's pair set EXACT (and therefore oracle-checkable), not
-# probabilistic.  (The former 8×8-bit layout only guaranteed Hamming ≤ 7,
-# leaving 8-9 to ≈99.9% luck.)  Tradeoff: narrow 6-7-bit bucket values
-# collide more (bigger candidate sets), absorbed by the cheap bit-math
-# verify; at extreme corpus sizes move toward wider chunks + multiprobe.
-SIMHASH_CHUNK_LAYOUT = [(0, 6), (6, 6), (12, 6), (18, 7), (25, 7)]  # per half
+# 5 pigeonhole BLOCKS of 13/13/13/13/12 bits over the full 64-bit sketch,
+# searched with single-bit MULTIPROBE: a pair at Hamming ≤ 9 puts ≤ ⌊9/5⌋
+# = 1 differing bit in SOME block (pigeonhole), and probing every
+# one-bit flip of each block value catches exactly that case — candidate
+# generation is guaranteed-complete for the ≤9 threshold, so q74's pair
+# set is EXACT (and oracle-checkable), not probabilistic.  vs the earlier
+# 10×6-7-bit chunk layout (also complete): 13-bit buckets hold 8192
+# values instead of 64, so random-sketch collisions — the candidate mass
+# — drop ~36×, at the price of 14 probe rows per (doc, block) instead
+# of 1.  Measured sf1 (50k docs): 34 s → see NOTES r7.
+SIMHASH_BLOCKS = [(0, 13), (13, 13), (26, 13), (39, 13), (52, 12)]  # (offset, width)
 
 
 _SQL_NORM = (
@@ -619,32 +621,57 @@ _SIMHASH_ORACLE = f"""
     """
 
 
+def _block_value(off: int, width: int) -> Column:
+    """Bits [off, off+width) of the 64-bit sketch held as sim_lo (bits
+    0-31) / sim_hi (bits 32-63); blocks may straddle the half boundary."""
+    end = off + width
+    if end <= 32:
+        return F.shiftrightunsigned(F.col("sim_lo"), off).bitwiseAND(F.lit((1 << width) - 1))
+    if off >= 32:
+        return F.shiftrightunsigned(F.col("sim_hi"), off - 32).bitwiseAND(
+            F.lit((1 << width) - 1)
+        )
+    lo_bits = 32 - off
+    lo_part = F.shiftrightunsigned(F.col("sim_lo"), off).bitwiseAND(F.lit((1 << lo_bits) - 1))
+    hi_part = F.col("sim_hi").bitwiseAND(F.lit((1 << (width - lo_bits)) - 1))
+    return lo_part.bitwiseOR(F.shiftleft(hi_part, lo_bits))
+
+
 @query("q74_simhash_neardup", oracle=_SIMHASH_ORACLE)
 def q74_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: candidates by chunk pigeonholing (10 chunks
-    ⟹ guaranteed-complete for Hamming ≤ 9; see SIMHASH_CHUNK_LAYOUT),
-    verified by exact Hamming distance ≤ 9.  md5-based sketches make the
-    pair set identical across engines, so the driver hash-checks it
-    against an all-pairs DuckDB re-derivation (promoted from rows-only,
-    round 7)."""
+    """SimHash near-dup pairs: candidates by 13-bit block pigeonholing
+    with single-bit multiprobe (guaranteed-complete for Hamming ≤ 9; see
+    SIMHASH_BLOCKS), verified by exact Hamming distance ≤ 9.  md5-based
+    sketches make the pair set identical across engines, so the driver
+    hash-checks it against an all-pairs DuckDB re-derivation (promoted
+    from rows-only, round 7).
+
+    Join shape: the probe side explodes each doc to (block, value) plus
+    every one-bit flip of the value (~70 rows/doc); the build side keeps
+    the exact (block, value) (5 rows/doc).  XOR-by-one-bit is symmetric,
+    so probing one side finds every pair whose minimum-difference block
+    differs by 0 or 1 bits — which pigeonhole guarantees for Hamming ≤ 9.
+    All key-partitioned equi-joins; candidate mass tracks bucket
+    collisions at 8192 values/block, not corpus size squared."""
     docs = load_table(spark, sf_dir, "documents")
     sims = simhash_df(docs)
-    chunk_cols = []
-    for half_idx, half in enumerate(("sim_lo", "sim_hi")):
-        for k, (off, width) in enumerate(SIMHASH_CHUNK_LAYOUT):
-            chunk_cols.append(
-                F.struct(
-                    F.lit(half_idx * len(SIMHASH_CHUNK_LAYOUT) + k).alias("c"),
-                    F.shiftrightunsigned(F.col(half), off)
-                    .bitwiseAND(F.lit((1 << width) - 1))
-                    .alias("v"),
-                )
-            )
-    chunks = sims.select(
-        "doc_id", "sim_lo", "sim_hi", F.explode(F.array(*chunk_cols)).alias("ck")
+    probe_cols, value_cols = [], []
+    for bi, (off, width) in enumerate(SIMHASH_BLOCKS):
+        v = _block_value(off, width)
+        value_cols.append(F.struct(F.lit(bi).alias("c"), v.alias("v")))
+        probe_cols.append(F.struct(F.lit(bi).alias("c"), v.alias("v")))
+        probe_cols.extend(
+            F.struct(F.lit(bi).alias("c"), v.bitwiseXOR(F.lit(1 << k)).alias("v"))
+            for k in range(width)
+        )
+    probes = sims.select(
+        "doc_id", "sim_lo", "sim_hi", F.explode(F.array(*probe_cols)).alias("ck")
     ).select("doc_id", "sim_lo", "sim_hi", F.col("ck.c").alias("c"), F.col("ck.v").alias("v"))
-    a = chunks.alias("a")
-    b = chunks.alias("b")
+    values = sims.select(
+        "doc_id", "sim_lo", "sim_hi", F.explode(F.array(*value_cols)).alias("ck")
+    ).select("doc_id", "sim_lo", "sim_hi", F.col("ck.c").alias("c"), F.col("ck.v").alias("v"))
+    a = probes.alias("a")
+    b = values.alias("b")
     pairs = (
         a.join(
             b,
