@@ -168,7 +168,12 @@ def main() -> None:
     # q76b (IVF==brute equivalence, incl. k-means training) is an extra,
     # not headline: q76 stays brute-only so the 22-entry basket timing is
     # comparable across rounds (ADVICE r6).
-    for name in ("q85_chunk_documents", "q86_pack_sequences", "q76b_ivf_equals_brute"):
+    for name in (
+        "q85_chunk_documents",
+        "q86_pack_sequences",
+        "q76b_ivf_equals_brute",
+        "q74_simhash_neardup",
+    ):
         q = registry[name]
         run_entry(name, lambda: q.fn(spark, sf_dir), extras)
 
@@ -259,12 +264,14 @@ def main() -> None:
             "q70_dedup_exact",
             "q72_ngram_jaccard_pairs",
             "q73_minhash_lsh_neardup",
+            "q74_simhash_neardup",
         ]
         for name in slope_set:
             q = registry[name]
             run_entry(f"sf1_{name}", lambda: q.fn(spark, sf1_dir), extras)
-            if name in timings and f"sf1_{name}" in extras:
-                extras[f"slope_{name}"] = round(extras[f"sf1_{name}"] / timings[name], 2)
+            base = timings.get(name, extras.get(name))
+            if base and f"sf1_{name}" in extras:
+                extras[f"slope_{name}"] = round(extras[f"sf1_{name}"] / base, 2)
         sf1_docs = load_table(spark, sf1_dir, "documents")
         run_entry("sf1_ppjoin_pairs", lambda: ppjoin_pairs(sf1_docs, persist=True), extras)
 
