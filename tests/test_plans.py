@@ -112,6 +112,27 @@ def test_ivf_cell_assignment_is_shuffle_free(spark, sf_dir):
     assert assigned.filter(F.col("cell").isNull()).count() == 0
 
 
+def test_q70_shuffles_digest_not_text(spark, sf_dir):
+    """q70's dedup exchanges must partition on the 64-bit digest, never
+    the document text: at 100 TB this is the difference between shuffling
+    8-byte keys and shuffling the corpus (r7; slope 10× went 5.15 → 2.12
+    with this change)."""
+    from emulating_hadoop_with_mpi_spark.plans.inspect import executed_plan
+
+    plan = executed_plan(REGISTRY["q70_dedup_exact"].fn(spark, sf_dir))
+    assert "hashpartitioning(__k" in plan, plan
+    assert "hashpartitioning(text" not in plan, "full text rides the exchange"
+
+
+def test_q74_candidates_join_is_equi_not_nested_loop(spark, sf_dir):
+    """SimHash candidate generation must be a key-partitioned equi-join on
+    (block, value) — never a nested-loop all-pairs product."""
+    from emulating_hadoop_with_mpi_spark.plans.inspect import executed_plan
+
+    plan = executed_plan(REGISTRY["q74_simhash_neardup"].fn(spark, sf_dir))
+    assert "NestedLoop" not in plan, plan
+
+
 def test_pack_sequences_no_global_window(spark, sf_dir):
     """The packing prefix sum must NOT sort the corpus into a single
     partition: no window in the plan may be both unpartitioned and fed by
