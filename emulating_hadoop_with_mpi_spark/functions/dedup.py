@@ -15,8 +15,9 @@ Five families, in increasing fuzziness:
   corpus + bucket collisions), then are verified with exact Jaccard.
   P(miss | J=0.8) ≈ (1-0.8⁴)³² ≈ 5e-8.
 - SimHash      (q74): 64-bit sign-of-sum sketch over md5 token hashes;
-  candidate pairs from 10-chunk pigeonholing (guaranteed-complete at
-  Hamming ≤ 9), verified by exact Hamming distance.
+  candidate pairs from 13-bit-block pigeonholing with single-bit
+  multiprobe (guaranteed-complete at Hamming ≤ 9), verified by exact
+  Hamming distance.
 
 q72, q73 and q74 are all DuckDB-oracle-checked: q72 is pure SQL
 semantics; q73 shares q72's exact-pairs oracle (its verify step recovers
@@ -186,12 +187,13 @@ def q72_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     is MEASURED, not assumed (BENCH_DETAIL extras): the naive PPJoin of
     rounds 5-6 lost to this direct count-join everywhere; after round 7's
     constant-factor work (shingles shuffled as xxhash64 longs, verify
-    sets bounded by candidate count) PPJoin wins at every measured
-    configuration — 20k-doc Zipf at t = 0.5 (1.67 s vs 1.95 s min-of-3),
-    200k docs at t = 0.8 (6.33 vs 6.78), and this driver corpus at sf0.1
-    (1.49 vs 1.68).  This query keeps the direct join as the simplest
-    pure-codegen exact baseline — the one whose Σ df² term is the
-    documented 100 TB scale concern."""
+    sets bounded by candidate count) PPJoin wins both Zipf configurations
+    stably across runs — 20k docs at t = 0.5 (1.65-1.67 vs 1.92-1.95
+    min-of-3) and 200k docs at t = 0.8 (6.3-6.9 vs 6.8-7.6) — and is
+    within single-JVM noise of the direct join on this small driver
+    corpus (both ~1.5-2.0 s, winner flips run to run).  This query keeps
+    the direct join as the simplest pure-codegen exact baseline — the one
+    whose Σ df² term is the documented 100 TB scale concern."""
     return exact_jaccard_pairs(load_table(spark, sf_dir, "documents"), persist=True)
 
 
@@ -276,8 +278,9 @@ def ppjoin_pairs(
     1 − t of each doc: at t = 0.5 prefixes keep half the shingles, at
     t = 0.8 (the classic near-dup setting) ~20%.  With the
     constant-factor choices below, the measured wall-clock beats the
-    direct join at every benched configuration — 20k-doc Zipf t = 0.5,
-    200k-doc Zipf t = 0.8, and the driver sf0.1 corpus (BENCH_DETAIL
+    direct join on both Zipf configurations, stably across runs —
+    20k docs at t = 0.5 and 200k docs at t = 0.8 — and sits within
+    single-JVM noise of it on the small driver corpus (BENCH_DETAIL
     zipf*/docs_ppjoin extras; the unoptimized rounds-5/6 version lost
     everywhere).  Verification computes true intersection sizes on
     candidates only — the result EXACTLY equals the direct join's at the
