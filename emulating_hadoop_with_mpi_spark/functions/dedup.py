@@ -586,8 +586,10 @@ def simhash_hamming(prefix_a: str = "a.", prefix_b: str = "b.") -> Column:
 # The full SimHash pipeline, re-derived in DuckDB: md5 token hashes →
 # per-bit sign sums → 32-bit sketch halves → all-pairs Hamming ≤ 9.  The
 # oracle needs no pigeonholing (it is allowed to be quadratic at sf0.01),
-# so a hash-match ALSO proves the Spark side's chunk-bucket candidate
-# generation misses nothing — which the 10-chunk layout guarantees.
+# so a hash-match ALSO proves the Spark side's block-bucket candidate
+# generation misses nothing — guaranteed by the pigeonhole layout
+# (5 blocks, Hamming<=9 means some block differs in <=1 bit, covered by
+# exact-block + single-bit-multiprobe buckets; see SIMHASH_BLOCKS).
 _SIMHASH_ORACLE = f"""
     WITH toks AS (
         SELECT doc_id, unnest({_SQL_TOKENS}) AS tok FROM documents
