@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 
 from emulating_hadoop_with_mpi_spark.functions.text import tokens_col, _SQL_TOKENS
 from emulating_hadoop_with_mpi_spark.registry import query
-from emulating_hadoop_with_mpi_spark.sources.tables import load_table
+from emulating_hadoop_with_mpi_spark.sources.tables import load_table, spread_small_scan
 
 NUM_PERM = 128
 BANDS = 32
@@ -552,21 +552,23 @@ def simhash_df(docs: DataFrame) -> DataFrame:
         F.conv(F.substring(md5, 1, 15), 16, 10).cast("long").alias("h1"),
         F.conv(F.substring(md5, 16, 15), 16, 10).cast("long").alias("h2"),
     )
+    # Per-bit sign sum Σ±1 == 2·Σbit - n_tok, so aggregate the raw bit
+    # sums (shift+mask only, no conditional per bit) plus one count; the
+    # sign test "Σ±1 > 0" becomes "2·Σbit > n_tok" in the projection.
     bit_sums = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tok"),
         *[
-            F.sum(
-                F.when(F.shiftright(F.col(h), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"{name}{i}")
+            F.sum(F.shiftright(F.col(h), i).bitwiseAND(F.lit(1))).alias(f"{name}{i}")
             for name, h in (("lo", "h1"), ("hi", "h2"))
             for i in range(32)
-        ]
+        ],
     )
     halves = []
     for name in ("lo", "hi"):
         acc = None
         for i in range(32):
             bit = (
-                F.when(F.col(f"{name}{i}") > 0, F.lit(1).cast("long"))
+                F.when(F.col(f"{name}{i}") * 2 > F.col("n_tok"), F.lit(1).cast("long"))
                 .otherwise(F.lit(0).cast("long"))
             )
             term = F.shiftleft(bit, i)
@@ -658,40 +660,69 @@ def q74_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     differs by 0 or 1 bits — which pigeonhole guarantees for Hamming ≤ 9.
     All key-partitioned equi-joins; candidate mass tracks bucket
     collisions at 8192 values/block, not corpus size squared."""
-    docs = load_table(spark, sf_dir, "documents")
-    sims = simhash_df(docs)
-    probe_cols, value_cols = [], []
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents"))
+    # persist() the sketch table (one 24-byte row per doc — ~24 GB per
+    # BILLION docs, trivially cache-able cluster-wide): the probe and
+    # value sides of the bucket self-join both read it, and without a
+    # materialization point Spark plans the whole tokenize+md5+64-sum
+    # sketch pass once PER SIDE (AQE stage reuse can't help — the small
+    # side becomes a BroadcastExchange, never a shared shuffle stage).
+    sims = simhash_df(docs).persist()
+    # One exploded frame carries BOTH join sides: exact (block, value)
+    # rows are flagged, flip probes are not.  Both sides then share the
+    # sketch-aggregation subtree up to its doc_id Exchange, which Spark
+    # de-duplicates via ReusedExchange — the md5/tokenize/64-sum sketch
+    # pass (the dominant linear cost) runs ONCE, not once per side.
+    probe_cols = []
     for bi, (off, width) in enumerate(SIMHASH_BLOCKS):
         v = _block_value(off, width)
-        value_cols.append(F.struct(F.lit(bi).alias("c"), v.alias("v")))
-        probe_cols.append(F.struct(F.lit(bi).alias("c"), v.alias("v")))
+        probe_cols.append(
+            F.struct(F.lit(bi).alias("c"), v.alias("v"), F.lit(True).alias("exact"))
+        )
         probe_cols.extend(
-            F.struct(F.lit(bi).alias("c"), v.bitwiseXOR(F.lit(1 << k)).alias("v"))
+            F.struct(
+                F.lit(bi).alias("c"),
+                v.bitwiseXOR(F.lit(1 << k)).alias("v"),
+                F.lit(False).alias("exact"),
+            )
             for k in range(width)
         )
     probes = sims.select(
         "doc_id", "sim_lo", "sim_hi", F.explode(F.array(*probe_cols)).alias("ck")
-    ).select("doc_id", "sim_lo", "sim_hi", F.col("ck.c").alias("c"), F.col("ck.v").alias("v"))
-    values = sims.select(
-        "doc_id", "sim_lo", "sim_hi", F.explode(F.array(*value_cols)).alias("ck")
-    ).select("doc_id", "sim_lo", "sim_hi", F.col("ck.c").alias("c"), F.col("ck.v").alias("v"))
+    ).select(
+        "doc_id",
+        "sim_lo",
+        "sim_hi",
+        F.col("ck.c").alias("c"),
+        F.col("ck.v").alias("v"),
+        F.col("ck.exact").alias("exact"),
+    )
     a = probes.alias("a")
-    b = values.alias("b")
+    b = probes.alias("b")
+    # `b.exact` lives in the JOIN CONDITION, not a pre-filter: both join
+    # inputs are then the IDENTICAL plan, so the (c, v) hash Exchange is
+    # planned once and reused (AQE stage reuse needs canonically-equal
+    # subtrees — a pushed-down filter on one side defeats it, and the
+    # sketch pass would run twice).
+    # Hamming-filter BEFORE distinct: the bucket join emits every
+    # (probe, value) collision — at sf1 that is ~160M rows, of which only
+    # ~0.4M survive the <=9 test.  Verifying on the join output (a cheap
+    # xor/bit_count projection) and deduplicating only survivors keeps the
+    # distinct Exchange at true-pair mass instead of collision mass.
     pairs = (
         a.join(
             b,
             (F.col("a.c") == F.col("b.c"))
             & (F.col("a.v") == F.col("b.v"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & F.col("b.exact"),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             simhash_hamming().alias("hamming"),
         )
+        .filter(F.col("hamming") <= HAMMING_MAX)
         .distinct()
     )
-    return (
-        pairs.filter(F.col("hamming") <= HAMMING_MAX)
-        .orderBy("doc_a", "doc_b")
-    )
+    return pairs.orderBy("doc_a", "doc_b")

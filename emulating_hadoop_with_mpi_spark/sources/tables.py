@@ -80,6 +80,25 @@ def _normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     return df
 
 
+def spread_small_scan(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Repartition ``df`` up to the session's core count IFF its scan is
+    under-parallel — the guard that makes CPU-heavy per-row work (token
+    md5, MinHash perms) use every core when the input is a small or
+    single-row-group parquet file that byte-range splitting cannot divide.
+
+    Scale-safe by construction: at cluster scale a 100 TB scan already
+    carries ~400k splits, ``cur >= min_parts`` holds, and this is the
+    identity — no exchange is added.  Locally the added Exchange moves
+    only the small input itself (KBs-MBs), and buys 32× parallelism on
+    the expensive downstream projection."""
+    sc = df.sparkSession.sparkContext
+    target = min_parts or sc.defaultParallelism
+    cur = df.rdd.getNumPartitions()
+    if cur >= target:
+        return df
+    return df.repartition(target)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 
