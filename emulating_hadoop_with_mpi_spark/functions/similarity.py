@@ -217,17 +217,24 @@ def _hyperplane_sign(plane: int, dim: int) -> int:
 
 def lsh_codes(emb: DataFrame, planes: int = LSH_PLANES, dim: int = 64) -> DataFrame:
     """(vec_id, embedding, code): 16-bit random-hyperplane code per vector.
-    Signs are deterministic constants baked into the plan (broadcast-free)."""
+    Signs are deterministic constants baked into the plan (broadcast-free).
+
+    Projections are EXACT BIGINT dots over the QUANTIZED vector (±1 sign
+    array), not float sums — floor(v·1000) then integer arithmetic is
+    bit-identical in every engine, which is what lets DuckDB re-derive
+    the codes and the driver hash-check q77 (promoted from rows-only,
+    round 8).  The quantized array is materialized as a column first:
+    Catalyst does not CSE inside lambda bodies, so an inline quantize
+    would re-run floor(v·1000) once per plane."""
+    base = emb.select("vec_id", "embedding", quantize(F.col("embedding")).alias("__qv"))
     code = F.lit(0).cast("int")
     for p in range(planes):
-        signs = F.array(*[F.lit(_hyperplane_sign(p, d)) for d in range(dim)])
-        proj = F.aggregate(
-            F.zip_with(F.col("embedding"), signs, lambda v, s: v.cast("double") * s),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+        signs = F.array(
+            *[F.lit(_hyperplane_sign(p, d)).cast("bigint") for d in range(dim)]
         )
+        proj = dot_q(F.col("__qv"), signs)
         code = code.bitwiseOR(F.shiftleft(F.when(proj > 0, 1).otherwise(0), p))
-    return emb.select("vec_id", "embedding", code.alias("code"))
+    return base.select("vec_id", "embedding", code.alias("code"))
 
 
 def q77_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -401,29 +408,18 @@ def ivf_centroids(
     return centers
 
 
-def ivf_topk(
-    spark: SparkSession,
-    sf_dir: str,
-    nlist: int = IVF_NLIST,
-    nprobe: int = IVF_NPROBE,
-    k: int = TOPK_K,
-    n_queries: int = TOPK_QUERIES,
+def _ivf_search(
+    corpus_qv: DataFrame,
+    centroids: DataFrame,
+    nprobe: int,
+    k: int,
+    n_queries: int,
 ) -> DataFrame:
-    """IVF cosine top-k: bucket the corpus once (one codegen scan), explode
-    each query to its nprobe probe cells, equi-join on cell, exact cosine
-    on candidates only, per-query window top-k.  Same output contract and
-    tie-breaks as q76."""
+    """Shared IVF search tail: bucket the corpus (projection-only
+    assignment), explode each query to its nprobe probe cells, equi-join
+    on cell, exact cosine on candidates only, per-query window top-k.
+    Same output contract and tie-breaks as q76."""
     from pyspark.sql import Window
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    qv = emb.select("vec_id", quantize(F.col("embedding")).alias("qv"))
-    # cached: training (count + init + Lloyd) and the search plan all scan
-    # the quantized corpus — without this the quantization recomputes once
-    # per driver action.  (At real scale: persist to storage once, or
-    # train on corpus_qv.sample() only.)
-    corpus_qv = qv.withColumn("norm2", dot_q(F.col("qv"), F.col("qv"))).cache()
-    centers = ivf_centroids(corpus_qv, nlist=nlist)
-    centroids = _centroids_df(spark, centers)
 
     corpus = assign_cells(corpus_qv, centroids)
     queries = probe_cells_df(
@@ -453,22 +449,208 @@ def ivf_topk(
     )
 
 
-@query("q77_ann_topk")  # xxhash/LSH + trained IVF — no SQL oracle; both recall-tested vs q76
+def ivf_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    nlist: int = IVF_NLIST,
+    nprobe: int = IVF_NPROBE,
+    k: int = TOPK_K,
+    n_queries: int = TOPK_QUERIES,
+) -> DataFrame:
+    """Trained IVF cosine top-k (k-means centroids via ``ivf_centroids``)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.select("vec_id", quantize(F.col("embedding")).alias("qv"))
+    # cached: training (count + init + Lloyd) and the search plan all scan
+    # the quantized corpus — without this the quantization recomputes once
+    # per driver action.  (At real scale: persist to storage once, or
+    # train on corpus_qv.sample() only.)
+    corpus_qv = qv.withColumn("norm2", dot_q(F.col("qv"), F.col("qv"))).cache()
+    centers = ivf_centroids(corpus_qv, nlist=nlist)
+    centroids = _centroids_df(spark, centers)
+    return _ivf_search(corpus_qv, centroids, nprobe, k, n_queries)
+
+
+def sampled_centroids_df(corpus_qv: DataFrame, nlist: int = IVF_NLIST) -> DataFrame:
+    """ONE row of `carr` (same shape as ``_centroids_df``): the nlist
+    corpus vectors with the lowest md5(vec_id-as-string) digests, cell ids
+    in digest order — a deterministic pseudo-random coarse quantizer.
+
+    Sampling instead of k-means is the standard cheap IVF init (FAISS
+    trains on a sample for the same reason); here it buys two things the
+    Lloyd path can't give: the whole index build is DECLARATIVE (orderBy
+    md5 + limit is one TakeOrdered job — no driver-side training sync),
+    and every step is reproducible in ANSI SQL (md5 of the decimal string
+    is engine-portable), which is what lets the driver hash-check q77's
+    IVF branch end-to-end.  The trained Lloyd variant stays driver-checked
+    via q76b (exhaustive-probe == brute) and recall-tested in tests."""
+    from pyspark.sql import Window
+
+    ordkey = F.md5(F.col("vec_id").cast("string"))
+    w = Window.orderBy("__ord", "vec_id")
+    cent = (
+        corpus_qv.select("vec_id", "qv", "norm2", ordkey.alias("__ord"))
+        .orderBy("__ord", "vec_id")
+        .limit(nlist)
+        .withColumn("cell", F.row_number().over(w).cast("int"))
+    )
+    return cent.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("cell"),
+                    F.col("qv").alias("cvec"),
+                    F.col("norm2").alias("c2"),
+                )
+            )
+        ).alias("carr")
+    )
+
+
+def ivf_sampled_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    nlist: int = IVF_NLIST,
+    nprobe: int = IVF_NPROBE,
+    k: int = TOPK_K,
+    n_queries: int = TOPK_QUERIES,
+) -> DataFrame:
+    """IVF cosine top-k with the sampled (declarative, oracle-checkable)
+    coarse quantizer — q77's registered IVF branch."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.select("vec_id", quantize(F.col("embedding")).alias("qv"))
+    corpus_qv = qv.withColumn("norm2", dot_q(F.col("qv"), F.col("qv")))
+    centroids = sampled_centroids_df(corpus_qv, nlist)
+    return _ivf_search(corpus_qv, centroids, nprobe, k, n_queries)
+
+
+# q77's full SQL re-derivation: integer hyperplane projections (the same
+# LCG sign constants, computed in SQL), 16-bit codes, Hamming-1
+# multiprobe bucket join, plus the sampled-centroid IVF branch (md5-order
+# sample, argmin cell assignment, nprobe probing) — every step exact
+# integer math or engine-identical doubles, so the driver value-hash
+# checks BOTH approximate paths end-to-end (promoted from rows-only, r8).
+_SQL_DOT = (
+    "list_reduce(list_transform(list_zip({a}, {b}), z -> z[1] * z[2]), (x, y) -> x + y)"
+)
+
+_ANN_ORACLE = f"""
+    WITH q AS (SELECT vec_id, {_SQL_QVEC} AS qv FROM embeddings),
+    n AS (SELECT vec_id, list_reduce(list_transform(qv, x -> x * x), (a, b) -> a + b) AS norm2
+          FROM q),
+    signsum AS (
+        SELECT q.vec_id, p.i AS p,
+               SUM(q.qv[CAST(d.i AS INT) + 1] *
+                   (CASE WHEN ((((1103515245 * (p.i * 4096 + d.i) + 12345) & 2147483647)
+                                >> 16) & 1) = 1
+                         THEN 1 ELSE -1 END)) AS proj
+        FROM q
+        CROSS JOIN (SELECT unnest(generate_series(0, {LSH_PLANES - 1})) AS i) p
+        CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) d
+        GROUP BY q.vec_id, p.i
+    ),
+    codes AS (
+        SELECT vec_id, CAST(SUM(CASE WHEN proj > 0 THEN (1 << p) ELSE 0 END) AS INT) AS code
+        FROM signsum GROUP BY vec_id
+    ),
+    lsh_probe AS (
+        SELECT c.vec_id AS query_id,
+               CASE WHEN pr.i = {LSH_PLANES} THEN c.code
+                    ELSE CAST(xor(CAST(c.code AS BIGINT), (1 << pr.i)) AS INT) END AS pcode
+        FROM codes c
+        CROSS JOIN (SELECT unnest(generate_series(0, {LSH_PLANES})) AS i) pr
+        WHERE c.vec_id < {TOPK_QUERIES}
+    ),
+    lsh_scored AS (
+        SELECT pb.query_id, c.vec_id AS neighbor_id,
+               ROUND(CAST({_SQL_DOT.format(a='qq.qv', b='qc.qv')} AS DOUBLE)
+                     / sqrt(CAST(nq.norm2 AS DOUBLE) * CAST(nc.norm2 AS DOUBLE)), 6) AS cosine
+        FROM lsh_probe pb
+        JOIN codes c ON c.code = pb.pcode AND c.vec_id <> pb.query_id
+        JOIN q qq ON qq.vec_id = pb.query_id
+        JOIN q qc ON qc.vec_id = c.vec_id
+        JOIN n nq ON nq.vec_id = pb.query_id
+        JOIN n nc ON nc.vec_id = c.vec_id
+    ),
+    lshk AS (
+        SELECT query_id, neighbor_id, cosine, CAST(rnk AS INT) AS rnk FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY cosine DESC, neighbor_id) AS rnk
+            FROM lsh_scored
+        ) WHERE rnk <= {TOPK_K}
+    ),
+    cent AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(s.vec_id AS VARCHAR)), s.vec_id) AS cell,
+               s.qv, s.norm2
+        FROM (SELECT q.vec_id, q.qv, n.norm2
+              FROM q JOIN n USING (vec_id)
+              ORDER BY md5(CAST(q.vec_id AS VARCHAR)), q.vec_id
+              LIMIT {IVF_NLIST}) s
+    ),
+    assign AS (
+        SELECT vec_id, cell FROM (
+            SELECT q.vec_id, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY c.norm2 - 2 * {_SQL_DOT.format(a='q.qv', b='c.qv')},
+                                c.cell) AS rk
+            FROM q CROSS JOIN cent c
+        ) WHERE rk = 1
+    ),
+    qprobe AS (
+        SELECT vec_id AS query_id, cell FROM (
+            SELECT q.vec_id, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY c.norm2 - 2 * {_SQL_DOT.format(a='q.qv', b='c.qv')},
+                                c.cell) AS rk
+            FROM q CROSS JOIN cent c
+            WHERE q.vec_id < {TOPK_QUERIES}
+        ) WHERE rk <= {IVF_NPROBE}
+    ),
+    ivf_scored AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               ROUND(CAST({_SQL_DOT.format(a='qq.qv', b='qc.qv')} AS DOUBLE)
+                     / sqrt(CAST(nq.norm2 AS DOUBLE) * CAST(nc.norm2 AS DOUBLE)), 6) AS cosine
+        FROM qprobe p
+        JOIN assign a USING (cell)
+        JOIN q qq ON qq.vec_id = p.query_id
+        JOIN q qc ON qc.vec_id = a.vec_id
+        JOIN n nq ON nq.vec_id = p.query_id
+        JOIN n nc ON nc.vec_id = a.vec_id
+        WHERE a.vec_id <> p.query_id
+    ),
+    ivfk AS (
+        SELECT query_id, neighbor_id, cosine, CAST(rnk AS INT) AS rnk FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY cosine DESC, neighbor_id) AS rnk
+            FROM ivf_scored
+        ) WHERE rnk <= {TOPK_K}
+    )
+    SELECT 'lsh' AS method, query_id, neighbor_id, cosine, rnk FROM lshk
+    UNION ALL
+    SELECT 'ivf' AS method, query_id, neighbor_id, cosine, rnk FROM ivfk
+    ORDER BY method, query_id, rnk
+    """
+
+
+@query("q77_ann_topk", oracle=_ANN_ORACLE)
 def q77_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Both ANN scale paths over one output contract, tagged by `method`:
     'lsh' = random-hyperplane codes with Hamming-1 multiprobe (index-free,
-    one coding pass), 'ivf' = trained inverted-file cells with nprobe
-    probing (index pays off when queried repeatedly).  Rows-only driver
-    check (hyperplane signs / trained centroids are engine-specific);
-    tests measure each branch's recall against the brute-force baseline;
-    IVF == brute at nprobe == nlist is driver-hash-checked as q76b's
-    'ivf_full' branch.  The IVF branch's centroid
-    training runs a bounded k-means sync (nlist rows to the driver per
-    Lloyd step) at plan-build time — the standard IVF train/search split."""
+    one coding pass), 'ivf' = inverted-file cells around a deterministic
+    md5-order sampled coarse quantizer, probed at nprobe < nlist.
+
+    Fully driver-hash-checked (round 8): the LSH projections are exact
+    BIGINT dots over quantized vectors with LCG sign constants, and the
+    sampled IVF index build is declarative md5-order selection — both
+    re-derivable in ANSI SQL, so the oracle recomputes codes, buckets,
+    probes, and top-k end-to-end.  The TRAINED (Lloyd k-means) IVF
+    variant — whose driver sync and xxhash64 init are not
+    SQL-expressible — remains driver-hash-checked through q76b
+    (exhaustive-probe == brute) and recall-tested in
+    tests/test_pipeline_ops.py."""
     lsh = q77_ann_lsh_topk(spark, sf_dir).select(
         F.lit("lsh").alias("method"), "query_id", "neighbor_id", "cosine", "rnk"
     )
-    ivf = ivf_topk(spark, sf_dir).select(
+    ivf = ivf_sampled_topk(spark, sf_dir).select(
         F.lit("ivf").alias("method"), "query_id", "neighbor_id", "cosine", "rnk"
     )
     return lsh.unionAll(ivf).orderBy("method", "query_id", "rnk")

@@ -78,7 +78,7 @@ def test_ann_topk_union_contract(spark, sf_dir):
     branch queries, rnk bounded by k."""
     from emulating_hadoop_with_mpi_spark.functions.similarity import (
         TOPK_K,
-        ivf_topk,
+        ivf_sampled_topk,
         q77_ann_topk,
     )
 
@@ -91,7 +91,7 @@ def test_ann_topk_union_contract(spark, sf_dir):
     lsh = {(r.query_id, r.neighbor_id, r.cosine, r.rnk)
            for r in q77_ann_lsh_topk(spark, sf_dir).collect()}
     ivf = {(r.query_id, r.neighbor_id, r.cosine, r.rnk)
-           for r in ivf_topk(spark, sf_dir).collect()}
+           for r in ivf_sampled_topk(spark, sf_dir).collect()}
     assert by_method["lsh"] == lsh
     assert by_method["ivf"] == ivf
 
