@@ -368,7 +368,7 @@ def chunk_documents(
     )
 
 
-PACK_RANGE_SPAN = 1024  # doc_ids per prefix-sum range partition
+PACK_NUM_RANGES = 1024  # prefix-sum range partitions (count-balanced)
 
 
 def pack_sequences(
@@ -383,16 +383,28 @@ def pack_sequences(
     Scalable shape — a DISTRIBUTED prefix sum, not a global window (a bare
     ``Window.orderBy`` would move the whole corpus to one partition):
 
-    1. per-range running totals: window partitioned by ``doc_id div
-       PACK_RANGE_SPAN`` — parallel across ranges;
-    2. per-range grand totals: one tiny aggregate (rows = ranges);
-    3. range offsets: cumulative sum over that tiny table (single-partition
-       window over #ranges rows — driver-scale, not data-scale);
-    4. global running total = range offset + in-range running total,
+    1. range boundaries: ``approx_percentile(doc_id)`` at
+       ``PACK_NUM_RANGES`` evenly-spaced probabilities — one tiny agg.
+       Count-balanced BY CONSTRUCTION, so sparse id spaces (ids · 1e6)
+       and skewed ones (90% of ids in one narrow band) both split into
+       ~equal ranges, where the former ``doc_id div SPAN`` keying
+       degenerated (one doc per range, or one range with 90% of the
+       corpus).  The packing OUTPUT is invariant to boundary placement —
+       any contiguous-in-order range partition yields the same global
+       prefix sum — so approximate (even run-varying) percentiles can
+       never change a bin assignment, only task balance.
+    2. per-range running totals: window partitioned by the range id
+       (= how many broadcast boundaries lie below doc_id) — parallel
+       across ranges;
+    3. per-range grand totals: one tiny aggregate (rows = ranges);
+    4. range offsets: cumulative sum over that tiny table (single-partition
+       window over PACK_NUM_RANGES rows — fixed-size, not data-scale);
+    5. global running total = range offset + in-range running total,
        via a broadcast join of the offsets.
 
-    Deterministic, one data shuffle (the range hash), O(corpus/ranges)
-    per-task memory.  Exact greedy packing is inherently sequential (each
+    Deterministic output, one data shuffle (the range hash),
+    O(corpus/PACK_NUM_RANGES) rows per task (~1M docs/range at 1B docs;
+    raise PACK_NUM_RANGES for larger corpora).  Exact greedy packing is inherently sequential (each
     bin boundary depends on the waste of every earlier bin); this
     end-aligned binning is its standard deterministic approximation, with
     a bounded overshoot: a bin whose FIRST document straddles the budget
@@ -412,11 +424,28 @@ def pack_sequences(
     from pyspark.sql import Window
 
     g = [group_col] if group_col else []
-    staged = (
+    # persist: the boundary agg, the in-range window, and the range-total
+    # agg each traverse these rows; without a materialization point the
+    # tokenize pass (the dominant cost) would run once per traversal.
+    # 16 bytes/doc — trivially cacheable at any corpus size.
+    counted = (
         docs.select(*g, "doc_id", F.size(tokens_col()).cast("long").alias("n_tokens"))
         .filter(F.col("n_tokens") > 0)
-        .withColumn("rng", F.expr(f"doc_id div {PACK_RANGE_SPAN}"))
+        .persist()
     )
+    probs = [i / PACK_NUM_RANGES for i in range(1, PACK_NUM_RANGES)]
+    bounds = counted.agg(
+        F.percentile_approx(
+            "doc_id", F.array(*[F.lit(p) for p in probs]), 10000
+        ).alias("bounds")
+    )
+    # range id = #boundaries strictly below doc_id: monotone in doc_id, so
+    # ranges stay contiguous in packing order (the correctness requirement);
+    # the boundaries only set where ranges split (the balance requirement).
+    staged = counted.join(F.broadcast(bounds)).withColumn(
+        "rng",
+        F.size(F.filter("bounds", lambda b: b < F.col("doc_id"))).cast("long"),
+    ).drop("bounds")
     w_in = Window.partitionBy(*g, "rng").orderBy("doc_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

@@ -441,6 +441,70 @@ def test_pack_sequences_distributed_prefix_sum_equals_naive(spark, sf_dir):
     assert got == expect
 
 
+def _pack_vs_naive_on(spark, docs, budget=128):
+    """pack_sequences output vs the single-window naive formulation on an
+    arbitrary (doc_id, text) frame — shared by the id-space stress tests."""
+    from pyspark.sql import Window, functions as F
+
+    from emulating_hadoop_with_mpi_spark.functions.text import pack_sequences, tokens_col
+
+    got = {
+        (r.doc_id, r.bin_id, r.bin_fill)
+        for r in pack_sequences(docs, budget=budget).collect()
+    }
+    staged = docs.select(
+        "doc_id", F.size(tokens_col()).cast("long").alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    naive = staged.withColumn("cum", F.sum("n_tokens").over(w)).withColumn(
+        "bin_id", F.expr(f"(cum - 1) div {budget}")
+    )
+    wb = Window.partitionBy("bin_id").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    expect = {
+        (r.doc_id, r.bin_id, r.bin_fill)
+        for r in naive.withColumn("bin_fill", F.sum("n_tokens").over(wb)).collect()
+    }
+    assert got and got == expect
+
+
+def test_pack_sequences_sparse_id_space(spark, sf_dir):
+    """Ids multiplied by 1e6: under the old ``doc_id div SPAN`` keying
+    every range held one doc (offsets table at data scale); the
+    percentile-boundary ranges must stay count-balanced and the bins
+    identical to the naive global window."""
+    from pyspark.sql import functions as F
+
+    from emulating_hadoop_with_mpi_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        (F.col("doc_id") * 1_000_000).alias("doc_id"), "text"
+    )
+    _pack_vs_naive_on(spark, docs)
+
+
+def test_pack_sequences_skewed_id_space(spark, sf_dir):
+    """90% of ids squeezed into one former range (id mod 100 within one
+    1024-wide band), the rest spread sparsely above — the count-balanced
+    boundaries must keep the result equal to the naive global window."""
+    from pyspark.sql import functions as F
+
+    from emulating_hadoop_with_mpi_spark.sources.tables import load_table
+
+    base = load_table(spark, sf_dir, "documents")
+    skewed = base.select(
+        F.when(F.col("doc_id") % 10 < 9, F.col("doc_id") % 100)
+        .otherwise(F.col("doc_id") * 4096 + 1_000_000)
+        .alias("doc_id"),
+        "text",
+    )
+    # doc_id must stay unique for packing order to be well-defined: keep
+    # one doc per collapsed id plus every sparse id
+    uniq = skewed.groupBy("doc_id").agg(F.first("text").alias("text"))
+    _pack_vs_naive_on(spark, uniq)
+
+
 def test_rolling_percentile_matches_python(spark, sf_dir):
     """Window-framed percentile == per-row Python recomputation of the
     exact `percentile` (linear interpolation) over the same frame."""

@@ -136,8 +136,8 @@ def test_q74_candidates_join_is_equi_not_nested_loop(spark, sf_dir):
 def test_pack_sequences_no_global_window(spark, sf_dir):
     """The packing prefix sum must NOT sort the corpus into a single
     partition: no window in the plan may be both unpartitioned and fed by
-    the documents scan (the tiny range-offset window is fine — it sees one
-    row per PACK_RANGE_SPAN of doc_ids, not per document)."""
+    the documents scan (the tiny range-offset window is fine — it sees at
+    most PACK_NUM_RANGES rows, not per-document ones)."""
     from emulating_hadoop_with_mpi_spark.functions.text import pack_sequences
     from emulating_hadoop_with_mpi_spark.sources.tables import load_table
 

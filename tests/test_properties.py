@@ -210,8 +210,8 @@ def test_range_join_equals_python_any_input(spark, pts, ivs, width):
 )
 def test_pack_sequences_equals_python_any_input(spark, docs, budget):
     """Distributed prefix-sum packing == sequential Python end-aligned
-    binning for arbitrary doc-id/length sets and budgets (ids sparse
-    across PACK_RANGE_SPAN ranges exercise the offset join)."""
+    binning for arbitrary doc-id/length sets and budgets (sparse and
+    clustered id sets exercise the percentile-boundary range keying)."""
     from emulating_hadoop_with_mpi_spark.functions.text import pack_sequences
 
     rows = [(d, " ".join(["w"] * n)) for d, n in docs.items()]
