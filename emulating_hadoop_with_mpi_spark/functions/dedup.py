@@ -32,7 +32,7 @@ Python in the hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from emulating_hadoop_with_mpi_spark.functions.text import tokens_col, _SQL_TOKENS
@@ -438,20 +438,11 @@ def lsh_candidates(sigs: DataFrame, bands: int = BANDS, rows: int = ROWS_PER_BAN
     )
 
 
-@query("q73_minhash_lsh_neardup", oracle=_EXACT_JACCARD_ORACLE)
-def q73_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(128) + LSH(32 bands × 4 rows) near-dup detection with exact
-    Jaccard verification of candidates (J ≥ 0.5).  Same output contract as
-    q72 but near-linear: candidates are generated by bucket joins instead
-    of the full shingle self-join.  At 100 TB this is the dedup operator:
-    O(corpus) signature pass + bucket-collision verification.
-
-    Oracle-checked against the EXACT pairs SQL (shared with q72): the
-    verify stage computes true Jaccard on every candidate, so the only way
-    to diverge from the exact answer is an LSH recall miss — ~5e-8 at the
-    planted J≥0.8, and hash-equality holds on the driver corpus (also
-    pinned Spark-side in tests/test_pipeline_ops.py)."""
-    docs = load_table(spark, sf_dir, "documents")
+def minhash_verified_pairs(docs: DataFrame) -> DataFrame:
+    """q73's body over any (doc_id, text) frame: MinHash(128) + LSH band
+    candidates, exact-Jaccard verification, q72's output contract.
+    Shared by q73 (registered) and q71's fuzzy pipeline (candidate
+    stage)."""
     ds = shingles_df(docs).cache()
     # ONE shuffle of the shingle set produces both the MinHash signatures
     # (min per permutation) and the exact-verify hash sets (collect_set) —
@@ -488,6 +479,157 @@ def q73_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(JACCARD_THRESHOLD_NUM * F.col("n_common") >= F.col("n_a") + F.col("n_b"))
         .orderBy("doc_a", "doc_b")
+    )
+
+
+@query("q73_minhash_lsh_neardup", oracle=_EXACT_JACCARD_ORACLE)
+def q73_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(128) + LSH(32 bands × 4 rows) near-dup detection with exact
+    Jaccard verification of candidates (J ≥ 0.5).  Same output contract as
+    q72 but near-linear: candidates are generated by bucket joins instead
+    of the full shingle self-join.  At 100 TB this is the dedup operator:
+    O(corpus) signature pass + bucket-collision verification.
+
+    Oracle-checked against the EXACT pairs SQL (shared with q72): the
+    verify stage computes true Jaccard on every candidate, so the only way
+    to diverge from the exact answer is an LSH recall miss — ~5e-8 at the
+    planted J≥0.8, and hash-equality holds on the driver corpus (also
+    pinned Spark-side in tests/test_pipeline_ops.py)."""
+    return minhash_verified_pairs(load_table(spark, sf_dir, "documents"))
+
+
+# Relative edit-distance gate for the fuzzy pipeline's verify stage:
+# levenshtein(norm_a, norm_b) ≤ (EDIT_NUM/EDIT_DEN)·max(len) tested in
+# exact integers — EDIT_DEN·lev ≤ EDIT_NUM·greatest(len_a, len_b, 1).
+EDIT_NUM = 1
+EDIT_DEN = 40  # 2.5% of the longer doc: tight enough that the gate BITES
+# on the driver corpus (drops ~1/5 of the J>=0.5 pairs at sf0.01), so the
+# driver hash-check exercises the verify stage, not just the candidates
+
+_FUZZY_PIPELINE_ORACLE = f"""
+    WITH RECURSIVE ds AS ({_SQL_SHINGLES}),
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY doc_id),
+    jp AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    jv AS (
+        SELECT doc_a, doc_b FROM jp
+        JOIN cnt ca ON doc_a = ca.doc_id
+        JOIN cnt cb ON doc_b = cb.doc_id
+        WHERE {JACCARD_THRESHOLD_NUM} * n_common >= ca.n + cb.n
+    ),
+    nt AS (SELECT doc_id, {_SQL_NORM} AS norm FROM documents),
+    verified AS (
+        SELECT doc_a, doc_b FROM jv
+        JOIN nt na ON doc_a = na.doc_id
+        JOIN nt nb ON doc_b = nb.doc_id
+        WHERE {EDIT_DEN} * levenshtein(na.norm, nb.norm)
+              <= {EDIT_NUM} * GREATEST(length(na.norm), length(nb.norm), 1)
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM verified
+        UNION
+        SELECT doc_b AS a, doc_a AS b FROM verified
+    ),
+    reach(node, lab) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    labels AS (
+        SELECT node AS doc_id, MIN(lab) AS keeper_doc_id FROM reach GROUP BY node
+    )
+    SELECT doc_id, keeper_doc_id,
+           CAST(COUNT(*) OVER (PARTITION BY keeper_doc_id) AS BIGINT) AS cluster_size
+    FROM labels
+    ORDER BY doc_id
+    """
+
+
+@query("q71_fuzzy_dedup_pipeline", oracle=_FUZZY_PIPELINE_ORACLE)
+def q71_fuzzy_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production fuzzy-dedup pipeline END-TO-END, one driver-checked
+    query: candidates → verify → keeper selection.
+
+    1. CANDIDATES: MinHash-LSH band buckets with exact-Jaccard
+       verification (q73's scale path — bucketed equi-joins, J ≥ 0.5).
+    2. VERIFY: character-level gate on the survivors only (q79's
+       primitive): levenshtein over normalized text ≤ {EDIT_NUM}/{EDIT_DEN}
+       of the longer doc, tested in exact integers.  Edit distance runs on
+       CANDIDATE PAIRS — never all-pairs — so its quadratic DP cost
+       tracks near-dup density, not corpus size.
+    3. KEEPERS: connected components over the verified pair graph by
+       min-label propagation — each doc maps to the smallest doc_id in
+       its component (the canonical keeper rule).  Spark side iterates
+       label = min(label, neighbors' labels) to FIXPOINT (a driver loop
+       over the pair-graph only — O(dup docs), not corpus rows, per
+       round; rounds = component diameter).  The oracle reproduces the
+       fixpoint with a recursive CTE, so the driver hash-match proves the
+       iteration converged to the same components.
+
+    Output: one row per doc in any verified near-dup pair —
+    (doc_id, keeper_doc_id, cluster_size)."""
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents"))
+    jac = minhash_verified_pairs(docs).select("doc_a", "doc_b")
+    norm = docs.select("doc_id", _norm_text().alias("norm"))
+    na = norm.select(F.col("doc_id").alias("doc_a"), F.col("norm").alias("norm_a"))
+    nb = norm.select(F.col("doc_id").alias("doc_b"), F.col("norm").alias("norm_b"))
+    lev = F.levenshtein("norm_a", "norm_b")
+    verified = (
+        jac.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(
+            EDIT_DEN * lev
+            <= EDIT_NUM * F.greatest(F.length("norm_a"), F.length("norm_b"), F.lit(1))
+        )
+        .select("doc_a", "doc_b")
+    )
+    edges = (
+        verified.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionAll(verified.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("lab", F.col("doc_id"))
+        .persist()
+    )
+    # min-label propagation to fixpoint: near-dup components are small and
+    # dense, so this converges in a handful of rounds; every round works
+    # on the pair graph only.  The 64-round ceiling is a defensive bound
+    # (it would need a 2^64-doc chain to bind under halving propagation).
+    for _ in range(64):
+        prop = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("lab").alias("nlab"))
+        )
+        merged = (
+            labels.join(prop, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("lab"), F.coalesce(F.col("nlab"), F.col("lab"))).alias("lab"),
+                (F.col("nlab") < F.col("lab")).alias("changed"),
+            )
+            .persist()
+        )
+        n_changed = merged.filter(F.col("changed")).count()
+        labels.unpersist()
+        labels = merged.select("doc_id", "lab").persist()
+        merged.unpersist()
+        if n_changed == 0:
+            break
+    w = Window.partitionBy("lab")
+    return (
+        labels.select(
+            "doc_id",
+            F.col("lab").alias("keeper_doc_id"),
+            F.count(F.lit(1)).over(w).cast("bigint").alias("cluster_size"),
+        )
+        .orderBy("doc_id")
     )
 
 

@@ -463,80 +463,90 @@ def q18_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q19_rollup_sets",
+    "q19_grouping_sets",
     oracle="""
-    SELECT 'rollup' AS variant, l_returnflag, l_linestatus,
-           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+    SELECT 'rollup' AS variant, l_returnflag AS key1, l_linestatus AS key2,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS agg_val,
            COUNT(*) AS n
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     UNION ALL
-    SELECT 'sets' AS variant, l_returnflag, l_linestatus,
-           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+    SELECT 'sets' AS variant, l_returnflag AS key1, l_linestatus AS key2,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS agg_val,
            COUNT(*) AS n
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-    ORDER BY variant, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    UNION ALL
+    SELECT 'cube' AS variant, o_orderstatus AS key1, o_orderpriority AS key2,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS agg_val,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY variant, key1 NULLS FIRST, key2 NULLS FIRST
     """,
 )
-def q19_rollup_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP (DataFrame API) + explicit GROUPING SETS (SQL API) in one
-    tagged union — both grouping-set constructs and both engine entry
-    points under a single oracle.  (Merged q19+q24 under the driver's
-    50-query cap — NOTES.md round 3.  Not in the reference; SURVEY §2.15
-    breadth.)"""
+def q19_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three grouping-set constructs under one tagged contract:
+    ROLLUP (DataFrame API) and explicit GROUPING SETS (SQL API) over
+    lineitem, CUBE (DataFrame API) over orders — each with grouping_id,
+    the bit vector that distinguishes a subtotal NULL from a data NULL
+    (both engines follow the SQL-standard encoding: first listed column =
+    most significant bit).  (q19+q24 merged round 3; q20_cube folded in
+    round 8 to free a slot for q71_fuzzy_dedup_pipeline under the
+    driver's 50-query cap — NOTES.md.  Not in the reference; SURVEY
+    §2.15 breadth.)"""
     li = load_table(spark, sf_dir, "lineitem")
     rollup = (
         li.rollup("l_returnflag", "l_linestatus")
-        .agg(money_sum(dec("l_quantity"), "sum_qty"), F.count(F.lit(1)).alias("n"))
-        .select(F.lit("rollup").alias("variant"), "l_returnflag", "l_linestatus", "sum_qty", "n")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            money_sum(dec("l_quantity"), "agg_val"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.lit("rollup").alias("variant"),
+            F.col("l_returnflag").alias("key1"),
+            F.col("l_linestatus").alias("key2"),
+            "gid",
+            "agg_val",
+            "n",
+        )
     )
     li.createOrReplaceTempView("lineitem_gs")
     sets = spark.sql(
         """
-        SELECT 'sets' AS variant, l_returnflag, l_linestatus,
-               CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+        SELECT 'sets' AS variant, l_returnflag AS key1, l_linestatus AS key2,
+               CAST(GROUPING_ID(l_returnflag, l_linestatus) AS INT) AS gid,
+               CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS agg_val,
                COUNT(*) AS n
         FROM lineitem_gs
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """
     )
-    return rollup.unionAll(sets).orderBy(
-        "variant",
-        F.col("l_returnflag").asc_nulls_first(),
-        F.col("l_linestatus").asc_nulls_first(),
-    )
-
-
-@query(
-    "q20_cube",
-    oracle="""
-    SELECT o_orderstatus, o_orderpriority,
-           CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid,
-           COUNT(*) AS n,
-           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_price
-    FROM orders
-    GROUP BY CUBE (o_orderstatus, o_orderpriority)
-    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
-    """,
-)
-def q20_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE grouping sets, with grouping_id — the bit vector that
-    distinguishes a CUBE-total NULL from a data NULL (both engines follow
-    the SQL-standard encoding: first listed column = most significant
-    bit)."""
-    orders = load_table(spark, sf_dir, "orders")
-    return (
-        orders.cube("o_orderstatus", "o_orderpriority")
+    cube = (
+        load_table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
         .agg(
             F.grouping_id().cast("int").alias("gid"),
+            money_sum(dec("o_totalprice"), "agg_val"),
             F.count(F.lit(1)).alias("n"),
-            money_sum(dec("o_totalprice"), "total_price"),
         )
-        .select("o_orderstatus", "o_orderpriority", "gid", "n", "total_price")
-        .orderBy(
-            F.col("o_orderstatus").asc_nulls_first(), F.col("o_orderpriority").asc_nulls_first()
+        .select(
+            F.lit("cube").alias("variant"),
+            F.col("o_orderstatus").alias("key1"),
+            F.col("o_orderpriority").alias("key2"),
+            "gid",
+            "agg_val",
+            "n",
         )
+    )
+    return rollup.unionAll(sets).unionAll(cube).orderBy(
+        "variant",
+        F.col("key1").asc_nulls_first(),
+        F.col("key2").asc_nulls_first(),
     )
 
 
