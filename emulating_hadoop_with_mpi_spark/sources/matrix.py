@@ -52,6 +52,25 @@ def matrix_dims_from_name(path: str) -> tuple[int, int]:
     return int(m.group(1)), int(m.group(2))
 
 
+def _read_matrix_coo_jvm(
+    spark: SparkSession, path: str, rows: int, cols: int, rows_per_split: int
+) -> DataFrame | None:
+    """JVM-side decode when the extension jar is loaded, else None.
+
+    Local ``file:``-less paths are absolutized first so executor-side Hadoop
+    FS resolution matches the driver's view; URIs pass through untouched.
+    """
+    fpath = path if "://" in path else os.path.abspath(path)
+    try:
+        jdf = spark._jvm.emulatinghadoop.spark.matmul.MatrixSource.readCoo(
+            spark._jsparkSession, fpath, rows, cols, rows_per_split
+        )
+        return DataFrame(jdf, spark)
+    except TypeError:
+        # jar absent: py4j resolves MatrixSource to an uncallable JavaPackage
+        return None
+
+
 def _split_bytes(spark: SparkSession) -> int:
     """Target bytes per read split — honor the same knob a FileScan uses."""
     raw = str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
@@ -66,10 +85,13 @@ def read_matrix_coo(
 
     Mirrors ``readArraysFromFile`` (``program.c:45-72``) but distributed and
     vectorized: the driver plans row-aligned byte-range splits (one task
-    each, sized like FileScan splits); each task positioned-reads its range
-    through ``pyarrow.fs`` and decodes with ``np.frombuffer`` +
-    ``np.repeat``/``np.tile`` into one Arrow batch per split — no
-    Python-per-cell loop anywhere on the read path.
+    each, sized like FileScan splits).  When the extension jar is on the
+    session classpath the decode runs entirely JVM-side
+    (``jvm/src/MatrixSource.scala`` — positioned Hadoop FS read +
+    little-endian IntBuffer, no Python boundary at all); otherwise each task
+    positioned-reads its range through ``pyarrow.fs`` and decodes with
+    ``np.frombuffer`` + ``np.repeat``/``np.tile`` into one Arrow batch per
+    split — no Python-per-cell loop anywhere on either path.
     """
     rows, cols = dims if dims is not None else matrix_dims_from_name(path)
     record_len = cols * 4
@@ -80,6 +102,10 @@ def read_matrix_coo(
     # least defaultParallelism splits when the matrix is big enough to care.
     par = max(1, spark.sparkContext.defaultParallelism)
     rows_per_split = max(1, min(_split_bytes(spark) // record_len, -(-rows // par)))
+
+    jvm_df = _read_matrix_coo_jvm(spark, path, rows, cols, rows_per_split)
+    if jvm_df is not None:
+        return jvm_df
     starts = list(range(0, rows, rows_per_split))
     spec = spark.createDataFrame(
         [(s, min(s + rows_per_split, rows)) for s in starts],

@@ -78,6 +78,36 @@ plan2 = C2._jdf.queryExecution().executedPlan().toString()
 assert "BroadcastHashJoin" not in plan2, plan2
 assert "SortMergeJoin" in plan2 or "ShuffledHashJoin" in plan2, plan2
 assert (An @ Bn == to_np(C2, 64, 48)).all()
+spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+# 5. JVM-side .dat decode (jvm/src/MatrixSource.scala): with the jar loaded,
+# read_matrix_coo must route to the JVM reader (no Python/Arrow stage in the
+# plan) and agree cell-for-cell with numpy AND with the forced mapInPandas
+# fallback — including a shape whose rows don't divide evenly into splits.
+from emulating_hadoop_with_mpi_spark.sources import matrix as M
+
+rng = np.random.default_rng(11)
+D = rng.integers(-(2**31), 2**31 - 1, size=(67, 29), dtype=np.int64).astype(np.int32)
+dat = M.write_matrix_dat(D, d, 9)
+jdf = M.read_matrix_coo(spark, dat)
+jplan = jdf._jdf.queryExecution().executedPlan().toString()
+assert "MapInPandas" not in jplan, jplan
+got = to_np(jdf, 67, 29)
+assert (got == D).all()
+
+_orig = M._read_matrix_coo_jvm
+M._read_matrix_coo_jvm = lambda *a, **k: None
+try:
+    pdf = M.read_matrix_coo(spark, dat)
+    pplan = pdf._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in pplan, pplan
+    assert (to_np(pdf, 67, 29) == got).all()
+finally:
+    M._read_matrix_coo_jvm = _orig
+
+# empty matrix short-circuits on both paths
+empty = M.write_matrix_dat(np.zeros((0, 5), dtype=np.int32), d, 10)
+assert M.read_matrix_coo(spark, empty).count() == 0
 
 spark.stop()
 print("CATALYST_MATMUL_OK")
