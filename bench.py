@@ -86,12 +86,14 @@ def main() -> None:
     samples: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
 
-    def run_timed(build, label: str | None = None) -> float:
+    def run_timed(build, label: str | None = None, reps: int = 3) -> float:
         """min of three runs — steady-state, less single-JVM JIT/GC noise.
         All per-leg samples are recorded into the JSON so a ratchet reader
-        can tell noise (one bad leg) from regression (all legs slow)."""
+        can tell noise (one bad leg) from regression (all legs slow).
+        Long scale legs (sf10) pass reps=1: at 45-90 s/leg the JIT/GC
+        noise this guards against is already amortized away."""
         legs: list[float] = []
-        for _ in range(3):
+        for _ in range(reps):
             t0 = time.perf_counter()
             build().write.format("noop").mode("overwrite").save()
             legs.append(round(time.perf_counter() - t0, 3))
@@ -102,11 +104,11 @@ def main() -> None:
             samples[label] = legs
         return min(legs)
 
-    def run_entry(label: str, build, sink: dict[str, float]) -> None:
+    def run_entry(label: str, build, sink: dict[str, float], reps: int = 3) -> None:
         """Failure-isolated: one broken query records an error entry and
         the rest of the bench still produces numbers."""
         try:
-            sink[label] = run_timed(build, label)
+            sink[label] = run_timed(build, label, reps=reps)
         except Exception as e:  # noqa: BLE001 — harness must degrade per-entry
             spark.catalog.clearCache()
             errors[label] = f"{type(e).__name__}: {e}"[:500]
@@ -295,6 +297,41 @@ def main() -> None:
         if "sf1_ppjoin_pairs" in extras and "sf3_ppjoin_pairs" in extras:
             extras["slope2_ppjoin_pairs"] = round(
                 extras["sf3_ppjoin_pairs"] / extras["sf1_ppjoin_pairs"], 2
+            )
+
+    # Third slope decade — the dedup-family gate (VERDICT r7 item 2): a
+    # documents-only 10× upscale of sf1 (sources/scale.py --only documents,
+    # ~600k docs / ~73 MB parquet), the first leg that puts real memory and
+    # spill pressure on the 128 GiB sandbox.  slope3_<name> = t_sf10/t_sf1
+    # over a full 10× decade — ≈1 is sublinear startup-dominated, ≈10 is
+    # linear, ≫10 is superlinear.  q72's Σ df² baseline is deliberately NOT
+    # gated here (documented quadratic; its scale siblings are) — the gate
+    # set is q70 / q73 / q74 / ppjoin.
+    sf10_dir = os.environ.get(
+        "SPARK_GRAFT_SF10_DIR", os.path.join(repo_dir, "localdata", "sf10")
+    )
+    if os.path.isdir(sf10_dir):
+        for name in (
+            "q70_dedup_exact",
+            "q73_minhash_lsh_neardup",
+            "q74_simhash_neardup",
+        ):
+            q = registry[name]
+            run_entry(f"sf10_{name}", lambda: q.fn(spark, sf10_dir), extras, reps=1)
+            if f"sf1_{name}" in extras and f"sf10_{name}" in extras:
+                extras[f"slope3_{name}"] = round(
+                    extras[f"sf10_{name}"] / extras[f"sf1_{name}"], 2
+                )
+        sf10_docs = load_table(spark, sf10_dir, "documents")
+        run_entry(
+            "sf10_ppjoin_pairs",
+            lambda: ppjoin_pairs(sf10_docs, persist=True),
+            extras,
+            reps=1,
+        )
+        if "sf1_ppjoin_pairs" in extras and "sf10_ppjoin_pairs" in extras:
+            extras["slope3_ppjoin_pairs"] = round(
+                extras["sf10_ppjoin_pairs"] / extras["sf1_ppjoin_pairs"], 2
             )
 
     # A broken headline query must never read as a speedup: if any HEADLINE
