@@ -443,7 +443,12 @@ def minhash_verified_pairs(docs: DataFrame) -> DataFrame:
     candidates, exact-Jaccard verification, q72's output contract.
     Shared by q73 (registered) and q71's fuzzy pipeline (candidate
     stage)."""
-    ds = shingles_df(docs).cache()
+    # NOT cached: since the signature and verify passes merged into one
+    # groupBy below, the shingle frame has exactly one consumer — caching
+    # it would materialize O(corpus tokens) rows into storage memory for
+    # nothing (measured: the stale cache was the main memory-pressure and
+    # run-variance source at the sf10 decade).
+    ds = shingles_df(docs)
     # ONE shuffle of the shingle set produces both the MinHash signatures
     # (min per permutation) and the exact-verify hash sets (collect_set) —
     # the signature pass and the verification pass share their groupBy.
@@ -810,54 +815,53 @@ def q74_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sketch pass once PER SIDE (AQE stage reuse can't help — the small
     # side becomes a BroadcastExchange, never a shared shuffle stage).
     sims = simhash_df(docs).persist()
-    # One exploded frame carries BOTH join sides: exact (block, value)
-    # rows are flagged, flip probes are not.  Both sides then share the
-    # sketch-aggregation subtree up to its doc_id Exchange, which Spark
-    # de-duplicates via ReusedExchange — the md5/tokenize/64-sum sketch
-    # pass (the dominant linear cost) runs ONCE, not once per side.
-    probe_cols = []
-    for bi, (off, width) in enumerate(SIMHASH_BLOCKS):
-        v = _block_value(off, width)
-        probe_cols.append(
-            F.struct(F.lit(bi).alias("c"), v.alias("v"), F.lit(True).alias("exact"))
+    # Probe side: each doc explodes to its exact (block, value) plus every
+    # one-bit flip (~70 rows/doc).  Build side: the exact (block, value)
+    # rows ONLY (5 rows/doc) — both recomputed from the persisted sketch
+    # table, so the expensive tokenize+md5+64-sum pass still runs once.
+    def exploded(cols_per_block) -> DataFrame:
+        cols = []
+        for bi, (off, width) in enumerate(SIMHASH_BLOCKS):
+            cols.extend(cols_per_block(bi, _block_value(off, width), width))
+        return sims.select(
+            "doc_id", "sim_lo", "sim_hi", F.explode(F.array(*cols)).alias("ck")
+        ).select(
+            "doc_id",
+            "sim_lo",
+            "sim_hi",
+            F.col("ck.c").alias("c"),
+            F.col("ck.v").alias("v"),
         )
-        probe_cols.extend(
-            F.struct(
-                F.lit(bi).alias("c"),
-                v.bitwiseXOR(F.lit(1 << k)).alias("v"),
-                F.lit(False).alias("exact"),
-            )
+
+    a = exploded(
+        lambda bi, v, width: [F.struct(F.lit(bi).alias("c"), v.alias("v"))]
+        + [
+            F.struct(F.lit(bi).alias("c"), v.bitwiseXOR(F.lit(1 << k)).alias("v"))
             for k in range(width)
-        )
-    probes = sims.select(
-        "doc_id", "sim_lo", "sim_hi", F.explode(F.array(*probe_cols)).alias("ck")
-    ).select(
-        "doc_id",
-        "sim_lo",
-        "sim_hi",
-        F.col("ck.c").alias("c"),
-        F.col("ck.v").alias("v"),
-        F.col("ck.exact").alias("exact"),
-    )
-    a = probes.alias("a")
-    b = probes.alias("b")
-    # `b.exact` lives in the JOIN CONDITION, not a pre-filter: both join
-    # inputs are then the IDENTICAL plan, so the (c, v) hash Exchange is
-    # planned once and reused (AQE stage reuse needs canonically-equal
-    # subtrees — a pushed-down filter on one side defeats it, and the
-    # sketch pass would run twice).
+        ]
+    ).alias("a")
+    b = exploded(
+        lambda bi, v, width: [F.struct(F.lit(bi).alias("c"), v.alias("v"))]
+    ).alias("b")
+    # The exact side carries the SHUFFLE_HASH hint: Catalyst's size stats
+    # come from the 24-byte-per-doc cached sketch and don't see the ×70
+    # explode, so left to itself it BROADCASTS the probe side — a
+    # 70-rows/doc hash table built driver-side (measured 5× slower at the
+    # sf10 decade, with multi-hundred-second GC variance).  A shuffled
+    # hash join partitioned on (c, v) builds per-partition tables from the
+    # 5-rows/doc exact side instead; at driver scales AQE's runtime stats
+    # can still demote it to a broadcast where that genuinely wins.
     # Hamming-filter BEFORE distinct: the bucket join emits every
-    # (probe, value) collision — at sf1 that is ~160M rows, of which only
-    # ~0.4M survive the <=9 test.  Verifying on the join output (a cheap
-    # xor/bit_count projection) and deduplicating only survivors keeps the
-    # distinct Exchange at true-pair mass instead of collision mass.
+    # (probe, value) collision — ~7.2B rows at the sf10 decade, of which
+    # only ~6M survive the <=9 test.  Verifying on the join output (a
+    # cheap xor/bit_count projection) and deduplicating only survivors
+    # keeps the distinct Exchange at true-pair mass, not collision mass.
     pairs = (
         a.join(
-            b,
+            b.hint("shuffle_hash"),
             (F.col("a.c") == F.col("b.c"))
             & (F.col("a.v") == F.col("b.v"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & F.col("b.exact"),
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),

@@ -126,11 +126,16 @@ def test_q70_shuffles_digest_not_text(spark, sf_dir):
 
 def test_q74_candidates_join_is_equi_not_nested_loop(spark, sf_dir):
     """SimHash candidate generation must be a key-partitioned equi-join on
-    (block, value) — never a nested-loop all-pairs product."""
+    (block, value) — never a nested-loop all-pairs product, and never a
+    broadcast of the ×70-exploded probe side (Catalyst's stats come from
+    the 24-byte-per-doc cached sketch and don't see the explode; left
+    unhinted it broadcast the probe frame — measured 5× slower with
+    multi-hundred-second GC variance at the sf10 decade, r8)."""
     from emulating_hadoop_with_mpi_spark.plans.inspect import executed_plan
 
     plan = executed_plan(REGISTRY["q74_simhash_neardup"].fn(spark, sf_dir))
     assert "NestedLoop" not in plan, plan
+    assert "ShuffledHashJoin" in plan, plan
 
 
 def test_pack_sequences_no_global_window(spark, sf_dir):
