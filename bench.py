@@ -179,6 +179,15 @@ def main() -> None:
         q = registry[name]
         run_entry(name, lambda: q.fn(spark, sf_dir), extras)
 
+    # simhash120: q74's contract at 120-bit sketch width — the documented
+    # corpus-scale configuration (24-bit pigeonhole blocks cut random
+    # collision mass ~2^11×; see functions/dedup.py SIMHASH120_BLOCKS).
+    from emulating_hadoop_with_mpi_spark.functions.dedup import simhash120_neardup_pairs
+    from emulating_hadoop_with_mpi_spark.sources.tables import load_table
+
+    sf_docs = load_table(spark, sf_dir, "documents")
+    run_entry("simhash120_neardup", lambda: simhash120_neardup_pairs(sf_docs), extras)
+
     # The full curation composition (functions/pipeline.py): quality gate
     # -> exact dedup -> leakage-safe split -> chunk -> grouped pack ->
     # chunk-text join, materialized end-to-end.
@@ -332,6 +341,19 @@ def main() -> None:
         if "sf1_ppjoin_pairs" in extras and "sf10_ppjoin_pairs" in extras:
             extras["slope3_ppjoin_pairs"] = round(
                 extras["sf10_ppjoin_pairs"] / extras["sf1_ppjoin_pairs"], 2
+            )
+        # the 120-bit width lever, measured at the decade it exists for:
+        # same Hamming<=9 contract, ~2^11 less collision mass than q74's
+        # 64-bit layout (sf10 ~19 s vs ~64 s when added, slope3 ~3.7)
+        run_entry(
+            "sf10_simhash120_neardup",
+            lambda: simhash120_neardup_pairs(sf10_docs),
+            extras,
+            reps=1,
+        )
+        if "simhash120_neardup" in extras and "sf10_simhash120_neardup" in extras:
+            extras["slope_sf0.1_sf10_simhash120"] = round(
+                extras["sf10_simhash120_neardup"] / extras["simhash120_neardup"], 2
             )
 
     # A broken headline query must never read as a speedup: if any HEADLINE

@@ -58,6 +58,21 @@ HAMMING_MAX = 9
 # — drop ~36×, at the price of 14 probe rows per (doc, block) instead
 # of 1.  Measured sf1 (50k docs): 34 s → see NOTES r7.
 SIMHASH_BLOCKS = [(0, 13), (13, 13), (26, 13), (39, 13), (52, 12)]  # (offset, width)
+# 120-bit scale variant (simhash120_neardup_pairs): same md5 digests carry
+# 60 usable bits per half, so the SAME token pass yields a 120-bit sketch
+# held as four 30-bit words.  At the SAME absolute Hamming ≤ 9 contract the
+# pigeonhole blocks widen from 13 to 24 bits — random block-collision
+# probability drops 2^11 (~2000×), which converts q74's top-decade
+# collision stream (~7.2B rows at 500k docs, the measured dominant cost)
+# into a rounding error while keeping every join equi and the completeness
+# guarantee identical (5 blocks, ≤ ⌊9/5⌋ = 1 differing bit in some block).
+# The trade is a stricter similarity bar (9/120 = 92.5% bit agreement vs
+# 86% at 9/64) and ~2× sketch-aggregation cost — the documented production
+# choice once corpus size makes collision mass, not the linear sketch
+# pass, the bill.
+SIMHASH120_WORD_BITS = 30
+SIMHASH120_WORDS = ("s0", "s1", "s2", "s3")
+SIMHASH120_BLOCKS = [(0, 24), (24, 24), (48, 24), (72, 24), (96, 24)]
 
 
 _SQL_NORM = (
@@ -732,6 +747,131 @@ def simhash_hamming(prefix_a: str = "a.", prefix_b: str = "b.") -> Column:
     ).cast("int")
 
 
+def simhash120_df(docs: DataFrame) -> DataFrame:
+    """(doc_id, s0..s3) — 120-bit SimHash from the SAME md5 token digests
+    as ``simhash_df`` (each 15-hex-char half carries 60 bits; the 64-bit
+    sketch uses only 32 of each).  Four 30-bit words: s0/s1 = bits 0-29 /
+    30-59 of h1, s2/s3 = the same from h2.  Same tf-weighted sign-sum
+    construction, same engine-portable integer math."""
+    md5 = F.md5(F.col("tok"))
+    toks = docs.select("doc_id", F.explode(tokens_col()).alias("tok")).select(
+        "doc_id",
+        F.conv(F.substring(md5, 1, 15), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(md5, 16, 15), 16, 10).cast("long").alias("h2"),
+    )
+    word_src = [("s0", "h1", 0), ("s1", "h1", 30), ("s2", "h2", 0), ("s3", "h2", 30)]
+    bit_sums = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        *[
+            F.sum(F.shiftright(F.col(h), base + i).bitwiseAND(F.lit(1))).alias(f"{w}_{i}")
+            for w, h, base in word_src
+            for i in range(SIMHASH120_WORD_BITS)
+        ],
+    )
+    words = []
+    for w, _, _ in word_src:
+        acc = None
+        for i in range(SIMHASH120_WORD_BITS):
+            bit = (
+                F.when(F.col(f"{w}_{i}") * 2 > F.col("n_tok"), F.lit(1).cast("long"))
+                .otherwise(F.lit(0).cast("long"))
+            )
+            term = F.shiftleft(bit, i)
+            acc = term if acc is None else acc.bitwiseOR(term)
+        words.append(acc.alias(w))
+    return bit_sums.select("doc_id", *words)
+
+
+def _block_value_words(off: int, width: int, words=SIMHASH120_WORDS, word_bits: int = SIMHASH120_WORD_BITS) -> Column:
+    """Bits [off, off+width) of a sketch held as fixed-width words;
+    blocks may straddle word boundaries."""
+    parts = []
+    placed = 0
+    while width > 0:
+        wi, wo = divmod(off, word_bits)
+        take = min(width, word_bits - wo)
+        part = F.shiftrightunsigned(F.col(words[wi]), wo).bitwiseAND(F.lit((1 << take) - 1))
+        parts.append(F.shiftleft(part, placed) if placed else part)
+        off += take
+        width -= take
+        placed += take
+    acc = parts[0]
+    for p in parts[1:]:
+        acc = acc.bitwiseOR(p)
+    return acc
+
+
+def simhash120_hamming(prefix_a: str = "a.", prefix_b: str = "b.") -> Column:
+    acc = None
+    for w in SIMHASH120_WORDS:
+        t = F.bit_count(F.col(f"{prefix_a}{w}").bitwiseXOR(F.col(f"{prefix_b}{w}")))
+        acc = t if acc is None else acc + t
+    return acc.cast("int")
+
+
+def _pigeonhole_pairs(sims: DataFrame, blocks, block_value, hamming) -> DataFrame:
+    """The shared candidate-generation + verify join for both SimHash
+    widths: probe side = exact (block, value) plus every one-bit flip
+    (complete for Hamming ≤ 9 by pigeonhole over ≥5 blocks), build side =
+    exact rows only, SHUFFLE_HASH-hinted (Catalyst's stats come from the
+    per-doc cached sketch and don't see the probe-side explode — unhinted
+    it broadcasts the big side, measured 5× slower at the sf10 decade).
+    Hamming-filter sits in the join, distinct only on survivors."""
+    sketch_cols = [c for c in sims.columns if c != "doc_id"]
+
+    def exploded(cols_per_block) -> DataFrame:
+        cols = []
+        for bi, (off, width) in enumerate(blocks):
+            cols.extend(cols_per_block(bi, block_value(off, width), width))
+        return sims.select(
+            "doc_id", *sketch_cols, F.explode(F.array(*cols)).alias("ck")
+        ).select(
+            "doc_id",
+            *sketch_cols,
+            F.col("ck.c").alias("c"),
+            F.col("ck.v").alias("v"),
+        )
+
+    a = exploded(
+        lambda bi, v, width: [F.struct(F.lit(bi).alias("c"), v.alias("v"))]
+        + [
+            F.struct(F.lit(bi).alias("c"), v.bitwiseXOR(F.lit(1 << k)).alias("v"))
+            for k in range(width)
+        ]
+    ).alias("a")
+    b = exploded(
+        lambda bi, v, width: [F.struct(F.lit(bi).alias("c"), v.alias("v"))]
+    ).alias("b")
+    return (
+        a.join(
+            b.hint("shuffle_hash"),
+            (F.col("a.c") == F.col("b.c"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming().alias("hamming"),
+        )
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .distinct()
+    )
+
+
+def simhash120_neardup_pairs(docs: DataFrame) -> DataFrame:
+    """q74's contract at 120-bit sketch width — the corpus-scale
+    configuration (see SIMHASH120_BLOCKS): same Hamming ≤ 9 bound, same
+    block machinery, 24-bit pigeonhole blocks, so random block collisions
+    — q74's measured dominant cost at the sf10 decade — drop ~2^11×.
+    Guaranteed-complete for its own contract (pinned against all-pairs
+    Hamming in tests/test_pipeline_ops.py)."""
+    sims = simhash120_df(docs).persist()
+    return _pigeonhole_pairs(
+        sims, SIMHASH120_BLOCKS, _block_value_words, simhash120_hamming
+    ).orderBy("doc_a", "doc_b")
+
+
 # The full SimHash pipeline, re-derived in DuckDB: md5 token hashes →
 # per-bit sign sums → 32-bit sketch halves → all-pairs Hamming ≤ 9.  The
 # oracle needs no pigeonholing (it is allowed to be quadratic at sf0.01),
@@ -819,56 +959,9 @@ def q74_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one-bit flip (~70 rows/doc).  Build side: the exact (block, value)
     # rows ONLY (5 rows/doc) — both recomputed from the persisted sketch
     # table, so the expensive tokenize+md5+64-sum pass still runs once.
-    def exploded(cols_per_block) -> DataFrame:
-        cols = []
-        for bi, (off, width) in enumerate(SIMHASH_BLOCKS):
-            cols.extend(cols_per_block(bi, _block_value(off, width), width))
-        return sims.select(
-            "doc_id", "sim_lo", "sim_hi", F.explode(F.array(*cols)).alias("ck")
-        ).select(
-            "doc_id",
-            "sim_lo",
-            "sim_hi",
-            F.col("ck.c").alias("c"),
-            F.col("ck.v").alias("v"),
-        )
-
-    a = exploded(
-        lambda bi, v, width: [F.struct(F.lit(bi).alias("c"), v.alias("v"))]
-        + [
-            F.struct(F.lit(bi).alias("c"), v.bitwiseXOR(F.lit(1 << k)).alias("v"))
-            for k in range(width)
-        ]
-    ).alias("a")
-    b = exploded(
-        lambda bi, v, width: [F.struct(F.lit(bi).alias("c"), v.alias("v"))]
-    ).alias("b")
-    # The exact side carries the SHUFFLE_HASH hint: Catalyst's size stats
-    # come from the 24-byte-per-doc cached sketch and don't see the ×70
-    # explode, so left to itself it BROADCASTS the probe side — a
-    # 70-rows/doc hash table built driver-side (measured 5× slower at the
-    # sf10 decade, with multi-hundred-second GC variance).  A shuffled
-    # hash join partitioned on (c, v) builds per-partition tables from the
-    # 5-rows/doc exact side instead; at driver scales AQE's runtime stats
-    # can still demote it to a broadcast where that genuinely wins.
-    # Hamming-filter BEFORE distinct: the bucket join emits every
-    # (probe, value) collision — ~7.2B rows at the sf10 decade, of which
-    # only ~6M survive the <=9 test.  Verifying on the join output (a
-    # cheap xor/bit_count projection) and deduplicating only survivors
-    # keeps the distinct Exchange at true-pair mass, not collision mass.
-    pairs = (
-        a.join(
-            b.hint("shuffle_hash"),
-            (F.col("a.c") == F.col("b.c"))
-            & (F.col("a.v") == F.col("b.v"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            simhash_hamming().alias("hamming"),
-        )
-        .filter(F.col("hamming") <= HAMMING_MAX)
-        .distinct()
-    )
-    return pairs.orderBy("doc_a", "doc_b")
+    # Join shape, hinting rationale, and the filter-before-distinct
+    # ordering live in _pigeonhole_pairs (shared with the 120-bit scale
+    # variant).
+    return _pigeonhole_pairs(
+        sims, SIMHASH_BLOCKS, _block_value, simhash_hamming
+    ).orderBy("doc_a", "doc_b")

@@ -51,6 +51,46 @@ def test_simhash_finds_planted_neardups(spark, sf_dir):
     assert recall >= 0.9, f"simhash recall {recall:.2f}; missed {sorted(exact - sim)[:5]}"
 
 
+def test_simhash120_complete_vs_brute(spark, sf_dir):
+    """The 120-bit scale variant (simhash120_neardup_pairs) must return
+    EXACTLY the all-pairs Hamming ≤ 9 set over its own sketches — the
+    pigeonhole completeness guarantee carries over from the 64-bit layout
+    (5 blocks, ≤ ⌊9/5⌋ = 1 differing bit in some block, single-bit
+    multiprobe).  Words must stay within 30 bits (the block extractor
+    straddles word boundaries)."""
+    from pyspark.sql import functions as F
+
+    from emulating_hadoop_with_mpi_spark.functions.dedup import (
+        HAMMING_MAX,
+        simhash120_df,
+        simhash120_hamming,
+        simhash120_neardup_pairs,
+    )
+    from emulating_hadoop_with_mpi_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = sorted(
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash120_neardup_pairs(docs).collect()
+    )
+    sims = simhash120_df(docs)
+    a, b = sims.alias("a"), sims.alias("b")
+    brute = sorted(
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            simhash120_hamming().alias("hamming"),
+        )
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .collect()
+    )
+    assert got == brute
+    mx = sims.agg(*[F.max(w).alias(w) for w in ("s0", "s1", "s2", "s3")]).collect()[0]
+    assert all(0 <= mx[w] < (1 << 30) for w in ("s0", "s1", "s2", "s3")), mx
+
+
 def test_ann_lsh_is_honest_vs_brute(spark, sf_dir):
     """ANN results are a subset of the truth: every (query, neighbor) the
     LSH path returns carries exactly the brute-force cosine.  (Recall on
