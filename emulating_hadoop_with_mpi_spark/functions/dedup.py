@@ -333,14 +333,33 @@ def ppjoin_pairs(
     # prefix = first n − ⌈t·n⌉ + 1 shingles in global rarity order
     # (t = 1/2 ⟹ ⌊n/2⌋ + 1, the former hardcoded form)
     prefix_len = F.col("n") - F.ceil(F.col("n") * t_num / t_den) + 1
-    prefix = ranked.filter(F.col("rk") <= prefix_len).select("doc_id", "sh")
+    prefix = ranked.filter(F.col("rk") <= prefix_len).select("doc_id", "sh", "rk", "n")
     a = prefix.alias("a")
     b = prefix.alias("b")
+    # PPJoin positional filter (Xiao et al., exactness-preserving): J ≥ t
+    # requires overlap ≥ α = ⌈t/(1+t)·(n_a+n_b)⌉, and a match at prefix
+    # positions (rk_a, rk_b) bounds the achievable overlap by
+    # 1 + min(n_a−rk_a, n_b−rk_b).  For a truly qualifying pair the bound
+    # holds at its FIRST common prefix shingle (smallest positions give the
+    # loosest bound ≥ the true overlap), so keeping pairs where ANY match
+    # passes loses nothing — pinned by the direct-join equality tests at
+    # t = 0.5 and 0.8.  The ⌈·⌉ never materializes: for integer ubound,
+    # ubound ≥ ⌈p/q⌉ ⟺ ubound·q ≥ p with p = t_num·(n_a+n_b),
+    # q = t_num+t_den — exact integer arithmetic, no division.
+    # The rk = 1 instance of this bound IS the classic length filter
+    # (min(n_a, n_b) ≥ α ⟺ t·n_a ≤ n_b ≤ n_a/t), so that comes free.
+    ubound = 1 + F.least(
+        F.col("a.n") - F.col("a.rk"), F.col("b.n") - F.col("b.rk")
+    )
     cands = (
         a.join(
             b,
             (F.col("a.sh") == F.col("b.sh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                ubound * (t_num + t_den)
+                >= (F.col("a.n") + F.col("b.n")) * t_num
+            ),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
