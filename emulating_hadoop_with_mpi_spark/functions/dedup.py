@@ -278,6 +278,7 @@ def ppjoin_pairs(
     persist: bool = False,
     t_num: int = 1,
     t_den: int = 2,
+    positional: bool = True,
 ) -> DataFrame:
     """PPJoin-style prefix-filtered EXACT Jaccard pairs (J ≥ t_num/t_den,
     default 0.5) — the scale-safe exact sibling of q72's direct shingle
@@ -351,16 +352,13 @@ def ppjoin_pairs(
     ubound = 1 + F.least(
         F.col("a.n") - F.col("a.rk"), F.col("b.n") - F.col("b.rk")
     )
-    cands = (
-        a.join(
-            b,
-            (F.col("a.sh") == F.col("b.sh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (
-                ubound * (t_num + t_den)
-                >= (F.col("a.n") + F.col("b.n")) * t_num
-            ),
+    cond = (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    if positional:
+        cond = cond & (
+            ubound * (t_num + t_den) >= (F.col("a.n") + F.col("b.n")) * t_num
         )
+    cands = (
+        a.join(b, cond)
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
@@ -383,8 +381,17 @@ def ppjoin_pairs(
         F.col("doc_id").alias("doc_b"), F.col("shset").alias("set_b"), F.col("n").alias("n_b")
     )
     common = F.size(F.array_intersect("set_a", "set_b"))
+    # Verify joins are pinned to ShuffledHashJoin, building on the ids-only
+    # candidate side: the sets frames carry multi-hundred-element shingle
+    # arrays whose DESERIALIZED size is far above what their compressed
+    # shuffle stats suggest, and letting AQE broadcast one of them killed
+    # the sf10 leg with a driver OOM during the broadcast build (round 8 —
+    # the same stats-blind-spot failure as q74's probe-side broadcast).
+    # Build sides stay bounded by candidate count, never corpus size.
     return (
-        cands.join(sa, "doc_a")
+        cands.hint("shuffle_hash")
+        .join(sa, "doc_a")
+        .hint("shuffle_hash")
         .join(sb, "doc_b")
         .select(
             "doc_a",

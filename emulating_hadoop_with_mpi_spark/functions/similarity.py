@@ -99,6 +99,118 @@ def q75_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEMANTIC_NEARDUP_ORACLE = """
+    WITH q AS (SELECT vec_id, __QVEC__ AS qv FROM embeddings),
+    n AS (SELECT vec_id, list_reduce(list_transform(qv, x -> x * x), (a, b) -> a + b) AS norm2
+          FROM q),
+    signsum AS (
+        SELECT q.vec_id, p.i AS p,
+               SUM(q.qv[CAST(d.i AS INT) + 1] *
+                   (CASE WHEN ((((1103515245 * (p.i * 4096 + d.i) + 12345) & 2147483647)
+                                >> 16) & 1) = 1
+                         THEN 1 ELSE -1 END)) AS proj
+        FROM q
+        CROSS JOIN (SELECT unnest(generate_series(0, __PLANES_M1__)) AS i) p
+        CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) d
+        GROUP BY q.vec_id, p.i
+    ),
+    codes AS (
+        SELECT vec_id, CAST(SUM(CASE WHEN proj > 0 THEN (1 << p) ELSE 0 END) AS INT) AS code
+        FROM signsum GROUP BY vec_id
+    ),
+    probe AS (
+        SELECT c.vec_id,
+               CASE WHEN pr.i = __PLANES__ THEN c.code
+                    ELSE CAST(xor(CAST(c.code AS BIGINT), (1 << pr.i)) AS INT) END AS pcode
+        FROM codes c
+        CROSS JOIN (SELECT unnest(generate_series(0, __PLANES__)) AS i) pr
+    ),
+    cand AS (
+        SELECT p.vec_id AS vec_a, c.vec_id AS vec_b
+        FROM probe p JOIN codes c ON c.code = p.pcode AND p.vec_id < c.vec_id
+    )
+    SELECT vec_a, vec_b,
+           ROUND(CAST(__DOT__ AS DOUBLE)
+                 / sqrt(CAST(na.norm2 AS DOUBLE) * CAST(nb.norm2 AS DOUBLE)), 6) AS cosine
+    FROM cand
+    JOIN q qa ON qa.vec_id = vec_a
+    JOIN q qb ON qb.vec_id = vec_b
+    JOIN n na ON na.vec_id = vec_a
+    JOIN n nb ON nb.vec_id = vec_b
+    WHERE CAST(__DOT__ AS DOUBLE)
+          / sqrt(CAST(na.norm2 AS DOUBLE) * CAST(nb.norm2 AS DOUBLE)) >= __TAU__
+    ORDER BY vec_a, vec_b
+    """.replace(
+    "__QVEC__", _SQL_QVEC
+).replace(
+    "__DOT__",
+    "list_reduce(list_transform(list_zip(qa.qv, qb.qv), z -> z[1] * z[2]), (x, y) -> x + y)",
+).replace(
+    "__PLANES_M1__", str(LSH_PLANES - 1)
+).replace(
+    "__PLANES__", str(LSH_PLANES)
+).replace(
+    "__TAU__", str(NEARDUP_MIN_COSINE)
+)
+
+
+@query("q75b_semantic_neardup_lsh", oracle=_SEMANTIC_NEARDUP_ORACLE)
+def q75b_semantic_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, BUCKETED — the scale path next to
+    q75's bounded brute baseline, over the FULL corpus (no slice).
+
+    Contract (deterministic, engine-reproducible, so fully hash-checked):
+    emit (vec_a, vec_b, cosine) for every pair whose 16-bit hyperplane-LSH
+    codes differ by ≤ 1 bit AND whose exact quantized cosine ≥ τ (q75's
+    threshold).  Candidate generation is a bucket equi-join — each vector
+    probes its own code plus all 16 single-bit flips (one probe can match
+    per pair, so no dedup pass is needed) — then candidates are verified
+    with exact BIGINT dot products.  The probe side explodes ids only;
+    the 64-long arrays join back at verify time, so candidate count (not
+    corpus size × 17 × array width) bounds the wide shuffle.  At 100 TB
+    the same shape holds with wider codes (collision mass ~ n²·P/2^w —
+    the same width-vs-corpus lever q74/simhash120 measure for SimHash).
+    Recall vs the q75 brute baseline is measured in
+    tests/test_pipeline_ops.py."""
+    return semantic_neardup_pairs(load_table(spark, sf_dir, "embeddings"))
+
+
+def semantic_neardup_pairs(
+    emb: DataFrame, tau: float = NEARDUP_MIN_COSINE
+) -> DataFrame:
+    """Core of q75b over an arbitrary (vec_id, embedding) frame — see
+    q75b_semantic_neardup_lsh for the contract and scale shape."""
+    coded = lsh_codes(emb)
+    qv = coded.select(
+        "vec_id", quantize(F.col("embedding")).alias("qv"), "code"
+    ).withColumn("norm2", dot_q(F.col("qv"), F.col("qv")))
+    probes = F.array(
+        F.col("code"), *[F.col("code").bitwiseXOR(F.lit(1 << p)) for p in range(LSH_PLANES)]
+    )
+    a = qv.select(F.col("vec_id").alias("vec_a"), F.explode(probes).alias("pcode"))
+    b = qv.select(F.col("vec_id").alias("vec_b"), F.col("code").alias("bcode"))
+    cand = a.join(
+        b, (F.col("pcode") == F.col("bcode")) & (F.col("vec_a") < F.col("vec_b"))
+    ).select("vec_a", "vec_b")
+    sa = qv.select(
+        F.col("vec_id").alias("vec_a"), F.col("qv").alias("qa"), F.col("norm2").alias("na")
+    )
+    sb = qv.select(
+        F.col("vec_id").alias("vec_b"), F.col("qv").alias("qb"), F.col("norm2").alias("nb")
+    )
+    cosine = F.col("dot").cast("double") / F.sqrt(
+        F.col("na").cast("double") * F.col("nb").cast("double")
+    )
+    return (
+        cand.join(sa, "vec_a")
+        .join(sb, "vec_b")
+        .withColumn("dot", dot_q(F.col("qa"), F.col("qb")))
+        .filter(cosine >= NEARDUP_MIN_COSINE)
+        .select("vec_a", "vec_b", F.round(cosine, 6).alias("cosine"))
+        .orderBy("vec_a", "vec_b")
+    )
+
+
 # The exact top-k answer in SQL.  Used twice: q76 checks the brute
 # broadcast scan against it (the ratcheted headline entry, brute-ONLY so
 # its timing stays comparable across rounds), and q76b re-emits it under

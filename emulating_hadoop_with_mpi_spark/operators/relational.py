@@ -148,27 +148,60 @@ def q03_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q04_semi_join_priority",
+    "q04_semi_anti_joins",
     oracle="""
-    SELECT o_orderpriority, COUNT(*) AS order_count
-    FROM orders
-    WHERE EXISTS (SELECT 1 FROM lineitem
-                  WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
-    GROUP BY o_orderpriority
-    ORDER BY o_orderpriority
+    SELECT * FROM (
+        SELECT 'semi_priority' AS section, o_orderpriority AS grp,
+               COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+        GROUP BY o_orderpriority
+        UNION ALL
+        SELECT 'anti_idle' AS section, c_mktsegment AS grp,
+               COUNT(*) AS n, CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        GROUP BY c_mktsegment
+    ) ORDER BY section, grp
     """,
 )
-def q04_semi_join_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXISTS as a left-semi join (TPC-H Q4 shape).  The semi join carries
-    only the keys — no lineitem payload crosses the shuffle."""
+def q04_semi_anti_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS and NOT EXISTS under one section-tagged contract (merged
+    former q04 + q07 to hold the driver's 50-query cap, the q40_set_ops
+    precedent — round 8; both sides unchanged, same plans):
+
+    - ``semi_priority``: EXISTS as a left-semi join (TPC-H Q4 shape); the
+      semi join carries only the keys — no lineitem payload crosses the
+      shuffle.
+    - ``anti_idle``: NOT EXISTS as a left-anti join — customers who never
+      ordered, grouped by market segment.
+
+    ``key_sum`` checksums the surviving keys on both sides (order keys /
+    customer keys), so the hash check sees which ROWS survived the
+    semi/anti filters, not just how many."""
     orders = load_table(spark, sf_dir, "orders")
     heavy = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45)
-    return (
+    semi = (
         orders.join(heavy, orders.o_orderkey == heavy.l_orderkey, "left_semi")
-        .groupBy("o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("order_count"))
-        .orderBy("o_orderpriority")
+        .groupBy(F.col("o_orderpriority").alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+        )
+        .select(F.lit("semi_priority").alias("section"), "grp", "n", "key_sum")
     )
+    cust = load_table(spark, sf_dir, "customer")
+    anti = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("c_custkey").cast("bigint").alias("key_sum"),
+        )
+        .select(F.lit("anti_idle").alias("section"), "grp", "n", "key_sum")
+    )
+    return semi.unionAll(anti).orderBy("section", "grp")
 
 
 @query(
@@ -231,28 +264,6 @@ def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         money_sum(dec("l_extendedprice") * dec("l_discount"), "revenue"),
         F.count(F.lit(1)).alias("n_items"),
-    )
-
-
-@query(
-    "q07_anti_join_idle_customers",
-    oracle="""
-    SELECT c_mktsegment, COUNT(*) AS n_idle, CAST(SUM(c_custkey) AS BIGINT) AS custkey_sum
-    FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-    GROUP BY c_mktsegment
-    ORDER BY c_mktsegment
-    """,
-)
-def q07_anti_join_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NOT EXISTS as a left-anti join: customers who never ordered."""
-    cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
-    return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
-        .groupBy("c_mktsegment")
-        .agg(F.count(F.lit(1)).alias("n_idle"), F.sum("c_custkey").alias("custkey_sum"))
-        .orderBy("c_mktsegment")
     )
 
 

@@ -574,3 +574,56 @@ def test_rolling_percentile_matches_python(spark, sf_dir):
         lo, hi = int(idx), min(int(idx) + 1, len(frame) - 1)
         expect = frame[lo] + (idx - lo) * (frame[hi] - frame[lo])
         assert abs(got[r.event_id] - expect) < 1e-9, r.event_id
+
+
+def test_semantic_neardup_recall_and_exactness_on_planted_copies(spark, sf_dir):
+    """q75b's bucketed embedding near-dup on planted noisy copies
+    (cosine ≈ 0.99+): every planted pair whose 16-bit codes are within
+    Hamming 1 MUST be emitted (candidate generation is exact over the
+    bucket contract), overall recall on planted pairs ≥ 0.9 (same
+    multi-probe arithmetic as q77's recall test), and every emitted
+    cosine equals the exact quantized-brute value."""
+    from pyspark.sql import functions as F
+
+    from emulating_hadoop_with_mpi_spark.functions.similarity import (
+        lsh_codes,
+        semantic_neardup_pairs,
+    )
+    from emulating_hadoop_with_mpi_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    noisy = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda v, i: v + F.when(i == 0, v * 0.05).otherwise(v * 0.001)
+        ).alias("embedding"),
+    )
+    planted = emb.select("vec_id", "embedding").unionByName(noisy)
+
+    got = {
+        (r.vec_a, r.vec_b): r.cosine for r in semantic_neardup_pairs(planted).collect()
+    }
+    codes = {r.vec_id: r.code for r in lsh_codes(planted).select("vec_id", "code").collect()}
+
+    caught = 0
+    for vid in range(100):
+        pair = (vid, vid + 100000)
+        hamming = bin(codes[vid] ^ codes[vid + 100000]).count("1")
+        if hamming <= 1:
+            assert pair in got, f"in-bucket planted pair {pair} missing"
+        if pair in got:
+            caught += 1
+            assert got[pair] >= 0.98, f"planted pair {pair} cosine {got[pair]}"
+    assert caught / 100 >= 0.9, f"planted recall {caught / 100}"
+
+    # emitted cosines equal the exact quantized computation (verify stage
+    # is exact, so q75b ∩ brute-domain == brute values)
+    rows = planted.collect()
+    qv = {
+        r.vec_id: np.floor(np.asarray(r.embedding, dtype=np.float64) * 1000).astype(np.int64)
+        for r in rows
+    }
+    for (a, b), cos in list(got.items())[:200]:
+        dot = int(np.dot(qv[a], qv[b]))
+        na, nb = int(np.dot(qv[a], qv[a])), int(np.dot(qv[b], qv[b]))
+        assert cos == round(dot / ((na * nb) ** 0.5), 6), (a, b)
