@@ -188,6 +188,11 @@ def main() -> None:
     sf_docs = load_table(spark, sf_dir, "documents")
     run_entry("simhash120_neardup", lambda: simhash120_neardup_pairs(sf_docs), extras)
 
+    # q75b: bucketed embedding near-dup over the full embeddings table
+    # (the dedup-family scale path on the vector side, round 8).
+    q75b = registry["q75b_semantic_neardup_lsh"]
+    run_entry("semantic_neardup_lsh", lambda: q75b.fn(spark, sf_dir), extras)
+
     # The full curation composition (functions/pipeline.py): quality gate
     # -> exact dedup -> leakage-safe split -> chunk -> grouped pack ->
     # chunk-text join, materialized end-to-end.

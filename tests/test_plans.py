@@ -157,3 +157,30 @@ def test_pack_sequences_no_global_window(spark, sf_dir):
         assert "rng" in window_line or "bin_id" in window_line or "rng_total" in plan, (
             f"unpartitioned corpus-wide window: {window_line}"
         )
+
+
+def test_q75b_semantic_neardup_is_bucketed_equi_join(spark, sf_dir):
+    """q75b's candidate generation must be an equi-join on probe codes —
+    never a nested-loop all-pairs over the corpus — and ppjoin-style the
+    verify joins must not broadcast-build the array-carrying side (the
+    probe side explodes ids only; the quantized vectors join back at
+    verify time)."""
+    from emulating_hadoop_with_mpi_spark.plans.inspect import executed_plan
+
+    plan = executed_plan(REGISTRY["q75b_semantic_neardup_lsh"].fn(spark, sf_dir))
+    assert "NestedLoop" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_ppjoin_verify_joins_are_shuffled_hash(spark, sf_dir):
+    """ppjoin's verify joins are pinned ShuffledHashJoin building on the
+    ids-only candidate side: AQE broadcast of the deserialized shingle-set
+    arrays OOM'd the driver at the sf10 decade (round 8 — the same
+    stats-blind-spot failure as q74's probe-side broadcast)."""
+    from emulating_hadoop_with_mpi_spark.functions.dedup import ppjoin_pairs
+    from emulating_hadoop_with_mpi_spark.plans.inspect import executed_plan
+    from emulating_hadoop_with_mpi_spark.sources.tables import load_table
+
+    plan = executed_plan(ppjoin_pairs(load_table(spark, sf_dir, "documents")))
+    assert plan.count("ShuffledHashJoin") >= 2, plan
+    assert "NestedLoop" not in plan, plan
