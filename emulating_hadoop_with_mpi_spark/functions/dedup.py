@@ -36,6 +36,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from emulating_hadoop_with_mpi_spark.functions.text import tokens_col, _SQL_TOKENS
+from emulating_hadoop_with_mpi_spark.operators.graph import connected_components
 from emulating_hadoop_with_mpi_spark.registry import query
 from emulating_hadoop_with_mpi_spark.sources.tables import load_table, spread_small_scan
 
@@ -606,13 +607,14 @@ def q71_fuzzy_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
        of the longer doc, tested in exact integers.  Edit distance runs on
        CANDIDATE PAIRS — never all-pairs — so its quadratic DP cost
        tracks near-dup density, not corpus size.
-    3. KEEPERS: connected components over the verified pair graph by
-       min-label propagation — each doc maps to the smallest doc_id in
-       its component (the canonical keeper rule).  Spark side iterates
-       label = min(label, neighbors' labels) to FIXPOINT (a driver loop
-       over the pair-graph only — O(dup docs), not corpus rows, per
-       round; rounds = component diameter).  The oracle reproduces the
-       fixpoint with a recursive CTE, so the driver hash-match proves the
+    3. KEEPERS: connected components over the verified pair graph —
+       each doc maps to the smallest doc_id in its component (the
+       canonical keeper rule) via ``operators/graph.py``'s min-label
+       propagation WITH POINTER JUMPING (rounds = O(log diameter), every
+       step a keyed equi-join on the pair graph only — O(dup docs), not
+       corpus rows, per round; non-convergence raises instead of
+       returning wrong clusters).  The oracle reproduces the fixpoint
+       with a recursive CTE, so the driver hash-match proves the
        iteration converged to the same components.
 
     Output: one row per doc in any verified near-dup pair —
@@ -637,41 +639,12 @@ def q71_fuzzy_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(verified.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
         .persist()
     )
-    labels = (
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .withColumn("lab", F.col("doc_id"))
-        .persist()
-    )
-    # min-label propagation to fixpoint: near-dup components are small and
-    # dense, so this converges in a handful of rounds; every round works
-    # on the pair graph only.  The 64-round ceiling is a defensive bound
-    # (it would need a 2^64-doc chain to bind under halving propagation).
-    for _ in range(64):
-        prop = (
-            edges.join(labels, edges.src == labels.doc_id)
-            .groupBy(F.col("dst").alias("doc_id"))
-            .agg(F.min("lab").alias("nlab"))
-        )
-        merged = (
-            labels.join(prop, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(F.col("lab"), F.coalesce(F.col("nlab"), F.col("lab"))).alias("lab"),
-                (F.col("nlab") < F.col("lab")).alias("changed"),
-            )
-            .persist()
-        )
-        n_changed = merged.filter(F.col("changed")).count()
-        labels.unpersist()
-        labels = merged.select("doc_id", "lab").persist()
-        merged.unpersist()
-        if n_changed == 0:
-            break
+    labels = connected_components(edges)
+    edges.unpersist()
     w = Window.partitionBy("lab")
     return (
         labels.select(
-            "doc_id",
+            F.col("node").alias("doc_id"),
             F.col("lab").alias("keeper_doc_id"),
             F.count(F.lit(1)).over(w).cast("bigint").alias("cluster_size"),
         )

@@ -627,3 +627,63 @@ def test_semantic_neardup_recall_and_exactness_on_planted_copies(spark, sf_dir):
         dot = int(np.dot(qv[a], qv[b]))
         na, nb = int(np.dot(qv[a], qv[a])), int(np.dot(qv[b], qv[b]))
         assert cos == round(dot / ((na * nb) ** 0.5), 6), (a, b)
+
+
+# ---------------------------------------------------------------------------
+# connected components (operators/graph.py) — the q71 keeper-selection stage
+
+
+def _cc_expected(edges):
+    """Union-find ground truth: node -> min node id in its component."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def _run_cc(spark, pairs):
+    from emulating_hadoop_with_mpi_spark.operators.graph import connected_components
+
+    sym = pairs + [(b, a) for a, b in pairs]
+    edges = spark.createDataFrame(sym, "src long, dst long")
+    got = {r["node"]: r["lab"] for r in connected_components(edges).collect()}
+    assert got == _cc_expected(pairs)
+
+
+def test_connected_components_long_chain(spark):
+    """A 300-node path with the minimum id at the FAR end: one-hop
+    min-label propagation needs 299 rounds (and a 64-round cap would
+    silently return wrong clusters — the bug this operator fixes);
+    pointer jumping converges inside the default cap."""
+    # path 300 - 299 - ... - 2 - 1: min label must traverse 299 hops
+    _run_cc(spark, [(i, i + 1) for i in range(1, 300)])
+
+
+def test_connected_components_shapes(spark):
+    """Star, ring, two separate components, and an isolated edge."""
+    star = [(50, i) for i in range(51, 70)]
+    ring = [(100 + i, 100 + (i + 1) % 10) for i in range(10)]
+    pair = [(7, 3)]
+    _run_cc(spark, star + ring + pair)
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """max_rounds too small -> loud RuntimeError, never silent wrong
+    labels."""
+    from emulating_hadoop_with_mpi_spark.operators.graph import connected_components
+
+    pairs = [(i, i + 1) for i in range(1, 40)]
+    sym = pairs + [(b, a) for a, b in pairs]
+    edges = spark.createDataFrame(sym, "src long, dst long")
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(edges, max_rounds=2)
