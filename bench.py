@@ -202,6 +202,19 @@ def main() -> None:
     docs = load_table(spark, sf_dir, "documents")
     run_entry("pipeline_curate", lambda: curate_corpus(docs), extras)
 
+    # Benchmark decontamination over the full documents table: the
+    # "benchmark" is a deterministic slice of corpus texts (every 97th
+    # doc's first 24 tokens) so hits actually occur; broadcast n-gram
+    # match, corpus shingles never shuffled.
+    from emulating_hadoop_with_mpi_spark.functions.pipeline import decontaminate
+    from pyspark.sql import functions as F
+
+    bench_prompts = (
+        docs.filter(F.col("doc_id") % 97 == 0)
+        .select(F.concat_ws(" ", F.slice(F.split(F.col("text"), r"\s+"), 1, 24)).alias("text"))
+    )
+    run_entry("decon_documents", lambda: decontaminate(docs, bench_prompts), extras)
+
     total = round(sum(timings.values()), 3)
 
     # Skewed-key join legs (VERDICT r2 item 4): one hot key holding 80% of

@@ -1,8 +1,9 @@
 """End-to-end corpus curation: the operators of this package composed into
 the pipeline a training-data run actually executes —
 
-    quality gate → exact dedup → context-window chunking →
-    sequence packing → leakage-safe split → sharded parquet
+    quality gate → benchmark decontamination (optional) → exact dedup →
+    context-window chunking → sequence packing → leakage-safe split →
+    sharded parquet
 
 Every stage is one of the individually-tested ops (quality_scores,
 chunk_documents, pack_sequences, split_column, write-side sharding); this
@@ -33,6 +34,44 @@ CHUNK_ID_FACTOR = 1 << 20
 
 DEFAULT_SPLITS = {"train": 0.9, "val": 0.05, "test": 0.05}
 
+DECON_NGRAM = 8  # benchmark-overlap n-gram width (token n-grams)
+
+
+def decontaminate(
+    docs: DataFrame, benchmark: DataFrame, n: int = DECON_NGRAM
+) -> DataFrame:
+    """Benchmark decontamination: (doc_id, n_hits) for every corpus
+    document sharing at least one token ``n``-gram with any benchmark
+    text — the standard published recipe for keeping eval prompts out of
+    training data (n-gram-overlap checks as in the GPT-3 / PaLM appendix
+    methodology), on the q72-family shingle machinery.
+
+    Scale shape: a benchmark is thousands of prompts next to a 100 TB
+    corpus, so the benchmark's distinct n-grams are BROADCAST and the
+    corpus-side match is a map-side hash join over the shingle explode —
+    corpus shingles are never shuffled; the only exchange is the per-doc
+    count of MATCHED rows, bounded by contamination density, not corpus
+    size.  The join is on raw shingle STRINGS (exact — no hash-collision
+    caveat; the broadcast side is small enough that 8-byte digests would
+    buy nothing).
+
+    ``benchmark`` needs a ``text`` column; other columns are ignored.
+    Callers drop flagged docs with an anti-join — or pass
+    ``benchmark=`` to ``curate_corpus``, which does it in-pipeline."""
+    from emulating_hadoop_with_mpi_spark.functions.dedup import shingles_df
+
+    bench_sh = (
+        shingles_df(benchmark.select(F.lit(0).alias("doc_id"), "text"), n=n)
+        .select("shingle")
+        .distinct()
+    )
+    corpus_sh = shingles_df(docs, n=n)
+    return (
+        corpus_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
 
 def curate_corpus(
     docs: DataFrame,
@@ -43,6 +82,8 @@ def curate_corpus(
     splits: dict[str, float] | None = None,
     salt: str = "",
     chunk_id_factor: int = CHUNK_ID_FACTOR,
+    benchmark: DataFrame | None = None,
+    decon_ngram: int = DECON_NGRAM,
 ) -> DataFrame:
     """Chunk-level curated table: (doc_id, chunk_idx, chunk_id, split,
     n_tokens, bin_id, bin_fill, chunk_text).
@@ -70,6 +111,13 @@ def curate_corpus(
 
     scored = quality_scores(docs).select("doc_id", "quality")
     kept = docs.join(scored, "doc_id").filter(F.col("quality") >= min_quality)
+
+    # decontamination sits between the quality gate and dedup: flagged
+    # docs must not survive as training text, and running it before dedup
+    # keeps the anti-join semantics independent of which duplicate wins
+    if benchmark is not None:
+        flagged = decontaminate(kept, benchmark, n=decon_ngram)
+        kept = kept.join(flagged, "doc_id", "left_anti")
 
     hashed = kept.withColumn("__h", F.xxhash64("text"))
     # group by (hash, text): exact even under 64-bit collisions.  doc_ids

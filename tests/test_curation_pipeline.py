@@ -152,3 +152,74 @@ def test_exact_dedup_groups_by_hash_and_text(spark):
     # plan-shape pin: some hash aggregate groups on the raw text column
     plan = cur._jdf.queryExecution().optimizedPlan().toString()
     assert "xxhash64" in plan and "text" in plan
+
+
+def _py_ngrams(text, n):
+    toks = [t for t in text.lower().strip().split() if t]
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def test_decontaminate_exact_vs_bruteforce(spark, sf_dir):
+    """Flagged set and per-doc hit counts == a Python recomputation over
+    the same token n-grams; benchmark built from substrings of real
+    corpus docs so both hits and misses occur."""
+    from emulating_hadoop_with_mpi_spark.functions.pipeline import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    rows = {r["doc_id"]: r["text"] for r in docs.collect()}
+    n = 5
+    # benchmark: middle slices (by whitespace tokens) of three docs, plus
+    # one prompt that matches nothing
+    ids = sorted(rows)[:3]
+    bench_texts = []
+    for d in ids:
+        toks = rows[d].split()
+        bench_texts.append(" ".join(toks[2 : 2 + n + 3]))
+    bench_texts.append("zz qq xx vv ww yy uu tt")
+    bench = spark.createDataFrame([(t,) for t in bench_texts], "text string")
+
+    got = {
+        r["doc_id"]: r["n_hits"]
+        for r in decontaminate(docs, bench, n=n).collect()
+    }
+
+    bench_grams = set()
+    for t in bench_texts:
+        bench_grams |= _py_ngrams(t, n)
+    want = {}
+    for d, t in rows.items():
+        hits = len(_py_ngrams(t, n) & bench_grams)
+        if hits:
+            want[d] = hits
+    assert set(ids) <= set(want), "planted benchmark slices must flag their sources"
+    assert got == want
+
+
+def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
+    """Plan pin: the n-gram match is a broadcast hash join (corpus
+    shingles never shuffle to meet the benchmark)."""
+    from emulating_hadoop_with_mpi_spark.functions.pipeline import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = spark.createDataFrame([("some benchmark prompt here ok",)], "text string")
+    plan = decontaminate(docs, bench)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_curate_corpus_drops_contaminated_docs(spark, sf_dir):
+    """benchmark= in curate_corpus anti-joins flagged docs out: no chunk
+    of a contaminated doc survives, everything else is unchanged."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    victim = docs.orderBy("doc_id").limit(1).collect()[0]
+    toks = victim["text"].split()
+    bench = spark.createDataFrame(
+        [(" ".join(toks[: min(12, len(toks))]),)], "text string"
+    )
+    base = curate_corpus(docs, min_quality=0.0)
+    decon = curate_corpus(docs, min_quality=0.0, benchmark=bench)
+    base_ids = {r["doc_id"] for r in base.select("doc_id").distinct().collect()}
+    decon_ids = {r["doc_id"] for r in decon.select("doc_id").distinct().collect()}
+    assert victim["doc_id"] in base_ids
+    assert victim["doc_id"] not in decon_ids
+    assert decon_ids <= base_ids
