@@ -303,6 +303,15 @@ def main() -> None:
                 extras[f"slope_{name}"] = round(extras[f"sf1_{name}"] / base, 2)
         sf1_docs = load_table(spark, sf1_dir, "documents")
         run_entry("sf1_ppjoin_pairs", lambda: ppjoin_pairs(sf1_docs, persist=True), extras)
+        # end-to-end fuzzy-dedup pipeline (candidates -> lev verify ->
+        # distributed CC) a decade up — exercises the pointer-jumping
+        # component stage on real near-dup clusters; reps=1, iterative
+        run_entry(
+            "sf1_q71_fuzzy_dedup",
+            lambda: registry["q71_fuzzy_dedup_pipeline"].fn(spark, sf1_dir),
+            extras,
+            reps=1,
+        )
 
     # Second slope decade for the dedup family (VERDICT r6 item 3): a 3×
     # documents-only upscale of sf1 (sources/scale.py --only documents).

@@ -111,8 +111,17 @@ def cmd_pipeline(args: argparse.Namespace) -> int:
 
     spark = _spark()
     docs = load_table(spark, args.sf_dir, "documents")
+    # --benchmark: any readable text source with a `text` column; flagged
+    # docs are anti-joined out between the quality gate and dedup
+    benchmark = None
+    if args.benchmark:
+        benchmark = (
+            spark.read.text(args.benchmark).withColumnRenamed("value", "text")
+            if args.benchmark.endswith(".txt")
+            else spark.read.parquet(args.benchmark).select("text")
+        )
     curated = curate_corpus(
-        docs, min_quality=args.min_quality, budget=args.budget
+        docs, min_quality=args.min_quality, budget=args.budget, benchmark=benchmark
     ).cache()
     write_curated_shards(curated, args.out, bins_per_shard=args.bins_per_shard)
     summary = {
@@ -162,6 +171,12 @@ def main(argv: list[str] | None = None) -> int:
     pl.add_argument("--min-quality", type=float, default=0.2)
     pl.add_argument("--budget", type=int, default=256)
     pl.add_argument("--bins-per-shard", type=int, default=64)
+    pl.add_argument(
+        "--benchmark",
+        default=None,
+        help="eval-set path (.txt lines or parquet with a text column); "
+        "docs sharing token n-grams with it are decontaminated out",
+    )
     pl.set_defaults(fn=cmd_pipeline)
 
     args = p.parse_args(argv)

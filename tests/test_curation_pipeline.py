@@ -223,3 +223,30 @@ def test_curate_corpus_drops_contaminated_docs(spark, sf_dir):
     assert victim["doc_id"] in base_ids
     assert victim["doc_id"] not in decon_ids
     assert decon_ids <= base_ids
+
+
+def test_cli_pipeline_benchmark_flag(spark, sf_dir, tmp_path, monkeypatch, capsys):
+    """--benchmark <txt> decontaminates: docs_kept drops vs the same run
+    without it, and the victim doc is gone from the sink."""
+    import json
+
+    import emulating_hadoop_with_mpi_spark.cli as cli
+
+    docs = load_table(spark, sf_dir, "documents")
+    victim = docs.orderBy("doc_id").limit(1).collect()[0]
+    bench_txt = tmp_path / "bench.txt"
+    bench_txt.write_text(" ".join(victim["text"].split()[:12]) + "\n")
+
+    monkeypatch.setattr(cli, "_spark", lambda: spark)
+    out = str(tmp_path / "curated_decon")
+    rc = cli.main(
+        [
+            "pipeline", sf_dir, "--out", out, "--min-quality", "0.0",
+            "--benchmark", str(bench_txt),
+        ]
+    )
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["docs_kept"] > 0
+    kept_ids = {r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()}
+    assert victim["doc_id"] not in kept_ids
