@@ -273,6 +273,23 @@ def exact_jaccard_pairs(
     )
 
 
+# Corpus-size boundary for ppjoin's physical strategy: below it Catalyst
+# may broadcast the shingle-derived frames (single-exchange, wins when
+# everything fits one heap); above it every join is pinned shuffle_hash —
+# broadcasting an O(corpus-tokens) frame to every executor is wrong at
+# cluster scale no matter the driver heap.  Stats come from the
+# optimizer's own sizeInBytes (file size for parquet scans; no job).
+PPJOIN_PARTITIONED_BYTES = 64 * 1024 * 1024
+
+
+def _plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's size estimate for a frame (None if unavailable)."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # noqa: BLE001 — stats are advisory; None = assume big
+        return None
+
+
 def ppjoin_pairs(
     docs: DataFrame,
     ngram: int = 3,
@@ -280,6 +297,7 @@ def ppjoin_pairs(
     t_num: int = 1,
     t_den: int = 2,
     positional: bool = True,
+    plan: str = "auto",
 ) -> DataFrame:
     """PPJoin-style prefix-filtered EXACT Jaccard pairs (J ≥ t_num/t_den,
     default 0.5) — the scale-safe exact sibling of q72's direct shingle
@@ -305,7 +323,12 @@ def ppjoin_pairs(
 
     Plan shape at 100 TB: two hash aggregations (df computation, per-doc
     rank), one equi-join on prefix shingles, one verify join — all
-    key-partitioned, no all-pairs product anywhere.  Constant-factor
+    key-partitioned, no all-pairs product anywhere.  Physical strategy
+    dispatches on the corpus' own Catalyst size estimate (``plan="auto"``,
+    same stats-dispatch pattern as matmul_auto): small corpora keep the
+    single-exchange broadcast plan Catalyst picks, large ones pin every
+    shingle join to shuffle_hash so no O(corpus-tokens) frame is ever
+    broadcast (``plan="partitioned"``/``"small"`` force either regime).  Constant-factor
     choices that matter at that scale (measured locally, round 7):
     shingles are carried as xxhash64 LONGS through every shuffle/sort
     (half the bytes of the 3-word strings; same pair counts modulo a
@@ -315,10 +338,31 @@ def ppjoin_pairs(
     count, not corpus size."""
     from pyspark.sql import Window
 
+    if plan == "auto":
+        size = _plan_size_bytes(docs)
+        partitioned = size is None or size > PPJOIN_PARTITIONED_BYTES
+    elif plan in ("partitioned", "small"):
+        partitioned = plan == "partitioned"
+    else:
+        raise ValueError(f"plan must be auto|partitioned|small, got {plan!r}")
+
+    # In the partitioned regime every shingle-keyed join is pinned
+    # shuffle_hash: df_counts and the prefix frame are AGGREGATE/FILTER
+    # outputs, so Catalyst's size estimates for them are stats-blind and
+    # at sf10 it chose to BROADCAST millions of distinct shingles and a
+    # ~25M-row prefix side (measured: driver OOM under memory pressure —
+    # the same stats-blind-spot class as q74's probe-side broadcast).
+    # df_counts is already hash-partitioned by sh from its own groupBy, so
+    # the hint adds no exchange on that side.  In the small regime the
+    # hints are omitted and the single-exchange broadcast plan wins
+    # (measured ~2.5× at sf0.1); the auto boundary is the corpus' own
+    # scan-size estimate.
+    _pin = (lambda f: f.hint("shuffle_hash")) if partitioned else (lambda f: f)
+
     ds = shingles_df(docs, n=ngram).select("doc_id", F.xxhash64("shingle").alias("sh"))
     df_counts = ds.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     ranked = (
-        ds.join(df_counts, "sh")
+        ds.join(_pin(df_counts), "sh")
         .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
         .withColumn(
             "rk",
@@ -359,7 +403,7 @@ def ppjoin_pairs(
             ubound * (t_num + t_den) >= (F.col("a.n") + F.col("b.n")) * t_num
         )
     cands = (
-        a.join(b, cond)
+        a.join(_pin(b), cond)
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )

@@ -97,3 +97,42 @@ def test_prefix_prunes_on_zipf_corpus(spark):
         .collect()[0]["p"]
     )
     assert prefix_pairs < direct_pairs / 2, (prefix_pairs, direct_pairs)
+
+
+def test_ppjoin_partitioned_plan_no_broadcast(spark, sf_dir):
+    """plan="partitioned" (the >64MiB auto regime) must contain ZERO
+    BroadcastExchange — broadcasting an O(corpus-tokens) frame is the
+    sf10-measured OOM path — and still equal the small-regime output."""
+    from emulating_hadoop_with_mpi_spark.functions.dedup import ppjoin_pairs
+    from emulating_hadoop_with_mpi_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    part = ppjoin_pairs(docs, plan="partitioned")
+    plan_str = part._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" not in plan_str
+    small = ppjoin_pairs(docs, plan="small")
+    assert sorted(map(tuple, part.collect())) == sorted(map(tuple, small.collect()))
+
+
+def test_ppjoin_auto_dispatches_by_stats(spark, sf_dir):
+    """auto = small regime under the byte threshold (driver corpus),
+    partitioned above it (monkeypatched boundary)."""
+    import emulating_hadoop_with_mpi_spark.functions.dedup as dd
+    from emulating_hadoop_with_mpi_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    size = dd._plan_size_bytes(docs)
+    assert size is not None and 0 < size < dd.PPJOIN_PARTITIONED_BYTES
+
+    auto_plan = dd.ppjoin_pairs(docs)._jdf.queryExecution().executedPlan().toString()
+    small_plan = dd.ppjoin_pairs(docs, plan="small")._jdf.queryExecution().executedPlan().toString()
+    # same strategy choice as the explicit small regime on this corpus
+    assert auto_plan.count("BroadcastExchange") == small_plan.count("BroadcastExchange")
+
+    orig = dd.PPJOIN_PARTITIONED_BYTES
+    try:
+        dd.PPJOIN_PARTITIONED_BYTES = 1  # force the large regime
+        forced = dd.ppjoin_pairs(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" not in forced
+    finally:
+        dd.PPJOIN_PARTITIONED_BYTES = orig
