@@ -556,7 +556,33 @@ def minhash_verified_pairs(docs: DataFrame) -> DataFrame:
     sets_df = combined.select("doc_id", "shset")
     a = sets_df.select(F.col("doc_id").alias("doc_a"), F.col("shset").alias("set_a"))
     b = sets_df.select(F.col("doc_id").alias("doc_b"), F.col("shset").alias("set_b"))
-    joined = cands.join(a, "doc_a").join(b, "doc_b")
+    # Same stats-blind hazard as ppjoin's verify: above the size boundary
+    # Catalyst broadcasts the per-doc shset-ARRAY frame into both verify
+    # joins (O(corpus) deserialized bytes to every executor — measured
+    # ~400 MB in-process at sf10, 100 TB-fatal on a cluster).  In the
+    # partitioned regime do what ppjoin's verify does: semi-join the sets
+    # down to docs that actually appear in a candidate pair FIRST (ids
+    # only, candidate-bounded), then pin shuffle_hash building on the
+    # candidate side — every shuffled/built frame is bounded by candidate
+    # count, never corpus size.  Below the boundary the broadcast plan
+    # stays (it wins on single-digit-MB corpora).
+    size = _plan_size_bytes(docs)
+    if size is None or size > PPJOIN_PARTITIONED_BYTES:
+        # candidate-bounded frames are CACHED: cands otherwise re-runs the
+        # band self-join three times (once per semi side + the outer
+        # join), and bounded's semi-join re-scans the corpus cache twice
+        cands = cands.cache()
+        cand_docs = (
+            cands.select(F.col("doc_a").alias("doc_id"))
+            .unionAll(cands.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        bounded = sets_df.join(cand_docs, "doc_id", "left_semi").cache()
+        a = bounded.select(F.col("doc_id").alias("doc_a"), F.col("shset").alias("set_a"))
+        b = bounded.select(F.col("doc_id").alias("doc_b"), F.col("shset").alias("set_b"))
+        joined = cands.hint("shuffle_hash").join(a, "doc_a").hint("shuffle_hash").join(b, "doc_b")
+    else:
+        joined = cands.join(a, "doc_a").join(b, "doc_b")
     common = F.size(F.array_intersect("set_a", "set_b"))
     n_a, n_b = F.size("set_a"), F.size("set_b")
     return (

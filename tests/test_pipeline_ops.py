@@ -687,3 +687,27 @@ def test_connected_components_nonconvergence_raises(spark):
     edges = spark.createDataFrame(sym, "src long, dst long")
     with pytest.raises(RuntimeError, match="converge"):
         connected_components(edges, max_rounds=2)
+
+
+def test_minhash_partitioned_regime_never_broadcasts_sets(spark, sf_dir):
+    """Above the size boundary the q73 verify joins must build on the
+    candidate side (ShuffledHashJoin) with the shset-array frame
+    semi-joined down to candidate docs — no O(corpus) broadcast (the
+    sf10-measured ~400 MB hazard); output equal to the broadcast regime."""
+    import emulating_hadoop_with_mpi_spark.functions.dedup as dd
+    from emulating_hadoop_with_mpi_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    orig = dd.PPJOIN_PARTITIONED_BYTES
+    try:
+        dd.PPJOIN_PARTITIONED_BYTES = 1
+        part = dd.minhash_verified_pairs(docs)
+        plan = part._jdf.queryExecution().executedPlan().toString()
+        assert "ShuffledHashJoin" in plan
+        part_rows = sorted(map(tuple, part.collect()))
+    finally:
+        dd.PPJOIN_PARTITIONED_BYTES = orig
+    spark.catalog.clearCache()
+    small = dd.minhash_verified_pairs(docs)
+    assert sorted(map(tuple, small.collect())) == part_rows
+    spark.catalog.clearCache()
