@@ -282,12 +282,8 @@ def exact_jaccard_pairs(
 PPJOIN_PARTITIONED_BYTES = 64 * 1024 * 1024
 
 
-def _plan_size_bytes(df: DataFrame) -> int | None:
-    """Catalyst's size estimate for a frame (None if unavailable)."""
-    try:
-        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-    except Exception:  # noqa: BLE001 — stats are advisory; None = assume big
-        return None
+# shared with the text/TF-IDF scale path; see plans/inspect.py
+from emulating_hadoop_with_mpi_spark.plans.inspect import plan_size_bytes as _plan_size_bytes
 
 
 def ppjoin_pairs(

@@ -34,6 +34,10 @@ BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 FINGERPRINT_PREFIX = 256  # chars of text folded into the rolling hash
 FP_MOD = 2147483647
 
+# corpus-size boundary above which q84 stops broadcasting the O(vocab)
+# df table (same regime boundary as the dedup family's verify joins)
+TFIDF_PARTITIONED_BYTES = 64 * 1024 * 1024
+
 
 def tokens_col(text: str | Column = "text") -> Column:
     """Whitespace tokens of lowercased text, empty strings dropped —
@@ -281,18 +285,31 @@ def q84_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical across engines (log-based idf differs in the last ulp
     between libm implementations — linear idf ranks identically for a
     fixed corpus).  Plan shape: one explode + two hash aggregates + a
-    broadcast join of the df table + per-doc window top-k."""
+    df join + per-doc window top-k.  The df table is O(vocabulary): it
+    broadcasts below the corpus-size boundary (wins single-node) and pins
+    shuffle_hash above it — df is already hash-partitioned by term from
+    its own groupBy, and broadcasting a 100 TB corpus' vocabulary to
+    every executor is the same stats-class failure as the dedup verify
+    joins (plans/inspect.plan_size_bytes dispatch)."""
+    from emulating_hadoop_with_mpi_spark.plans.inspect import plan_size_bytes
+
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(tokens_col()).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    size = plan_size_bytes(docs)
+    df_side = (
+        F.broadcast(df)
+        if size is not None and size <= TFIDF_PARTITIONED_BYTES
+        else df.hint("shuffle_hash")
+    )
     # Lazy corpus size: a broadcast 1-row aggregate instead of an eager
     # driver-side .count() (which cost a whole extra Spark job per call).
     n_docs = docs.filter(F.size(tokens_col()) > 0).agg(
         F.count(F.lit(1)).alias("__n_docs")
     )
     scored = (
-        tf.join(F.broadcast(df), "term")
+        tf.join(df_side, "term")
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",

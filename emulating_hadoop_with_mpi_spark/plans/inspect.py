@@ -60,3 +60,16 @@ def python_eval_free(df: DataFrame) -> bool:
 
 def shuffle_count(df: DataFrame) -> int:
     return executed_plan(df).count("Exchange")
+
+
+def plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's own size estimate for a frame (None if unavailable) —
+    file size for parquet scans, no job.  The basis for physical-strategy
+    dispatch in the dedup/text scale paths: below a corpus-size boundary
+    broadcast-heavy plans win single-node; above it O(corpus)-frame
+    broadcasts are pinned away (they cannot survive cluster scale no
+    matter the driver heap)."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # noqa: BLE001 — stats are advisory; None = assume big
+        return None

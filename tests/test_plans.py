@@ -184,3 +184,23 @@ def test_ppjoin_verify_joins_are_shuffled_hash(spark, sf_dir):
     plan = executed_plan(ppjoin_pairs(load_table(spark, sf_dir, "documents")))
     assert plan.count("ShuffledHashJoin") >= 2, plan
     assert "NestedLoop" not in plan, plan
+
+
+def test_tfidf_df_join_dispatches_by_corpus_size(spark, sf_dir):
+    """q84's df join: broadcast below the corpus boundary (driver data),
+    ShuffledHashJoin with NO broadcast of the O(vocab) df table above it
+    (forced boundary) — same values either way."""
+    import emulating_hadoop_with_mpi_spark.functions.text as tx
+    from emulating_hadoop_with_mpi_spark.registry import all_queries
+
+    q = all_queries()["q84_tfidf_top_terms"]
+    small_rows = sorted(map(tuple, q.fn(spark, sf_dir).collect()))
+    orig = tx.TFIDF_PARTITIONED_BYTES
+    try:
+        tx.TFIDF_PARTITIONED_BYTES = 1
+        part = q.fn(spark, sf_dir)
+        plan = part._jdf.queryExecution().executedPlan().toString()
+        assert "ShuffledHashJoin" in plan
+        assert sorted(map(tuple, part.collect())) == small_rows
+    finally:
+        tx.TFIDF_PARTITIONED_BYTES = orig
