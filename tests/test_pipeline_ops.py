@@ -711,3 +711,24 @@ def test_minhash_partitioned_regime_never_broadcasts_sets(spark, sf_dir):
     small = dd.minhash_verified_pairs(docs)
     assert sorted(map(tuple, small.collect())) == part_rows
     spark.catalog.clearCache()
+
+
+def test_semantic_neardup_partitioned_regime(spark, sf_dir):
+    """q75b above the size boundary: shuffle_hash verify with the
+    qv-array frames semi-joined to candidate ids — no O(corpus)
+    broadcast; output equal to the broadcast regime."""
+    import emulating_hadoop_with_mpi_spark.functions.similarity as sim
+    from emulating_hadoop_with_mpi_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    small_rows = sorted(map(tuple, sim.semantic_neardup_pairs(emb).collect()))
+    orig = sim.SEMANTIC_PARTITIONED_BYTES
+    try:
+        sim.SEMANTIC_PARTITIONED_BYTES = 1
+        part = sim.semantic_neardup_pairs(emb)
+        plan = part._jdf.queryExecution().executedPlan().toString()
+        assert "ShuffledHashJoin" in plan
+        assert sorted(map(tuple, part.collect())) == small_rows
+    finally:
+        sim.SEMANTIC_PARTITIONED_BYTES = orig
+    spark.catalog.clearCache()
