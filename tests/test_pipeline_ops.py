@@ -732,3 +732,28 @@ def test_semantic_neardup_partitioned_regime(spark, sf_dir):
     finally:
         sim.SEMANTIC_PARTITIONED_BYTES = orig
     spark.catalog.clearCache()
+
+
+def test_connected_components_empty_and_selfloop(spark):
+    """Empty edge frame -> empty labels (fixpoint at round 1); self-loops
+    don't perturb labels."""
+    from emulating_hadoop_with_mpi_spark.operators.graph import connected_components
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert connected_components(empty).count() == 0
+
+    pairs = [(5, 5), (5, 6), (6, 5), (6, 6)]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    got = {r["node"]: r["lab"] for r in connected_components(edges).collect()}
+    assert got == {5: 5, 6: 5}
+
+
+def test_decontaminate_short_benchmark_flags_nothing(spark, sf_dir):
+    """Benchmark prompts shorter than n tokens have no n-grams -> no doc
+    can be flagged (and the operator must not error)."""
+    from emulating_hadoop_with_mpi_spark.functions.pipeline import decontaminate
+    from emulating_hadoop_with_mpi_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = spark.createDataFrame([("too short",), ("",)], "text string")
+    assert decontaminate(docs, bench, n=8).count() == 0

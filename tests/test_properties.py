@@ -230,3 +230,40 @@ def test_pack_sequences_equals_python_any_input(spark, docs, budget):
         fills[b] = fills.get(b, 0) + n
         expect.add((d, b, fills[b]))
     assert got == expect
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=40),
+            st.integers(min_value=0, max_value=40),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_connected_components_equals_union_find(spark, edges):
+    """Arbitrary small graphs (self-loops, duplicates, multi-component):
+    the distributed pointer-jumping labels == a Python union-find."""
+    from emulating_hadoop_with_mpi_spark.operators.graph import connected_components
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+
+    sym = edges + [(b, a) for a, b in edges]
+    df = spark.createDataFrame(sym, "src long, dst long")
+    got = {r["node"]: r["lab"] for r in connected_components(df).collect()}
+    assert got == want
