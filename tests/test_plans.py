@@ -204,3 +204,23 @@ def test_tfidf_df_join_dispatches_by_corpus_size(spark, sf_dir):
         assert sorted(map(tuple, part.collect())) == small_rows
     finally:
         tx.TFIDF_PARTITIONED_BYTES = orig
+
+
+def test_no_cartesian_product_in_any_registered_query(spark, sf_dir):
+    """Sweep guardrail over ALL 50 registered queries: no plan may
+    contain a CartesianProduct — the one operator shape that cannot
+    survive any scale-up.  (Broadcast nested-loop against a 1-row
+    aggregate — q84's lazy corpus size — is fine and distinct.)"""
+    from emulating_hadoop_with_mpi_spark.plans.inspect import executed_plan
+
+    offenders = []
+    for name, q in sorted(REGISTRY.items()):
+        try:
+            plan = executed_plan(q.fn(spark, sf_dir))
+        except Exception as e:  # noqa: BLE001 — surface which query broke
+            offenders.append(f"{name}: plan build failed: {e}")
+            continue
+        if "CartesianProduct" in plan:
+            offenders.append(f"{name}: CartesianProduct in plan")
+    spark.catalog.clearCache()
+    assert not offenders, offenders
