@@ -222,5 +222,10 @@ def test_no_cartesian_product_in_any_registered_query(spark, sf_dir):
             continue
         if "CartesianProduct" in plan:
             offenders.append(f"{name}: CartesianProduct in plan")
+        # row-at-a-time Python in a query plan is the slow path the whole
+        # engine is designed around; Arrow-batched (ArrowEvalPython /
+        # MapInPandas — q78's sanctioned decode) stays allowed
+        if "BatchEvalPython" in plan:
+            offenders.append(f"{name}: row-at-a-time BatchEvalPython in plan")
     spark.catalog.clearCache()
     assert not offenders, offenders
