@@ -242,6 +242,16 @@ def exact_jaccard_pairs(
     cnt = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = ds.alias("a")
     b = ds.alias("b")
+    # The self-join side is the shingle STRING frame (~8× corpus bytes);
+    # pre-materialization its stats are blind and Catalyst broadcast ~15M
+    # string rows at sf3 (erratic GC-churn legs).  Same dispatch as the
+    # rest of the family, with the boundary divided by the shingle
+    # blow-up factor; sort-merge (not hash-build) for the large-large
+    # self-join.  cnt's O(docs) broadcasts below stay — they're two
+    # orders smaller.
+    size = _plan_size_bytes(docs)
+    if size is None or size > PPJOIN_PARTITIONED_BYTES // 8:
+        b = b.hint("shuffle_merge")
     pairs = (
         a.join(
             b,

@@ -136,3 +136,23 @@ def test_ppjoin_auto_dispatches_by_stats(spark, sf_dir):
         assert "BroadcastExchange" not in forced
     finally:
         dd.PPJOIN_PARTITIONED_BYTES = orig
+
+
+def test_exact_jaccard_selfjoin_dispatches_by_stats(spark, sf_dir):
+    """q72's shingle self-join pins sort-merge above the (divided) corpus
+    boundary — no broadcast of the O(corpus-tokens) string frame — with
+    output equal to the broadcast regime."""
+    import emulating_hadoop_with_mpi_spark.functions.dedup as dd
+    from emulating_hadoop_with_mpi_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    small_rows = _rows(dd.exact_jaccard_pairs(docs))
+    orig = dd.PPJOIN_PARTITIONED_BYTES
+    try:
+        dd.PPJOIN_PARTITIONED_BYTES = 1
+        part = dd.exact_jaccard_pairs(docs)
+        plan = part._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert _rows(part) == small_rows
+    finally:
+        dd.PPJOIN_PARTITIONED_BYTES = orig
