@@ -36,6 +36,12 @@ DEFAULT_SPLITS = {"train": 0.9, "val": 0.05, "test": 0.05}
 
 DECON_NGRAM = 8  # benchmark-overlap n-gram width (token n-grams)
 
+# eval-set size boundary above which decontaminate stops broadcasting the
+# benchmark n-grams (divided by the shingle blow-up factor, as in q72);
+# frames with unknown stats (inline prompt lists) use a bounded row probe
+DECON_BROADCAST_BYTES = 8 * 1024 * 1024
+DECON_PROBE_ROWS = 100_000
+
 
 def decontaminate(
     docs: DataFrame, benchmark: DataFrame, n: int = DECON_NGRAM
@@ -60,14 +66,28 @@ def decontaminate(
     ``benchmark=`` to ``curate_corpus``, which does it in-pipeline."""
     from emulating_hadoop_with_mpi_spark.functions.dedup import shingles_df
 
+    from emulating_hadoop_with_mpi_spark.plans.inspect import plan_size_bytes
+
     bench_sh = (
         shingles_df(benchmark.select(F.lit(0).alias("doc_id"), "text"), n=n)
         .select("shingle")
         .distinct()
     )
     corpus_sh = shingles_df(docs, n=n)
+    # eval sets broadcast; but "benchmark" may itself be a corpus
+    # (cross-corpus decontamination) — above the size boundary fall back
+    # to a plain shuffled join rather than broadcasting O(corpus) n-grams.
+    # Inline frames (createDataFrame prompt lists) carry the optimizer's
+    # unknown-size sentinel, so for those a row-count probe bounded by
+    # limit() decides instead.
+    size = plan_size_bytes(benchmark)
+    if size is not None and size < (1 << 62):
+        small = size <= DECON_BROADCAST_BYTES
+    else:
+        small = benchmark.limit(DECON_PROBE_ROWS + 1).count() <= DECON_PROBE_ROWS
+    bench_side = F.broadcast(bench_sh) if small else bench_sh.hint("shuffle_merge")
     return (
-        corpus_sh.join(F.broadcast(bench_sh), "shingle")
+        corpus_sh.join(bench_side, "shingle")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )

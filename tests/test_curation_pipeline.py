@@ -250,3 +250,23 @@ def test_cli_pipeline_benchmark_flag(spark, sf_dir, tmp_path, monkeypatch, capsy
     assert summary["docs_kept"] > 0
     kept_ids = {r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()}
     assert victim["doc_id"] not in kept_ids
+
+
+def test_decontaminate_large_benchmark_does_not_broadcast(spark, sf_dir):
+    """Cross-corpus decontamination: a corpus-sized 'benchmark' joins
+    shuffled (SortMergeJoin), never broadcast — and the answer equals the
+    broadcast regime's."""
+    import emulating_hadoop_with_mpi_spark.functions.pipeline as pl
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.select("text").limit(20)
+    small = sorted(map(tuple, pl.decontaminate(docs, bench, n=5).collect()))
+    orig = pl.DECON_BROADCAST_BYTES
+    try:
+        pl.DECON_BROADCAST_BYTES = 0
+        part = pl.decontaminate(docs, bench, n=5)
+        plan = part._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert sorted(map(tuple, part.collect())) == small
+    finally:
+        pl.DECON_BROADCAST_BYTES = orig
