@@ -233,7 +233,7 @@ def semantic_neardup_pairs(
     return (
         joined
         .withColumn("dot", dot_q(F.col("qa"), F.col("qb")))
-        .filter(cosine >= NEARDUP_MIN_COSINE)
+        .filter(cosine >= tau)
         .select("vec_a", "vec_b", F.round(cosine, 6).alias("cosine"))
         .orderBy("vec_a", "vec_b")
     )

@@ -757,3 +757,18 @@ def test_decontaminate_short_benchmark_flags_nothing(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     bench = spark.createDataFrame([("too short",), ("",)], "text string")
     assert decontaminate(docs, bench, n=8).count() == 0
+
+
+def test_semantic_neardup_tau_is_honored(spark, sf_dir):
+    """Stricter tau -> subset of pairs; all surviving cosines >= tau."""
+    from emulating_hadoop_with_mpi_spark.functions.similarity import (
+        semantic_neardup_pairs,
+    )
+    from emulating_hadoop_with_mpi_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    loose = {(r["vec_a"], r["vec_b"]): r["cosine"] for r in semantic_neardup_pairs(emb).collect()}
+    strict_rows = semantic_neardup_pairs(emb, tau=0.9).collect()
+    strict = {(r["vec_a"], r["vec_b"]) for r in strict_rows}
+    assert strict <= set(loose)
+    assert all(r["cosine"] >= 0.9 for r in strict_rows)
