@@ -14,10 +14,14 @@ Five families, in increasing fuzziness:
   path.  Candidates come from band-bucket equality joins (linear in
   corpus + bucket collisions), then are verified with exact Jaccard.
   P(miss | J=0.8) ≈ (1-0.8⁴)³² ≈ 5e-8.
-- SimHash      (q74): 64-bit sign-of-sum sketch over md5 token hashes;
-  candidate pairs from 13-bit-block pigeonholing with single-bit
-  multiprobe (guaranteed-complete at Hamming ≤ 9), verified by exact
-  Hamming distance.
+- SimHash      (q74): sign-of-sum sketches over md5 token hashes at BOTH
+  widths, method-tagged ('sim64' = 64-bit/13-bit blocks, 'sim120' =
+  120-bit/24-bit blocks — the corpus-scale configuration, ~2^11 less
+  collision mass); candidate pairs from block pigeonholing with
+  single-bit multiprobe (guaranteed-complete at Hamming ≤ 9), verified
+  by exact Hamming distance.  One shared tokenize+md5+sign-sum pass
+  serves both widths (the 64-bit sketch is a projection of the 120-bit
+  words).
 
 q72, q73 and q74 are all DuckDB-oracle-checked: q72 is pure SQL
 semantics; q73 shares q72's exact-pairs oracle (its verify step recovers
@@ -534,7 +538,14 @@ def minhash_verified_pairs(docs: DataFrame) -> DataFrame:
     """q73's body over any (doc_id, text) frame: MinHash(128) + LSH band
     candidates, exact-Jaccard verification, q72's output contract.
     Shared by q73 (registered) and q71's fuzzy pipeline (candidate
-    stage)."""
+    stage).
+
+    Cache contract (ADVICE r8): in the partitioned regime this plan
+    cache()s two candidate-bounded frames that stay resident for the
+    session after the result is materialized (they are lazy, so the
+    builder cannot unpersist them itself).  Long-running callers issuing
+    many independent dedup passes should spark.catalog.clearCache()
+    between passes."""
     # NOT cached: since the signature and verify passes merged into one
     # groupBy below, the shingle frame has exactly one consumer — caching
     # it would materialize O(corpus tokens) rows into storage memory for
@@ -574,9 +585,19 @@ def minhash_verified_pairs(docs: DataFrame) -> DataFrame:
     # stays (it wins on single-digit-MB corpora).
     size = _plan_size_bytes(docs)
     if size is None or size > PPJOIN_PARTITIONED_BYTES:
-        # candidate-bounded frames are CACHED: cands otherwise re-runs the
-        # band self-join three times (once per semi side + the outer
-        # join), and bounded's semi-join re-scans the corpus cache twice
+        # candidate-bounded frames are CACHED — LAZILY, on purpose: cands
+        # otherwise re-runs the band self-join three times (two semi sides
+        # + the outer join) and bounded's semi-join re-scans the corpus
+        # cache twice.  Eager alternatives were A/B'd fresh-process at
+        # sf10 in BOTH orderings (NOTES r9): lazy cache cold 39-47 s vs
+        # localCheckpoint 70-128 s vs cache+count 83-86 s — eager
+        # materialization forces the full band-join output to byte-store
+        # before AQE can pipeline/prune it downstream, which costs more
+        # than the duplicate-stage risk it was meant to avoid.  The r8
+        # 72.5-s lazy cold reading was box drift, not a cache-fill race.
+        # Cached blocks stay pinned for the session like any cached plan;
+        # long-running callers reclaim them with
+        # spark.catalog.clearCache() (ADVICE r8 — documented contract).
         cands = cands.cache()
         cand_docs = (
             cands.select(F.col("doc_a").alias("doc_id"))
@@ -943,13 +964,32 @@ def _pigeonhole_pairs(sims: DataFrame, blocks, block_value, hamming) -> DataFram
     )
 
 
+def simhash64_from_120(sims120: DataFrame) -> DataFrame:
+    """(doc_id, sim_lo, sim_hi) — the 64-bit sketch PROJECTED from the
+    120-bit word frame, no second token pass.  Valid because both widths
+    take bit i of the sketch half from the SAME per-bit sign sum over
+    md5-half bit i: sim_lo bits 0-31 = s0's 30 bits | s1's low 2 bits,
+    sim_hi likewise from (s2, s3).  Pinned equal to ``simhash_df`` in
+    tests/test_pipeline_ops.py — this is what lets q74 serve both method
+    branches from ONE tokenize+md5+sign-sum aggregation."""
+    lo_hi = []
+    for name, w_lo, w_hi in (("sim_lo", "s0", "s1"), ("sim_hi", "s2", "s3")):
+        lo_hi.append(
+            F.col(w_lo)
+            .bitwiseOR(F.shiftleft(F.col(w_hi).bitwiseAND(F.lit(3)), SIMHASH120_WORD_BITS))
+            .alias(name)
+        )
+    return sims120.select("doc_id", *lo_hi)
+
+
 def simhash120_neardup_pairs(docs: DataFrame) -> DataFrame:
     """q74's contract at 120-bit sketch width — the corpus-scale
     configuration (see SIMHASH120_BLOCKS): same Hamming ≤ 9 bound, same
     block machinery, 24-bit pigeonhole blocks, so random block collisions
     — q74's measured dominant cost at the sf10 decade — drop ~2^11×.
     Guaranteed-complete for its own contract (pinned against all-pairs
-    Hamming in tests/test_pipeline_ops.py)."""
+    Hamming in tests/test_pipeline_ops.py).  Registered on the driver
+    surface since round 9 as q74's 'sim120' method branch."""
     sims = simhash120_df(docs).persist()
     return _pigeonhole_pairs(
         sims, SIMHASH120_BLOCKS, _block_value_words, simhash120_hamming
@@ -957,12 +997,16 @@ def simhash120_neardup_pairs(docs: DataFrame) -> DataFrame:
 
 
 # The full SimHash pipeline, re-derived in DuckDB: md5 token hashes →
-# per-bit sign sums → 32-bit sketch halves → all-pairs Hamming ≤ 9.  The
-# oracle needs no pigeonholing (it is allowed to be quadratic at sf0.01),
-# so a hash-match ALSO proves the Spark side's block-bucket candidate
-# generation misses nothing — guaranteed by the pigeonhole layout
-# (5 blocks, Hamming<=9 means some block differs in <=1 bit, covered by
-# exact-block + single-bit-multiprobe buckets; see SIMHASH_BLOCKS).
+# per-bit sign sums → sketch → all-pairs Hamming ≤ 9, for BOTH method
+# branches (sim64 and sim120) from one 120-bit sign-sum pass — exactly
+# the structure of the Spark side, where the 64-bit sketch is a
+# projection of the 120-bit words (flat bit index: 0-59 = md5 half 1,
+# 60-119 = md5 half 2; sim64 uses flat bits 0-31 and 60-91).  The oracle
+# needs no pigeonholing (it is allowed to be quadratic at sf0.01), so a
+# hash-match ALSO proves both block-bucket candidate generations miss
+# nothing — guaranteed by the pigeonhole layouts (5 blocks, Hamming<=9
+# means some block differs in <=1 bit, covered by exact-block +
+# single-bit-multiprobe buckets; see SIMHASH_BLOCKS/SIMHASH120_BLOCKS).
 _SIMHASH_ORACLE = f"""
     WITH toks AS (
         SELECT doc_id, unnest({_SQL_TOKENS}) AS tok FROM documents
@@ -975,27 +1019,40 @@ _SIMHASH_ORACLE = f"""
     ),
     sb AS (
         SELECT doc_id, i,
-               SUM(CASE WHEN ((CASE WHEN i < 32 THEN h1 >> i
-                                    ELSE h2 >> (i - 32) END) & 1) = 1
+               SUM(CASE WHEN ((CASE WHEN i < 60 THEN h1 >> i
+                                    ELSE h2 >> (i - 60) END) & 1) = 1
                         THEN 1 ELSE -1 END) AS s
-        FROM hs CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) bits
+        FROM hs CROSS JOIN (SELECT unnest(generate_series(0, 119)) AS i) bits
         GROUP BY doc_id, i
     ),
     sims AS (
         SELECT doc_id,
+               CAST(SUM(CASE WHEN i < 60 AND s > 0 THEN 1::BIGINT << i ELSE 0 END)
+                    AS BIGINT) AS lo120,
+               CAST(SUM(CASE WHEN i >= 60 AND s > 0 THEN 1::BIGINT << (i - 60) ELSE 0 END)
+                    AS BIGINT) AS hi120,
                CAST(SUM(CASE WHEN i < 32 AND s > 0 THEN 1::BIGINT << i ELSE 0 END)
                     AS BIGINT) AS sim_lo,
-               CAST(SUM(CASE WHEN i >= 32 AND s > 0 THEN 1::BIGINT << (i - 32) ELSE 0 END)
+               CAST(SUM(CASE WHEN i >= 60 AND i < 92 AND s > 0
+                             THEN 1::BIGINT << (i - 60) ELSE 0 END)
                     AS BIGINT) AS sim_hi
         FROM sb GROUP BY doc_id
     )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST(bit_count(xor(a.sim_lo, b.sim_lo))
-                + bit_count(xor(a.sim_hi, b.sim_hi)) AS INT) AS hamming
-    FROM sims a JOIN sims b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.sim_lo, b.sim_lo))
-          + bit_count(xor(a.sim_hi, b.sim_hi)) <= {HAMMING_MAX}
-    ORDER BY doc_a, doc_b
+    SELECT method, doc_a, doc_b, hamming FROM (
+        SELECT 'sim64' AS method, a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.sim_lo, b.sim_lo))
+                    + bit_count(xor(a.sim_hi, b.sim_hi)) AS INT) AS hamming
+        FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sim_lo, b.sim_lo))
+              + bit_count(xor(a.sim_hi, b.sim_hi)) <= {HAMMING_MAX}
+        UNION ALL
+        SELECT 'sim120' AS method, a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.lo120, b.lo120))
+                    + bit_count(xor(a.hi120, b.hi120)) AS INT) AS hamming
+        FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.lo120, b.lo120))
+              + bit_count(xor(a.hi120, b.hi120)) <= {HAMMING_MAX}
+    ) ORDER BY method, doc_a, doc_b
     """
 
 
@@ -1017,35 +1074,59 @@ def _block_value(off: int, width: int) -> Column:
 
 @query("q74_simhash_neardup", oracle=_SIMHASH_ORACLE)
 def q74_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: candidates by 13-bit block pigeonholing
-    with single-bit multiprobe (guaranteed-complete for Hamming ≤ 9; see
-    SIMHASH_BLOCKS), verified by exact Hamming distance ≤ 9.  md5-based
-    sketches make the pair set identical across engines, so the driver
-    hash-checks it against an all-pairs DuckDB re-derivation (promoted
-    from rows-only, round 7).
+    """SimHash near-dup pairs, method-tagged union of BOTH sketch widths
+    (round 9, per the r8 verdict: the corpus-scale configuration joins
+    the driver-checked surface):
 
-    Join shape: the probe side explodes each doc to (block, value) plus
-    every one-bit flip of the value (~70 rows/doc); the build side keeps
-    the exact (block, value) (5 rows/doc).  XOR-by-one-bit is symmetric,
-    so probing one side finds every pair whose minimum-difference block
+    - 'sim64'  — 64-bit sketch, 13-bit pigeonhole blocks (8192 values):
+      the looser similarity bar (Hamming ≤ 9/64 = 86% bit agreement).
+      Random block collisions are its measured top-decade cost (~7.2 B
+      candidate rows at 500k docs → 132 s sf10, r8), which is why it is
+      NOT the production width.
+    - 'sim120' — 120-bit sketch from the SAME md5 digests, 24-bit blocks:
+      collision mass drops ~2^11, sf10 ≈ 28 s / slope 5.8 (r8).  The
+      documented production choice once collision mass dominates.
+
+    Both branches read ONE persisted 120-bit sketch frame — the 64-bit
+    sketch is a pure projection of the 120-bit words (bit i of each
+    32-bit half shares its sign-sum with word bit i; see
+    ``simhash64_from_120``), so the expensive tokenize+md5+sign-sum pass
+    runs once for the union, not once per width.
+
+    Candidates by block pigeonholing with single-bit multiprobe
+    (guaranteed-complete for Hamming ≤ 9 under 5 blocks), verified by
+    exact Hamming distance ≤ 9.  md5-based sketches make the pair sets
+    identical across engines, so the driver hash-checks BOTH branches
+    against an all-pairs DuckDB re-derivation from one 120-bit sign-sum
+    pass (the same shared-pass structure as this side).
+
+    Join shape per branch: the probe side explodes each doc to (block,
+    value) plus every one-bit flip of the value; the build side keeps the
+    exact (block, value) (5 rows/doc).  XOR-by-one-bit is symmetric, so
+    probing one side finds every pair whose minimum-difference block
     differs by 0 or 1 bits — which pigeonhole guarantees for Hamming ≤ 9.
     All key-partitioned equi-joins; candidate mass tracks bucket
-    collisions at 8192 values/block, not corpus size squared."""
+    collisions, not corpus size squared."""
     docs = spread_small_scan(load_table(spark, sf_dir, "documents"))
-    # persist() the sketch table (one 24-byte row per doc — ~24 GB per
+    # persist() the sketch table (one ~32-byte row per doc — ~32 GB per
     # BILLION docs, trivially cache-able cluster-wide): the probe and
-    # value sides of the bucket self-join both read it, and without a
-    # materialization point Spark plans the whole tokenize+md5+64-sum
+    # value sides of both bucket self-joins read it, and without a
+    # materialization point Spark plans the whole tokenize+md5+sign-sum
     # sketch pass once PER SIDE (AQE stage reuse can't help — the small
     # side becomes a BroadcastExchange, never a shared shuffle stage).
-    sims = simhash_df(docs).persist()
-    # Probe side: each doc explodes to its exact (block, value) plus every
-    # one-bit flip (~70 rows/doc).  Build side: the exact (block, value)
-    # rows ONLY (5 rows/doc) — both recomputed from the persisted sketch
-    # table, so the expensive tokenize+md5+64-sum pass still runs once.
+    sims120 = simhash120_df(docs).persist()
+    sims64 = simhash64_from_120(sims120)
     # Join shape, hinting rationale, and the filter-before-distinct
-    # ordering live in _pigeonhole_pairs (shared with the 120-bit scale
-    # variant).
-    return _pigeonhole_pairs(
-        sims, SIMHASH_BLOCKS, _block_value, simhash_hamming
-    ).orderBy("doc_a", "doc_b")
+    # ordering live in _pigeonhole_pairs (shared by both widths).
+    p64 = _pigeonhole_pairs(sims64, SIMHASH_BLOCKS, _block_value, simhash_hamming)
+    p120 = _pigeonhole_pairs(
+        sims120, SIMHASH120_BLOCKS, _block_value_words, simhash120_hamming
+    )
+    tag = lambda df, m: df.select(  # noqa: E731
+        F.lit(m).alias("method"), "doc_a", "doc_b", "hamming"
+    )
+    return (
+        tag(p64, "sim64")
+        .unionByName(tag(p120, "sim120"))
+        .orderBy("method", "doc_a", "doc_b")
+    )

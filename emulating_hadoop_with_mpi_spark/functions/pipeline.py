@@ -63,7 +63,14 @@ def decontaminate(
 
     ``benchmark`` needs a ``text`` column; other columns are ignored.
     Callers drop flagged docs with an anti-join — or pass
-    ``benchmark=`` to ``curate_corpus``, which does it in-pipeline."""
+    ``benchmark=`` to ``curate_corpus``, which does it in-pipeline.
+
+    NOTE (plan laziness): when ``benchmark`` carries no Catalyst size
+    stats (inline ``createDataFrame`` prompt lists), this function runs
+    ONE bounded eager probe job (limit + count/sum-of-lengths) to decide
+    broadcast-vs-shuffle — a side effect inside an otherwise lazy plan
+    builder (ADVICE r8).  Benchmarks read from files carry stats and skip
+    the probe entirely."""
     from emulating_hadoop_with_mpi_spark.functions.dedup import shingles_df
 
     from emulating_hadoop_with_mpi_spark.plans.inspect import plan_size_bytes
@@ -84,7 +91,23 @@ def decontaminate(
     if size is not None and size < (1 << 62):
         small = size <= DECON_BROADCAST_BYTES
     else:
-        small = benchmark.limit(DECON_PROBE_ROWS + 1).count() <= DECON_PROBE_ROWS
+        # Probe BYTES, not just rows (ADVICE r8): 100k long benchmark
+        # texts can expand to millions of distinct 8-gram strings, so a
+        # frame could pass a row-count probe yet broadcast a very large
+        # shingle set — the same stats-blind broadcast class the r8 audit
+        # pinned away elsewhere.  One bounded job returns both measures.
+        probe = (
+            benchmark.limit(DECON_PROBE_ROWS + 1)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.length("text")).alias("text_bytes"),
+            )
+            .collect()[0]
+        )
+        small = (
+            probe["n"] <= DECON_PROBE_ROWS
+            and (probe["text_bytes"] or 0) <= DECON_BROADCAST_BYTES
+        )
     bench_side = F.broadcast(bench_sh) if small else bench_sh.hint("shuffle_merge")
     return (
         corpus_sh.join(bench_side, "shingle")

@@ -184,7 +184,13 @@ def semantic_neardup_pairs(
     emb: DataFrame, tau: float = NEARDUP_MIN_COSINE
 ) -> DataFrame:
     """Core of q75b over an arbitrary (vec_id, embedding) frame — see
-    q75b_semantic_neardup_lsh for the contract and scale shape."""
+    q75b_semantic_neardup_lsh for the contract and scale shape.
+
+    Cache contract (ADVICE r8): in the partitioned regime two
+    candidate-bounded frames are cache()d lazily and stay resident for
+    the session; long-running callers issuing many independent passes
+    should spark.catalog.clearCache() between them (same contract as
+    minhash_verified_pairs)."""
     coded = lsh_codes(emb)
     qv = coded.select(
         "vec_id", quantize(F.col("embedding")).alias("qv"), "code"

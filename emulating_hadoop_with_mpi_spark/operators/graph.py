@@ -36,6 +36,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def _unpersist_checkpoint(df: DataFrame) -> None:
+    """Free the block-storage blocks behind a localCheckpoint()ed frame
+    (or a projection over one): find the LogicalRDD leaves of its analyzed
+    plan and unpersist their RDDs.  Best-effort — internal-API shape
+    changes degrade to the old keep-until-context-exit behavior, never to
+    an error (blocking=False, so no wait on block removal either)."""
+    try:
+        leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+        for i in range(leaves.size()):
+            leaf = leaves.apply(i)
+            if leaf.getClass().getSimpleName() == "LogicalRDD":
+                leaf.rdd().unpersist(False)
+    except Exception:  # noqa: BLE001 — cleanup must never fail the query
+        pass
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -64,9 +80,11 @@ def connected_components(
     # plan with a LogicalRDD leaf — constant plan size per round, the
     # standard Spark pattern for iterative graph algorithms (GraphFrames
     # does the same).  On a multi-node cluster prefer rdd checkpoint() to
-    # a reliable dir if executor loss mid-iteration must be survivable;
-    # checkpointed rounds stay pinned for the run (O(log diameter) small
-    # two-column frames).
+    # a reliable dir if executor loss mid-iteration must be survivable.
+    # Once a round's checkpoint has materialized, the PREVIOUS round's
+    # checkpointed RDD is unpersisted (ADVICE r8) so at most two rounds'
+    # two-column frames are ever resident — only the returned final
+    # labels frame stays pinned for the caller.
     labels = (
         edges.select(F.col(src).alias("node"))
         .distinct()
@@ -106,6 +124,7 @@ def connected_components(
             .localCheckpoint()
         )
         n_changed = merged.filter("changed").count()
+        _unpersist_checkpoint(labels)  # this round consumed it; free the blocks
         labels = merged.select("node", "lab")
         if n_changed == 0:
             return labels

@@ -40,15 +40,43 @@ def test_minhash_lsh_matches_exact_jaccard(spark, sf_dir):
 
 
 def test_simhash_finds_planted_neardups(spark, sf_dir):
-    """SimHash recall on the planted near-dup pairs.  Not 100% by
-    construction: pairs at the Hamming radius boundary (=9) can spread
-    their differing bits across all 4 chunks and miss the pigeonhole
-    buckets — the classic sketch recall/cost tradeoff."""
+    """SimHash recall on the planted near-dup pairs, per method branch.
+    Not 100% by construction: pairs at the Hamming radius boundary (=9)
+    can spread their differing bits and miss the sketch bound — the
+    classic sketch recall/cost tradeoff.  The 120-bit branch enforces a
+    stricter bar (9/120 = 92.5% bit agreement vs 86% at 9/64), so its
+    pair set is checked for honesty (⊆ sketch contract, pinned exactly in
+    test_simhash120_complete_vs_brute) rather than the same recall
+    floor."""
     exact = {(r.doc_a, r.doc_b) for r in q72_ngram_jaccard_pairs(spark, sf_dir).collect()}
-    sim = {(r.doc_a, r.doc_b) for r in q74_simhash_neardup(spark, sf_dir).collect()}
+    rows = q74_simhash_neardup(spark, sf_dir).collect()
+    sim64 = {(r.doc_a, r.doc_b) for r in rows if r.method == "sim64"}
+    sim120 = {(r.doc_a, r.doc_b) for r in rows if r.method == "sim120"}
     assert exact, "testdata should contain planted near-duplicates"
-    recall = len(exact & sim) / len(exact)
-    assert recall >= 0.9, f"simhash recall {recall:.2f}; missed {sorted(exact - sim)[:5]}"
+    recall = len(exact & sim64) / len(exact)
+    assert recall >= 0.9, f"simhash recall {recall:.2f}; missed {sorted(exact - sim64)[:5]}"
+    # the stricter 120-bit bar admits fewer random pairs than the 64-bit
+    # one on this corpus — it must not be (vacuously) empty, and planted
+    # dups should still dominate what it keeps
+    assert sim120, "sim120 branch returned no pairs on planted-dup corpus"
+
+
+def test_simhash64_is_projection_of_120(spark, sf_dir):
+    """The q74 union's shared-pass design rests on this identity: the
+    64-bit sketch computed directly (simhash_df) equals the projection of
+    the 120-bit words (simhash64_from_120) row for row — bit i of each
+    32-bit half shares its md5-half sign-sum with word bit i."""
+    from emulating_hadoop_with_mpi_spark.functions.dedup import (
+        simhash64_from_120,
+        simhash120_df,
+        simhash_df,
+    )
+    from emulating_hadoop_with_mpi_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    direct = sorted(map(tuple, simhash_df(docs).collect()))
+    projected = sorted(map(tuple, simhash64_from_120(simhash120_df(docs)).collect()))
+    assert direct == projected
 
 
 def test_simhash120_complete_vs_brute(spark, sf_dir):
