@@ -358,6 +358,51 @@ def main() -> None:
             extras,
             reps=1,
         )
+        # Stage attribution for the fuzzy pipeline (VERDICT r8 item 4):
+        # nested prefixes of the same plan, timed incrementally on a
+        # CLEARED cache so stage 1 pays the candidate cost itself —
+        # stage1 = MinHash-LSH candidates + Jaccard verify,
+        # stage2 ≈ banded-levenshtein gate on cached candidates,
+        # stage3 ≈ connected components + keeper window on cached edges.
+        spark.catalog.clearCache()
+        from emulating_hadoop_with_mpi_spark.functions.dedup import (
+            EDIT_DEN,
+            EDIT_NUM,
+            _norm_text,
+            minhash_verified_pairs,
+        )
+        from emulating_hadoop_with_mpi_spark.operators.graph import (
+            connected_components,
+        )
+
+        t0 = time.perf_counter()
+        jac = minhash_verified_pairs(sf1_docs).select("doc_a", "doc_b").cache()
+        jac.count()
+        extras["sf1_q71_stage1_candidates"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        norm = sf1_docs.select("doc_id", _norm_text().alias("norm"))
+        verified = (
+            jac.join(norm.selectExpr("doc_id AS doc_a", "norm AS norm_a"), "doc_a")
+            .join(norm.selectExpr("doc_id AS doc_b", "norm AS norm_b"), "doc_b")
+            .filter(
+                F.expr(
+                    f"levenshtein(norm_a, norm_b, ({EDIT_NUM} * "
+                    f"greatest(length(norm_a), length(norm_b), 1)) DIV {EDIT_DEN}) >= 0"
+                )
+            )
+            .select("doc_a", "doc_b")
+            .cache()
+        )
+        verified.count()
+        extras["sf1_q71_stage2_lev_verify"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        edges = verified.selectExpr("doc_a AS src", "doc_b AS dst").unionAll(
+            verified.selectExpr("doc_b AS src", "doc_a AS dst")
+        )
+        connected_components(edges).count()
+        extras["sf1_q71_stage3_components"] = round(time.perf_counter() - t0, 3)
+        jac.unpersist()
+        verified.unpersist()
 
     # Second slope decade for the dedup family (VERDICT r6 item 3): a 3×
     # documents-only upscale of sf1 (sources/scale.py --only documents).
@@ -379,6 +424,19 @@ def main() -> None:
         if "sf1_ppjoin_pairs" in extras and "sf3_ppjoin_pairs" in extras:
             extras["slope2_ppjoin_pairs"] = round(
                 extras["sf3_ppjoin_pairs"] / extras["sf1_ppjoin_pairs"], 2
+            )
+        # fuzzy pipeline slope over the 3× step (VERDICT r8 item 4): the
+        # banded-lev verify and CC stages must track near-dup density, not
+        # corpus size — slope2 ≈ 3 is linear, gated ≤ 4 below.
+        run_entry(
+            "sf3_q71_fuzzy_dedup",
+            lambda: registry["q71_fuzzy_dedup_pipeline"].fn(spark, sf3_dir),
+            extras,
+            reps=1,
+        )
+        if "sf1_q71_fuzzy_dedup" in extras and "sf3_q71_fuzzy_dedup" in extras:
+            extras["slope2_q71_fuzzy_dedup"] = round(
+                extras["sf3_q71_fuzzy_dedup"] / extras["sf1_q71_fuzzy_dedup"], 2
             )
 
     # Third slope decade — the dedup-family gate (VERDICT r7 item 2): a
@@ -461,6 +519,9 @@ def main() -> None:
     if "slope3_simhash120_neardup" in extras:
         s = extras["slope3_simhash120_neardup"]
         gates["slope3_simhash120_max_6"] = {"value": s, "pass": s <= 6.0}
+    if "slope2_q71_fuzzy_dedup" in extras:
+        s = extras["slope2_q71_fuzzy_dedup"]
+        gates["slope2_q71_fuzzy_dedup_max_4"] = {"value": s, "pass": s <= 4.0}
 
     # A broken headline query must never read as a speedup: if any HEADLINE
     # entry errored, the ratchet metric is invalid for this run.
