@@ -184,6 +184,31 @@ def main() -> None:
             b = generate_matrix_df(spark, 768, 768, seed=2, num_partitions=int(cpus))
             run_entry("matmul_auto_768", lambda: matmul_auto(a, b), extras)
 
+    # matmul_auto above the block boundary (VERDICT r8 item 6): both
+    # shapes dispatch to blocked GEMM under the measured 1B-product
+    # crossover (see matmul_auto's docstring for the full strategy A/B —
+    # at 2.1B products on the rectangle, block 4.3 s vs broadcast-A
+    # 33.2 s vs COO 20.4 s).  dims passed explicitly so the Python
+    # dispatch (not the Catalyst extension) is what's exercised.
+    from emulating_hadoop_with_mpi_spark.mapreduce.matmul import matmul_auto as _mm_auto
+
+    big_a = generate_matrix_df(spark, 2048, 2048, seed=1, num_partitions=int(cpus))
+    big_b = generate_matrix_df(spark, 2048, 2048, seed=2, num_partitions=int(cpus))
+    run_entry(
+        "matmul_auto_2048",
+        lambda: _mm_auto(big_a, big_b, dims=(2048, 2048, 2048)),
+        extras,
+        reps=1,
+    )
+    rect_a = generate_matrix_df(spark, 128, 4096, seed=3, num_partitions=int(cpus))
+    rect_b = generate_matrix_df(spark, 4096, 4096, seed=4, num_partitions=int(cpus))
+    run_entry(
+        "matmul_auto_rect_128x4096x4096",
+        lambda: _mm_auto(rect_a, rect_b, dims=(128, 4096, 4096)),
+        extras,
+        reps=1,
+    )
+
     # .dat scan + multiply end-to-end: times the vectorized binary reader
     # (sources/matrix.py byte-range splits + Arrow batches) on the
     # reference's own file format, not just generated DataFrames.

@@ -94,6 +94,17 @@ def test_matmul_auto_strategy_dispatch(spark):
     c3 = matmul_auto(da, db, broadcast_threshold_cells=1, block_threshold_products=10**12)
     np.testing.assert_array_equal(_dense(c3, 12, 8), expect)
 
+    # the product check outranks broadcastability (round 9): a side small
+    # enough to broadcast must still dispatch to block GEMM when L·M·N
+    # exceeds the threshold — the measured rectangle case where
+    # broadcast-A was 7.7× slower than block (matmul_auto docstring).
+    c4 = matmul_auto(
+        da, db, dims=(12, 10, 8), broadcast_threshold_cells=10**9,
+        block_threshold_products=1, block=4,
+    )
+    assert "MapInPandas" in executed_plan(c4)
+    np.testing.assert_array_equal(_dense(c4, 12, 8), expect)
+
 
 def test_matmul_mapreduce_faithful_path(spark):
     l, m, n = 6, 5, 4
