@@ -49,26 +49,131 @@ def tokens_col(text: str | Column = "text") -> Column:
 _SQL_TOKENS = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x != '')"
 
 
+# Longest run of equal adjacent elements in a SORTED string array — i.e.
+# the count of the most frequent element — as ONE pure Catalyst aggregate
+# lambda, no explode/groupBy/shuffle.  This is what lets the repetition
+# features below stay map-only at 100 TB: the per-doc "most frequent
+# 2-gram" that Gopher computes with a corpus-wide shuffle-free pass.
+def _max_run(sorted_arr: Column) -> Column:
+    return F.aggregate(
+        sorted_arr,
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc.best, F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1))
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
+    )
+
+
+def _frac(num: Column, den: Column) -> Column:
+    return F.when(den == 0, F.lit(0.0)).otherwise(
+        F.round(num.cast("double") / den, 6)
+    )
+
+
 @query(
     "q80_token_stats",
     oracle=f"""
-    WITH tok AS (SELECT doc_id, lang, {_SQL_TOKENS} AS toks, text FROM documents)
-    SELECT doc_id, lang,
+    WITH tok AS (SELECT doc_id, lang, {_SQL_TOKENS} AS toks, text FROM documents),
+    words AS (
+        SELECT doc_id, MAX(c) AS max_word FROM (
+            SELECT doc_id, w, COUNT(*) AS c
+            FROM (SELECT doc_id, unnest(toks) AS w FROM tok)
+            GROUP BY doc_id, w
+        ) GROUP BY doc_id
+    ),
+    g2 AS (
+        SELECT doc_id, MAX(c) AS top2, CAST(SUM(c) AS BIGINT) AS n2 FROM (
+            SELECT doc_id, gram, COUNT(*) AS c FROM (
+                SELECT t.doc_id, t.toks[s.i] || ' ' || t.toks[s.i + 1] AS gram
+                FROM tok t CROSS JOIN LATERAL (
+                    SELECT unnest(generate_series(1, len(t.toks) - 1)) AS i
+                ) s
+            ) GROUP BY doc_id, gram
+        ) GROUP BY doc_id
+    ),
+    g3 AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n3,
+               CAST(COUNT(DISTINCT gram) AS BIGINT) AS d3 FROM (
+            SELECT t.doc_id,
+                   t.toks[s.i] || ' ' || t.toks[s.i + 1] || ' ' || t.toks[s.i + 2] AS gram
+            FROM tok t CROSS JOIN LATERAL (
+                SELECT unnest(generate_series(1, len(t.toks) - 2)) AS i
+            ) s
+        ) GROUP BY doc_id
+    )
+    SELECT tok.doc_id, lang,
            CAST(len(toks) AS INT) AS n_tokens,
            CAST(len(list_distinct(toks)) AS INT) AS n_uniq_tokens,
            CAST(length(text) AS INT) AS n_chars,
-           CAST(len(regexp_extract_all(text, '{BPE_RE}')) AS INT) AS n_bpe_tokens
+           CAST(len(regexp_extract_all(text, '{BPE_RE}')) AS INT) AS n_bpe_tokens,
+           CASE WHEN len(toks) = 0 THEN 0.0
+                ELSE ROUND(CAST(words.max_word AS DOUBLE) / len(toks), 6)
+           END AS max_word_frac,
+           CASE WHEN g2.n2 IS NULL OR g2.n2 = 0 THEN 0.0
+                ELSE ROUND(CAST(g2.top2 AS DOUBLE) / g2.n2, 6)
+           END AS top_bigram_frac,
+           CASE WHEN g3.n3 IS NULL OR g3.n3 = 0 THEN 0.0
+                ELSE ROUND(CAST(g3.n3 - g3.d3 AS DOUBLE) / g3.n3, 6)
+           END AS dup_trigram_frac
     FROM tok
-    ORDER BY doc_id
+    LEFT JOIN words ON words.doc_id = tok.doc_id
+    LEFT JOIN g2 ON g2.doc_id = tok.doc_id
+    LEFT JOIN g3 ON g3.doc_id = tok.doc_id
+    ORDER BY tok.doc_id
     """,
 )
 def q80_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting: whitespace tokens, distinct tokens, characters, and a
-    BPE-ish regex pre-tokenization count — all JVM-side."""
+    """Token counting + Gopher-style repetition features: whitespace
+    tokens, distinct tokens, characters, a BPE-ish regex pre-tokenization
+    count, and three repetition fractions (most-frequent word / n_tokens,
+    most-frequent word-2-gram / n_2grams, duplicate-3-gram fraction) —
+    the standard repetition filters an LLM curation pipeline gates on
+    (added round 9).
+
+    All JVM-side and MAP-ONLY: the per-doc "most frequent n-gram" counts
+    come from array_sort + a run-length aggregate lambda (see _max_run),
+    not explode+groupBy — zero shuffle at any corpus size (the oracle
+    re-derives the same counts with explicit GROUP BYs, which the driver
+    hash-checks)."""
     docs = load_table(spark, sf_dir, "documents")
+    return token_stats(docs).orderBy("doc_id")
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """q80's body over any (doc_id, lang, text) frame — the reusable
+    token-count + repetition-feature core (see q80_token_stats for the
+    contract and the zero-shuffle design notes)."""
     # materialize the token array once (tokens_col() per expression would
     # re-split the text; see shingles_df note in dedup.py)
     staged = docs.select("doc_id", "lang", "text", tokens_col().alias("toks"))
+    # Adjacent word n-grams via zip_with over shifted slices — NOT
+    # transform+element_at(toks, i):  CollapseProject inlines the
+    # tokenize expression into every reference, and a lambda body that
+    # names `toks` re-evaluates the full split PER ELEMENT (measured
+    # ~4× q80's entire former runtime).  zip_with's inputs are row-level
+    # expressions evaluated once; the lambda touches only lambda vars.
+    g2 = F.expr(
+        "zip_with(slice(toks, 1, greatest(size(toks) - 1, 0)),"
+        "         slice(toks, 2, greatest(size(toks) - 1, 0)),"
+        "         (a, b) -> concat(a, ' ', b))"
+    )
+    g3 = F.expr(
+        "zip_with(slice(toks, 1, greatest(size(toks) - 2, 0)),"
+        "         zip_with(slice(toks, 2, greatest(size(toks) - 2, 0)),"
+        "                  slice(toks, 3, greatest(size(toks) - 2, 0)),"
+        "                  (b, c) -> concat(b, ' ', c)),"
+        "         (a, bc) -> concat(a, ' ', bc))"
+    )
+    staged = staged.select(
+        "doc_id", "lang", "text", "toks", g2.alias("g2"), g3.alias("g3")
+    )
     return staged.select(
         "doc_id",
         "lang",
@@ -76,7 +181,12 @@ def q80_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct("toks")).cast("int").alias("n_uniq_tokens"),
         F.length("text").cast("int").alias("n_chars"),
         F.size(F.regexp_extract_all("text", F.lit(BPE_RE), 0)).cast("int").alias("n_bpe_tokens"),
-    ).orderBy("doc_id")
+        _frac(_max_run(F.array_sort("toks")), F.size("toks")).alias("max_word_frac"),
+        _frac(_max_run(F.array_sort("g2")), F.size("g2")).alias("top_bigram_frac"),
+        _frac(
+            F.size("g3") - F.size(F.array_distinct("g3")), F.size("g3")
+        ).alias("dup_trigram_frac"),
+    )
 
 
 def _sql_ratio(num: str, den: str) -> str:
