@@ -1130,3 +1130,88 @@ def q74_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(tag(p120, "sim120"))
         .orderBy("method", "doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document duplicated-span detection (round 9): substring-level
+# dedup in the style of Lee et al., "Deduplicating Training Data Makes
+# Language Models Better" — find every n-token window whose exact token
+# sequence occurs more than min_count times ANYWHERE in the corpus
+# (within one doc or across docs).  Doc-level dedup (q70-q74) misses
+# boilerplate: two unique documents sharing a 200-token license header
+# are untouched by MinHash at J=0.5, but every token of that header is
+# memorization fuel.  This is the operator that finds it.
+# ---------------------------------------------------------------------------
+
+
+def duplicate_spans(
+    docs: DataFrame, n: int = 20, min_count: int = 2
+) -> DataFrame:
+    """(doc_id, pos, span_hash, span_count): every n-token window
+    (0-based token position) whose xxhash64 fingerprint occurs >=
+    min_count times corpus-wide, with its global occurrence count.  Callers cut or mask
+    the offending spans; ``flag_span_duplicated_docs`` reduces to a
+    per-doc verdict.
+
+    Scale shape (the reference point is a distributed suffix array, which
+    costs O(tokens·log) shuffle rounds; this is the bounded-n relaxation
+    at exactly TWO exchanges of the token stream):
+
+    1. posexplode tokens — a Generate over the materialized token array,
+       evaluated once per row (no per-element re-tokenization: the array
+       is the generator input, never referenced inside a lambda).
+    2. ONE window pass per doc (lead(tok, 1..n-1) over pos) builds each
+       span's token sequence in place — shuffle #1, keyed by doc_id.
+    3. ONE groupBy span-hash keeps hashes with count >= min_count —
+       shuffle #2, carrying (hash, doc_id, pos) longs only, combiner
+       applies map-side.
+
+    The survivors join back candidate-bounded (the duplicated-hash set is
+    tiny next to the corpus), same discipline as the MinHash verify.
+    64-bit fingerprints stand in for the token sequence; at ~1e12 spans
+    the birthday collision mass is ~0.03 per corpus — callers needing
+    exactness re-verify survivor spans textually (they are few)."""
+    staged = docs.select("doc_id", tokens_col().alias("toks"))
+    toks = staged.select(
+        "doc_id", F.posexplode("toks").alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    span_txt = F.concat_ws(
+        " ", F.col("tok"), *[F.lead("tok", k).over(w) for k in range(1, n)]
+    )
+    spans = (
+        toks.select(
+            "doc_id",
+            "pos",
+            F.lead("pos", n - 1).over(w).alias("end_pos"),
+            span_txt.alias("span_txt"),
+        )
+        # windows running off the end of the doc have < n tokens
+        .filter(F.col("end_pos").isNotNull())
+        .select("doc_id", "pos", F.xxhash64("span_txt").alias("span_hash"))
+    )
+    dup_hashes = (
+        spans.groupBy("span_hash")
+        .agg(F.count(F.lit(1)).alias("span_count"))
+        .filter(F.col("span_count") >= min_count)
+    )
+    return spans.join(dup_hashes, "span_hash").select(
+        "doc_id", "pos", "span_hash", "span_count"
+    )
+
+
+def flag_span_duplicated_docs(
+    docs: DataFrame, n: int = 20, min_count: int = 2
+) -> DataFrame:
+    """(doc_id, n_dup_spans, max_span_count): one row per document that
+    contains at least one corpus-duplicated n-token span — the document-
+    level gate over ``duplicate_spans`` (anti-join against this to drop
+    boilerplate carriers, or use n_dup_spans as a filter feature)."""
+    return (
+        duplicate_spans(docs, n=n, min_count=min_count)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_dup_spans"),
+            F.max("span_count").cast("bigint").alias("max_span_count"),
+        )
+    )

@@ -1,0 +1,81 @@
+"""Cross-document duplicated-span detection (functions/dedup.py
+duplicate_spans, round 9) vs a pure-Python sliding-window oracle —
+planted shared boilerplate across unique docs, within-doc repetition,
+boundary-length docs, and the no-duplicates corpus.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from emulating_hadoop_with_mpi_spark.functions.dedup import (
+    duplicate_spans,
+    flag_span_duplicated_docs,
+)
+
+HEADER = "this software is provided as is without warranty of any kind"  # 11 toks
+DOCS = [
+    # two otherwise-unrelated docs sharing the HEADER boilerplate
+    (1, HEADER + " alpha beta gamma delta epsilon"),
+    (2, "zeta eta theta " + HEADER + " iota kappa"),
+    # within-doc repetition: the same 6-token phrase twice in one doc
+    (3, "one two three four five six filler one two three four five six"),
+    # exactly n tokens (single window), unique
+    (4, "u1 u2 u3 u4 u5 u6"),
+    # shorter than n: contributes no spans at all
+    (5, "tiny doc"),
+    # unique doc, no duplicated spans
+    (6, "completely unrelated text with no repeated windows anywhere at all"),
+]
+N = 6
+
+
+def _python_spans(n=N, min_count=2):
+    spans = []
+    for doc_id, text in DOCS:
+        toks = text.lower().split()
+        for pos in range(len(toks) - n + 1):
+            spans.append((doc_id, pos, " ".join(toks[pos : pos + n])))
+    counts = Counter(s for _, _, s in spans)
+    return {
+        (doc_id, pos): counts[s]
+        for doc_id, pos, s in spans
+        if counts[s] >= min_count
+    }
+
+
+def test_duplicate_spans_match_python_oracle(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.pos): r.span_count
+        for r in duplicate_spans(df, n=N).collect()
+    }
+    expected = _python_spans()
+    assert got == expected
+    # sanity on the scenario itself: the shared header spans ARE found
+    assert any(d == 1 for d, _ in got) and any(d == 2 for d, _ in got)
+    # and the within-doc repeat too
+    assert (3, 0) in got and got[(3, 0)] == 2
+    # doc 4's single unique window and docs 5/6 contribute nothing
+    assert not any(d in (4, 5, 6) for d, _ in got)
+
+
+def test_flag_span_duplicated_docs(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    flags = {r.doc_id: r for r in flag_span_duplicated_docs(df, n=N).collect()}
+    expected = _python_spans()
+    per_doc = Counter(d for d, _ in expected)
+    assert set(flags) == set(per_doc)
+    for doc_id, cnt in per_doc.items():
+        assert flags[doc_id].n_dup_spans == cnt
+        assert flags[doc_id].max_span_count == max(
+            v for (d, _), v in expected.items() if d == doc_id
+        )
+
+
+def test_no_false_positives_on_unique_corpus(spark):
+    df = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(30))) for i in range(20)],
+        "doc_id long, text string",
+    )
+    assert duplicate_spans(df, n=8).count() == 0
