@@ -253,6 +253,12 @@ def main() -> None:
     sf_docs = load_table(spark, sf_dir, "documents")
     run_entry("simhash120_neardup", lambda: simhash120_neardup_pairs(sf_docs), extras)
 
+    # cross-document duplicated-span detection (round 9): substring-level
+    # dedup — two exchanges of the token stream (see duplicate_spans).
+    from emulating_hadoop_with_mpi_spark.functions.dedup import duplicate_spans
+
+    run_entry("duplicate_spans_n10", lambda: duplicate_spans(sf_docs, n=10), extras)
+
     # q75b: bucketed embedding near-dup over the full embeddings table
     # (the dedup-family scale path on the vector side, round 8).
     q75b = registry["q75b_semantic_neardup_lsh"]
@@ -374,6 +380,15 @@ def main() -> None:
             lambda: simhash120_neardup_pairs(sf1_docs),
             extras,
         )
+        run_entry(
+            "sf1_duplicate_spans_n10",
+            lambda: duplicate_spans(sf1_docs, n=10),
+            extras,
+        )
+        if "duplicate_spans_n10" in extras and "sf1_duplicate_spans_n10" in extras:
+            extras["slope_duplicate_spans_n10"] = round(
+                extras["sf1_duplicate_spans_n10"] / extras["duplicate_spans_n10"], 2
+            )
         # end-to-end fuzzy-dedup pipeline (candidates -> lev verify ->
         # distributed CC) a decade up — exercises the pointer-jumping
         # component stage on real near-dup clusters; reps=1, iterative
