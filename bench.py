@@ -125,6 +125,26 @@ def main() -> None:
 
     samples: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
+    probes: dict[str, float] = {}
+
+    # Per-entry clock probe (round 9): the start/end canary pair proved
+    # insufficient — the sandbox's throttling OSCILLATES on minute
+    # timescales, so a run can read calm at both ends while individual
+    # entries land in a 2-4× slow window (run 4: flat canaries, q80 at
+    # 4.4× with all three reps slow).  A 1/10-scale python loop (~0.17 s
+    # calm) timed immediately before each entry attributes drift
+    # per-entry; value_normalized uses the MEDIAN probe (robust to
+    # oscillation), and BENCH_DETAIL carries every probe so any slow
+    # entry can be checked against the clock it actually ran under.
+    PROBE_LOOP_N = CANARY_PY_LOOP_N // 10
+    PROBE_REF_SEC = CANARY_PY_REF_SEC / 10
+
+    def _py_probe() -> float:
+        t0 = time.perf_counter()
+        acc = 0
+        for i in range(PROBE_LOOP_N):
+            acc += i * i & 1023
+        return round(time.perf_counter() - t0, 3)
 
     def run_timed(build, label: str | None = None, reps: int = 3) -> float:
         """min of three runs — steady-state, less single-JVM JIT/GC noise.
@@ -132,6 +152,8 @@ def main() -> None:
         can tell noise (one bad leg) from regression (all legs slow).
         Long scale legs (sf10) pass reps=1: at 45-90 s/leg the JIT/GC
         noise this guards against is already amortized away."""
+        if label is not None:
+            probes[label] = _py_probe()
         legs: list[float] = []
         for _ in range(reps):
             t0 = time.perf_counter()
@@ -544,21 +566,48 @@ def main() -> None:
         "py_ref_sec": CANARY_PY_REF_SEC,
         "spark_ref_sec": CANARY_SPARK_REF_SEC,
     }
-    py_mean = (canary_start["py_1core_sec"] + canary_end["py_1core_sec"]) / 2
-    # box running at half speed → canary doubles → headline halves back
-    canary["host_speed_factor"] = round(CANARY_PY_REF_SEC / py_mean, 3)
+    # host_speed_factor from the MEDIAN per-entry probe — the start/end
+    # pair alone misses minute-scale throttle oscillation (run 4 r9: flat
+    # canaries, individual entries 2-4× slow); the median over ~50 probes
+    # spread across the whole run is robust to both tails.
+    probe_list = sorted(probes.values())
+    if probe_list:
+        probe_median = probe_list[len(probe_list) // 2]
+        canary["probe_median_sec"] = probe_median
+        canary["probe_ref_sec"] = PROBE_REF_SEC
+        canary["probe_worst_sec"] = probe_list[-1]
+        canary["host_speed_factor"] = round(PROBE_REF_SEC / probe_median, 3)
+    else:
+        py_mean = (canary_start["py_1core_sec"] + canary_end["py_1core_sec"]) / 2
+        canary["host_speed_factor"] = round(CANARY_PY_REF_SEC / py_mean, 3)
     value_normalized = round(total * canary["host_speed_factor"], 3)
+
+    def _norm(label: str, t: float) -> float:
+        """Per-entry clock-normalized time: scale by the probe measured
+        right before the entry ran (falls back to the global factor)."""
+        p = probes.get(label)
+        f = (PROBE_REF_SEC / p) if p else canary["host_speed_factor"]
+        return round(t * f, 3)
 
     # Decade gates (VERDICT r8 item 1): the SimHash-family scale
     # configuration must stay survivable at sf10 — absolute ceiling AND
-    # slope, evaluated only when the legs actually ran.
+    # slope, evaluated only when the legs actually ran.  Gate inputs are
+    # per-entry clock-normalized (raw kept alongside): a throttle window
+    # during one sf10 leg must not read as an algorithmic regression.
     gates: dict[str, dict] = {}
     if "sf10_simhash120_neardup" in extras:
         t = extras["sf10_simhash120_neardup"]
-        gates["sf10_simhash120_max_35s"] = {"value": t, "pass": t <= 35.0}
+        tn = _norm("sf10_simhash120_neardup", t)
+        gates["sf10_simhash120_max_35s"] = {"value": tn, "raw": t, "pass": tn <= 35.0}
     if "slope3_simhash120_neardup" in extras:
-        s = extras["slope3_simhash120_neardup"]
-        gates["slope3_simhash120_max_6"] = {"value": s, "pass": s <= 6.0}
+        s = round(
+            _norm("sf10_simhash120_neardup", extras["sf10_simhash120_neardup"])
+            / _norm("sf1_simhash120_neardup", extras["sf1_simhash120_neardup"]),
+            2,
+        ) if "sf1_simhash120_neardup" in extras else extras["slope3_simhash120_neardup"]
+        gates["slope3_simhash120_max_6"] = {
+            "value": s, "raw": extras["slope3_simhash120_neardup"], "pass": s <= 6.0
+        }
     if "slope2_q71_fuzzy_dedup" in extras:
         s = extras["slope2_q71_fuzzy_dedup"]
         gates["slope2_q71_fuzzy_dedup_max_4"] = {"value": s, "pass": s <= 4.0}
@@ -573,8 +622,13 @@ def main() -> None:
         "partial_sum": total,
         "unit": "sec",
         "queries": timings,
+        "queries_normalized": {k: _norm(k, v) for k, v in timings.items()},
+        "extras_normalized": {
+            k: _norm(k, v) for k, v in extras.items() if k in probes
+        },
         "extras": extras,
         "samples": samples,
+        "probes": probes,
         "errors": errors,
         "canary": canary,
         "gates": gates,
