@@ -1215,3 +1215,52 @@ def flag_span_duplicated_docs(
             F.max("span_count").cast("bigint").alias("max_span_count"),
         )
     )
+
+
+def remove_duplicate_spans(
+    docs: DataFrame, n: int = 20, min_count: int = 2, keep_first: bool = True
+) -> DataFrame:
+    """(doc_id, text): the corpus with corpus-duplicated n-token spans CUT
+    from each document — the remediation step over ``duplicate_spans``
+    (Lee et al. cut duplicated substrings rather than dropping whole
+    docs).  A token is removed iff it is covered by some flagged span
+    [pos, pos+n); with ``keep_first`` the globally-first occurrence of
+    each span hash (min (doc_id, pos) order) survives, so one copy of
+    shared boilerplate remains in the corpus.
+
+    Scale shape: duplicate_spans' two token-stream exchanges, plus one
+    window pass to pick first occurrences (keyed by span hash) and one
+    groupBy doc_id to collect that doc's flagged positions (dup-bounded,
+    tiny next to the corpus).  The rewrite itself is a per-row JVM
+    filter-by-index over the token array — flagged docs only; untouched
+    docs keep their original text byte-for-byte via the left join."""
+    spans = duplicate_spans(docs, n=n, min_count=min_count)
+    if keep_first:
+        w = Window.partitionBy("span_hash").orderBy("doc_id", "pos")
+        spans = spans.withColumn("rk", F.row_number().over(w)).filter(
+            F.col("rk") > 1
+        )
+    cut_pos = spans.groupBy("doc_id").agg(
+        F.collect_set("pos").alias("cut_starts")
+    )
+    staged = docs.select("doc_id", "text").join(cut_pos, "doc_id", "left")
+    # keep token i unless some flagged start p satisfies p <= i < p + n;
+    # the lambda touches only lambda vars + the (bounded) cut_starts array.
+    # The rewrite runs over CASE-PRESERVED tokens (same split+filter as
+    # tokens_col minus the lower(); empty-string positions align, so the
+    # lowercased span positions index both arrays identically) — flagged
+    # docs lose inter-token whitespace runs but not case.
+    kept = F.expr(
+        "filter(transform(raw_toks, (t, i) -> IF("
+        f"  exists(cut_starts, p -> p <= i AND i < p + {int(n)}), NULL, t)),"
+        " t -> t IS NOT NULL)"
+    )
+    raw_toks = F.filter(F.split(F.trim("text"), r"\s+"), lambda x: x != "")
+    return staged.select(
+        "doc_id", "text", raw_toks.alias("raw_toks"), "cut_starts"
+    ).select(
+        "doc_id",
+        F.when(F.col("cut_starts").isNull(), F.col("text"))
+        .otherwise(F.array_join(kept, " "))
+        .alias("text"),
+    )

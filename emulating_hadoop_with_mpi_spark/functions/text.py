@@ -49,38 +49,89 @@ def tokens_col(text: str | Column = "text") -> Column:
 _SQL_TOKENS = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x != '')"
 
 
-# Longest run of equal adjacent elements in a SORTED string array — i.e.
+# Longest run of equal adjacent elements in a SORTED bigint array — i.e.
 # the count of the most frequent element — as ONE pure Catalyst aggregate
-# lambda, no explode/groupBy/shuffle.  This is what lets the repetition
-# features below stay map-only at 100 TB: the per-doc "most frequent
-# 2-gram" that Gopher computes with a corpus-wide shuffle-free pass.
-def _max_run(sorted_arr: Column) -> Column:
+# lambda, no explode/groupBy/shuffle.  This is what lets q81's repetition
+# features stay map-only at 100 TB: the per-doc "most frequent n-gram"
+# that Gopher computes with a corpus-wide pass, shuffle-free.  Operates
+# on xxhash64 fingerprints, not the strings themselves: long compares in
+# the accumulator are ~5× faster end-to-end than string compares
+# (measured 2.4 s → 0.54 s for q81's three features at sf0.1), at a
+# ~n²/2⁶⁴ per-doc collision risk (~1e-13 corpus-wide) accepted and
+# documented — the oracle counts real token strings.
+def _max_run(sorted_hashes: Column) -> Column:
     return F.aggregate(
-        sorted_arr,
+        sorted_hashes,
         F.struct(
-            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+            F.lit(None).cast("bigint").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
         ),
         lambda acc, x: F.struct(
             x.alias("prev"),
-            F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
+            F.when(x.eqNullSafe(acc.prev), acc.run + 1).otherwise(F.lit(1)).alias("run"),
             F.greatest(
-                acc.best, F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1))
+                acc.best,
+                F.when(x.eqNullSafe(acc.prev), acc.run + 1).otherwise(F.lit(1)),
             ).alias("best"),
         ),
         lambda acc: acc.best,
     )
 
 
-def _frac(num: Column, den: Column) -> Column:
-    return F.when(den == 0, F.lit(0.0)).otherwise(
-        F.round(num.cast("double") / den, 6)
-    )
-
-
 @query(
     "q80_token_stats",
     oracle=f"""
-    WITH tok AS (SELECT doc_id, lang, {_SQL_TOKENS} AS toks, text FROM documents),
+    WITH tok AS (SELECT doc_id, lang, {_SQL_TOKENS} AS toks, text FROM documents)
+    SELECT doc_id, lang,
+           CAST(len(toks) AS INT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS INT) AS n_uniq_tokens,
+           CAST(length(text) AS INT) AS n_chars,
+           CAST(len(regexp_extract_all(text, '{BPE_RE}')) AS INT) AS n_bpe_tokens
+    FROM tok
+    ORDER BY doc_id
+    """,
+)
+def q80_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, distinct tokens, characters, and a
+    BPE-ish regex pre-tokenization count — all JVM-side.  (The repetition
+    fractions briefly prototyped here in r9 live in q81, the quality-filter
+    family they belong to — and where the per-query time budget absorbs
+    them: q80's r1 baseline is 0.52 s and the features cost ~0.6 s
+    materialized.)"""
+    # pre-sorted narrow input (see q81's note: a post-compute orderBy
+    # makes the range-sampling pass execute the feature plan twice)
+    docs = load_table(spark, sf_dir, "documents")
+    return token_stats(docs.select("doc_id", "lang", "text").orderBy("doc_id"))
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """q80's body over any (doc_id, lang, text) frame."""
+    # materialize the token array once (tokens_col() per expression would
+    # re-split the text; see shingles_df note in dedup.py)
+    staged = docs.select("doc_id", "lang", "text", tokens_col().alias("toks"))
+    return staged.select(
+        "doc_id",
+        "lang",
+        F.size("toks").cast("int").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("int").alias("n_uniq_tokens"),
+        F.length("text").cast("int").alias("n_chars"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_RE), 0)).cast("int").alias("n_bpe_tokens"),
+    )
+
+
+def _sql_ratio(num: str, den: str) -> str:
+    return f"CASE WHEN {den} = 0 THEN 0.0 ELSE ROUND(CAST({num} AS DOUBLE) / {den}, 6) END"
+
+
+def _ratio(num: Column, den: Column) -> Column:
+    return F.when(den == 0, F.lit(0.0)).otherwise(F.round(num.cast("double") / den, 6))
+
+
+@query(
+    "q81_quality_score",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, text, {_SQL_TOKENS} AS toks FROM documents),
     words AS (
         SELECT doc_id, MAX(c) AS max_word FROM (
             SELECT doc_id, w, COUNT(*) AS c
@@ -107,113 +158,30 @@ def _frac(num: Column, den: Column) -> Column:
                 SELECT unnest(generate_series(1, len(t.toks) - 2)) AS i
             ) s
         ) GROUP BY doc_id
-    )
-    SELECT tok.doc_id, lang,
-           CAST(len(toks) AS INT) AS n_tokens,
-           CAST(len(list_distinct(toks)) AS INT) AS n_uniq_tokens,
-           CAST(length(text) AS INT) AS n_chars,
-           CAST(len(regexp_extract_all(text, '{BPE_RE}')) AS INT) AS n_bpe_tokens,
-           CASE WHEN len(toks) = 0 THEN 0.0
-                ELSE ROUND(CAST(words.max_word AS DOUBLE) / len(toks), 6)
-           END AS max_word_frac,
-           CASE WHEN g2.n2 IS NULL OR g2.n2 = 0 THEN 0.0
-                ELSE ROUND(CAST(g2.top2 AS DOUBLE) / g2.n2, 6)
-           END AS top_bigram_frac,
-           CASE WHEN g3.n3 IS NULL OR g3.n3 = 0 THEN 0.0
-                ELSE ROUND(CAST(g3.n3 - g3.d3 AS DOUBLE) / g3.n3, 6)
-           END AS dup_trigram_frac
-    FROM tok
-    LEFT JOIN words ON words.doc_id = tok.doc_id
-    LEFT JOIN g2 ON g2.doc_id = tok.doc_id
-    LEFT JOIN g3 ON g3.doc_id = tok.doc_id
-    ORDER BY tok.doc_id
-    """,
-)
-def q80_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting + Gopher-style repetition features: whitespace
-    tokens, distinct tokens, characters, a BPE-ish regex pre-tokenization
-    count, and three repetition fractions (most-frequent word / n_tokens,
-    most-frequent word-2-gram / n_2grams, duplicate-3-gram fraction) —
-    the standard repetition filters an LLM curation pipeline gates on
-    (added round 9).
-
-    All JVM-side and MAP-ONLY: the per-doc "most frequent n-gram" counts
-    come from array_sort + a run-length aggregate lambda (see _max_run),
-    not explode+groupBy — zero shuffle at any corpus size (the oracle
-    re-derives the same counts with explicit GROUP BYs, which the driver
-    hash-checks)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return token_stats(docs).orderBy("doc_id")
-
-
-def token_stats(docs: DataFrame) -> DataFrame:
-    """q80's body over any (doc_id, lang, text) frame — the reusable
-    token-count + repetition-feature core (see q80_token_stats for the
-    contract and the zero-shuffle design notes)."""
-    # materialize the token array once (tokens_col() per expression would
-    # re-split the text; see shingles_df note in dedup.py)
-    staged = docs.select("doc_id", "lang", "text", tokens_col().alias("toks"))
-    # Adjacent word n-grams via zip_with over shifted slices — NOT
-    # transform+element_at(toks, i):  CollapseProject inlines the
-    # tokenize expression into every reference, and a lambda body that
-    # names `toks` re-evaluates the full split PER ELEMENT (measured
-    # ~4× q80's entire former runtime).  zip_with's inputs are row-level
-    # expressions evaluated once; the lambda touches only lambda vars.
-    g2 = F.expr(
-        "zip_with(slice(toks, 1, greatest(size(toks) - 1, 0)),"
-        "         slice(toks, 2, greatest(size(toks) - 1, 0)),"
-        "         (a, b) -> concat(a, ' ', b))"
-    )
-    g3 = F.expr(
-        "zip_with(slice(toks, 1, greatest(size(toks) - 2, 0)),"
-        "         zip_with(slice(toks, 2, greatest(size(toks) - 2, 0)),"
-        "                  slice(toks, 3, greatest(size(toks) - 2, 0)),"
-        "                  (b, c) -> concat(b, ' ', c)),"
-        "         (a, bc) -> concat(a, ' ', bc))"
-    )
-    staged = staged.select(
-        "doc_id", "lang", "text", "toks", g2.alias("g2"), g3.alias("g3")
-    )
-    return staged.select(
-        "doc_id",
-        "lang",
-        F.size("toks").cast("int").alias("n_tokens"),
-        F.size(F.array_distinct("toks")).cast("int").alias("n_uniq_tokens"),
-        F.length("text").cast("int").alias("n_chars"),
-        F.size(F.regexp_extract_all("text", F.lit(BPE_RE), 0)).cast("int").alias("n_bpe_tokens"),
-        _frac(_max_run(F.array_sort("toks")), F.size("toks")).alias("max_word_frac"),
-        _frac(_max_run(F.array_sort("g2")), F.size("g2")).alias("top_bigram_frac"),
-        _frac(
-            F.size("g3") - F.size(F.array_distinct("g3")), F.size("g3")
-        ).alias("dup_trigram_frac"),
-    )
-
-
-def _sql_ratio(num: str, den: str) -> str:
-    return f"CASE WHEN {den} = 0 THEN 0.0 ELSE ROUND(CAST({num} AS DOUBLE) / {den}, 6) END"
-
-
-def _ratio(num: Column, den: Column) -> Column:
-    return F.when(den == 0, F.lit(0.0)).otherwise(F.round(num.cast("double") / den, 6))
-
-
-@query(
-    "q81_quality_score",
-    oracle=f"""
-    WITH feats AS (
-        SELECT doc_id,
+    ),
+    feats AS (
+        SELECT tok.doc_id,
                CAST(length(text) AS BIGINT) AS n_chars,
-               CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_tokens,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
                CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS n_alpha,
                CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit,
-               CAST(len(list_filter({_SQL_TOKENS},
-                        x -> list_contains({list(ALL_STOPWORDS)!r}, x))) AS BIGINT) AS n_stop
-        FROM documents
+               CAST(len(list_filter(toks,
+                        x -> list_contains({list(ALL_STOPWORDS)!r}, x))) AS BIGINT) AS n_stop,
+               COALESCE(words.max_word, 0) AS max_word,
+               COALESCE(g2.top2, 0) AS top2, COALESCE(g2.n2, 0) AS n2,
+               COALESCE(g3.n3, 0) AS n3, COALESCE(g3.d3, 0) AS d3
+        FROM tok
+        LEFT JOIN words ON words.doc_id = tok.doc_id
+        LEFT JOIN g2 ON g2.doc_id = tok.doc_id
+        LEFT JOIN g3 ON g3.doc_id = tok.doc_id
     )
     SELECT doc_id, n_chars, n_tokens,
            {_sql_ratio("n_alpha", "n_chars")} AS alpha_ratio,
            {_sql_ratio("n_digit", "n_chars")} AS digit_ratio,
            {_sql_ratio("n_stop", "n_tokens")} AS stopword_ratio,
+           {_sql_ratio("max_word", "n_tokens")} AS max_word_frac,
+           {_sql_ratio("top2", "n2")} AS top_bigram_frac,
+           {_sql_ratio("n3 - d3", "n3")} AS dup_trigram_frac,
            -- integer-exact score: scaled weights + integer division, so no
            -- engine-dependent float rounding (midpoint hazard) can occur
            CASE WHEN n_chars * n_tokens = 0 THEN 0.0
@@ -229,16 +197,66 @@ def _ratio(num: Column, den: Column) -> Column:
 def q81_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document quality scoring from exact character/token counts:
     alpha/digit ratios, stopword ratio, length gate — combined into a
-    [0,1] score (the classic Gopher/C4-style filter-feature family)."""
+    [0,1] score (the classic Gopher/C4-style filter-feature family) —
+    plus, since r9, the Gopher REPETITION filter features: most-frequent
+    word / n_tokens, most-frequent word-2-gram / n_2grams, and the
+    duplicate-3-gram fraction.
+
+    The repetition counts are MAP-ONLY at any corpus size: array_sort +
+    a run-length aggregate lambda (_max_run) gives the per-doc mode count
+    with zero shuffle, instead of Gopher's explode+groupBy.  The n-gram
+    arrays are built once per row behind an explode(array(...)) barrier —
+    without it CollapseProject inlines the tokenize expression into every
+    reference and the split re-runs per reference (and per ELEMENT if a
+    lambda body names the column; measured 4× q80's entire runtime when
+    these features were first prototyped there)."""
     docs = load_table(spark, sf_dir, "documents")
-    return quality_scores(docs).orderBy("doc_id")
+    # Sort the NARROW input, then compute map-side: orderBy placed after
+    # the feature projection makes the range-partitioner's sampling pass
+    # execute the whole feature plan a second time (measured 0.72 s →
+    # 1.87 s).  Row order survives the narrow projections, so the output
+    # contract (ordered by doc_id) is unchanged.
+    return quality_scores(docs.select("doc_id", "text").orderBy("doc_id"))
 
 
 def quality_scores(docs: DataFrame) -> DataFrame:
-    """(doc_id, counts, ratios, quality) for any documents frame — the
-    reusable core of q81 (also the gate stage of
+    """(doc_id, counts, ratios, repetition fractions, quality) for any
+    documents frame — the reusable core of q81 (also the gate stage of
     functions/pipeline.curate_corpus)."""
-    staged0 = docs.select("doc_id", "text", tokens_col().alias("toks"))
+    # Generate (explode of a 1-element array) is a CollapseProject
+    # barrier: the token array AND its xxhash64 fingerprint array are
+    # materialized once per row, so the dozen references below read
+    # attributes instead of re-running the split (measured 4× blowup
+    # without the barrier).  All mode counting runs over the LONG
+    # fingerprints (see _max_run); the strings are kept only for the
+    # stopword filter.
+    staged0 = docs.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.array(
+                F.struct(
+                    tokens_col().alias("toks"),
+                    F.transform(tokens_col(), lambda t: F.xxhash64(t)).alias("th"),
+                )
+            )
+        ).alias("tk"),
+    ).select("doc_id", "text", F.col("tk.toks").alias("toks"), F.col("tk.th").alias("th"))
+    # hashed adjacent n-grams: zip_with over shifted slices (lambdas touch
+    # only lambda vars — an outer column named in a lambda body would be
+    # re-evaluated per element after CollapseProject inlining)
+    g2h = F.expr(
+        "zip_with(slice(th, 1, greatest(size(th) - 1, 0)),"
+        "         slice(th, 2, greatest(size(th) - 1, 0)),"
+        "         (a, b) -> xxhash64(a, b))"
+    )
+    g3h = F.expr(
+        "zip_with(zip_with(slice(th, 1, greatest(size(th) - 2, 0)),"
+        "                  slice(th, 2, greatest(size(th) - 2, 0)),"
+        "                  (a, b) -> xxhash64(a, b)),"
+        "         slice(th, 3, greatest(size(th) - 2, 0)),"
+        "         (ab, c) -> xxhash64(ab, c))"
+    )
     feats = staged0.select(
         "doc_id",
         F.length("text").cast("bigint").alias("n_chars"),
@@ -246,10 +264,18 @@ def quality_scores(docs: DataFrame) -> DataFrame:
         F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).cast("bigint").alias("n_alpha"),
         F.length(F.regexp_replace("text", "[^0-9]", "")).cast("bigint").alias("n_digit"),
         F.size(F.filter("toks", lambda x: x.isin(*ALL_STOPWORDS))).cast("bigint").alias("n_stop"),
+        _max_run(F.array_sort("th")).cast("bigint").alias("max_word"),
+        _max_run(F.array_sort(g2h)).cast("bigint").alias("top2"),
+        F.size(g2h).cast("bigint").alias("n2"),
+        F.size(g3h).cast("bigint").alias("n3"),
+        F.size(F.array_distinct(g3h)).cast("bigint").alias("d3"),
     )
     alpha_r = _ratio(F.col("n_alpha"), F.col("n_chars"))
     digit_r = _ratio(F.col("n_digit"), F.col("n_chars"))
     stop_r = _ratio(F.col("n_stop"), F.col("n_tokens"))
+    max_word_r = _ratio(F.col("max_word"), F.col("n_tokens"))
+    top2_r = _ratio(F.col("top2"), F.col("n2"))
+    dup3_r = _ratio(F.col("n3") - F.col("d3"), F.col("n3"))
     # Integer-exact quality (see oracle comment): scaled weights, integer
     # division (`div`) — immune to cross-engine float-rounding midpoints.
     staged = feats.withColumn(
@@ -270,6 +296,9 @@ def quality_scores(docs: DataFrame) -> DataFrame:
         alpha_r.alias("alpha_ratio"),
         digit_r.alias("digit_ratio"),
         stop_r.alias("stopword_ratio"),
+        max_word_r.alias("max_word_frac"),
+        top2_r.alias("top_bigram_frac"),
+        dup3_r.alias("dup_trigram_frac"),
         quality.alias("quality"),
     )
 
@@ -304,7 +333,12 @@ def q82_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic: per-language stopword hit counts, argmax with
     a fixed priority order (en > es > de > fr), 'und' when nothing hits."""
     docs = load_table(spark, sf_dir, "documents")
-    staged = docs.select("doc_id", "lang", tokens_col().alias("toks"))
+    # pre-sorted narrow input (see q81's note on the double-execute sort)
+    staged = (
+        docs.select("doc_id", "lang", "text")
+        .orderBy("doc_id")
+        .select("doc_id", "lang", tokens_col().alias("toks"))
+    )
 
     def score(lang: str) -> Column:
         return (
@@ -328,7 +362,7 @@ def q82_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(s_de >= s_fr, "de")
         .otherwise("fr")
     )
-    return scored.withColumn("lang_pred", pred).orderBy("doc_id")
+    return scored.withColumn("lang_pred", pred)
 
 
 @query(
@@ -352,7 +386,8 @@ def q83_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the first 256 chars — computed as a fold over code points with
     F.aggregate, entirely JVM-side.  Identical arithmetic in the oracle via
     list_reduce, so the hashes match bit-for-bit across engines."""
-    docs = load_table(spark, sf_dir, "documents")
+    # pre-sorted narrow input (see q81's note on the double-execute sort)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").orderBy("doc_id")
     chars = F.filter(
         F.split(F.substring("text", 1, FINGERPRINT_PREFIX), ""), lambda c: c != ""
     )
@@ -364,7 +399,7 @@ def q83_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         fp.alias("fingerprint"),
         F.length("text").cast("int").alias("n_chars"),
-    ).orderBy("doc_id")
+    )
 
 
 @query(

@@ -79,3 +79,38 @@ def test_no_false_positives_on_unique_corpus(spark):
         "doc_id long, text string",
     )
     assert duplicate_spans(df, n=8).count() == 0
+
+
+def test_remove_duplicate_spans_keep_first(spark):
+    from emulating_hadoop_with_mpi_spark.functions.dedup import (
+        remove_duplicate_spans,
+    )
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    out = {r.doc_id: r.text for r in remove_duplicate_spans(df, n=N).collect()}
+    # doc 1 holds the globally-first occurrence of every header span →
+    # untouched, original text byte-for-byte
+    assert out[1] == DOCS[0][1]
+    # doc 2's header copy is cut (spans at pos 3..8 cover tokens 3..13)
+    assert out[2] == "zeta eta theta iota kappa"
+    # doc 3 keeps the first occurrence of its repeated phrase, loses the second
+    assert out[3] == "one two three four five six filler"
+    # untouched docs pass through unchanged
+    for d in (4, 5, 6):
+        assert out[d] == DOCS[d - 1][1]
+
+
+def test_remove_duplicate_spans_cut_all(spark):
+    from emulating_hadoop_with_mpi_spark.functions.dedup import (
+        remove_duplicate_spans,
+    )
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    out = {
+        r.doc_id: r.text
+        for r in remove_duplicate_spans(df, n=N, keep_first=False).collect()
+    }
+    # every occurrence cut: both header copies vanish, doc 3 keeps only filler
+    assert out[1] == "alpha beta gamma delta epsilon"
+    assert out[2] == "zeta eta theta iota kappa"
+    assert out[3] == "filler"

@@ -1,4 +1,4 @@
-"""q80's repetition features (round 9) cross-checked against a pure-Python
+"""q81's repetition features (round 9) cross-checked against a pure-Python
 re-computation — independent of both Spark's aggregate-lambda run-length
 trick and the DuckDB oracle's GROUP BY re-derivation (which
 test_oracle_parity already compares).  Edge cases the sf corpus never
@@ -11,7 +11,7 @@ from collections import Counter
 
 import pytest
 
-from emulating_hadoop_with_mpi_spark.functions.text import token_stats
+from emulating_hadoop_with_mpi_spark.functions.text import quality_scores
 
 DOCS = [
     (1, "en", "a b a b a b c"),          # heavy bigram repetition
@@ -34,7 +34,6 @@ def _expected(text: str) -> dict:
 
     return {
         "n_tokens": len(toks),
-        "n_uniq_tokens": len(set(toks)),
         "max_word_frac": frac(max(Counter(toks).values(), default=0), len(toks)),
         "top_bigram_frac": frac(max(Counter(g2).values(), default=0), len(g2)),
         "dup_trigram_frac": frac(len(g3) - len(set(g3)), len(g3)),
@@ -43,7 +42,7 @@ def _expected(text: str) -> dict:
 
 def test_repetition_features_match_python(spark):
     df = spark.createDataFrame(DOCS, "doc_id long, lang string, text string")
-    rows = {r.doc_id: r for r in token_stats(df).collect()}
+    rows = {r.doc_id: r for r in quality_scores(df).collect()}
     assert set(rows) == {d[0] for d in DOCS}
     for doc_id, _, text in DOCS:
         exp = _expected(text)
@@ -55,11 +54,21 @@ def test_repetition_features_match_python(spark):
 
 
 def test_repetition_features_are_shuffle_free(spark):
-    """The scale claim itself: the whole token_stats plan must contain no
-    Exchange — every feature (including the most-frequent-n-gram counts)
-    is a per-row expression."""
+    """The scale claim itself: the whole quality_scores plan must contain
+    no Exchange — every feature (including the most-frequent-n-gram
+    counts) is a per-row expression behind the Generate barrier."""
     from emulating_hadoop_with_mpi_spark.plans.inspect import executed_plan
 
     df = spark.createDataFrame(DOCS, "doc_id long, lang string, text string")
-    plan = executed_plan(token_stats(df))
+    plan = executed_plan(quality_scores(df))
     assert "Exchange" not in plan, plan
+
+
+def test_tokenize_runs_bounded_per_row(spark):
+    """The explode(array(...)) barrier must survive optimization: at most
+    two splits of the text column in the optimized plan (one for the
+    string tokens, one feeding the fingerprint array) — CollapseProject
+    inlining the split per REFERENCE was a measured 4× blowup."""
+    df = spark.createDataFrame(DOCS, "doc_id long, lang string, text string")
+    optimized = quality_scores(df)._jdf.queryExecution().optimizedPlan().toString()
+    assert optimized.count("split(") <= 2, optimized
