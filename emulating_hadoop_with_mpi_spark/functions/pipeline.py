@@ -127,6 +127,7 @@ def curate_corpus(
     chunk_id_factor: int = CHUNK_ID_FACTOR,
     benchmark: DataFrame | None = None,
     decon_ngram: int = DECON_NGRAM,
+    cut_span_ngram: int | None = None,
 ) -> DataFrame:
     """Chunk-level curated table: (doc_id, chunk_idx, chunk_id, split,
     n_tokens, bin_id, bin_fill, chunk_text).
@@ -139,6 +140,10 @@ def curate_corpus(
       silently merge them — map-side partial aggregation still collapses
       the duplicate copies before the shuffle, and within each hash bucket
       the text itself disambiguates;
+    - optional span cutting (``cut_span_ngram``): corpus-duplicated
+      n-token spans are cut keep-first AFTER exact dedup
+      (functions/dedup.remove_duplicate_spans) — shared boilerplate
+      survives exactly once corpus-wide;
     - split: hashed on the ORIGINAL doc_id, so every chunk of a document
       (and every exact duplicate, post-dedup trivially) lands in the same
       split — the train/test-leakage guard a row-level random split lacks;
@@ -170,6 +175,24 @@ def curate_corpus(
     uniq = hashed.join(
         winners.select("__h", "doc_id"), ["__h", "doc_id"], "left_semi"
     ).drop("__h")
+
+    # optional substring-level dedup (round 9): cut corpus-duplicated
+    # cut_span_ngram-token spans (keep-first) AFTER doc-level dedup — the
+    # exact-dup copies are gone, so only genuine cross-document
+    # boilerplate (license headers, navigation chrome) is cut, and each
+    # surviving doc keeps one copy corpus-wide (Lee et al. treatment).
+    if cut_span_ngram is not None:
+        from emulating_hadoop_with_mpi_spark.functions.dedup import (
+            remove_duplicate_spans,
+        )
+
+        other_cols = [c for c in uniq.columns if c not in ("doc_id", "text")]
+        cut = remove_duplicate_spans(
+            uniq.select("doc_id", "text"), n=cut_span_ngram
+        )
+        uniq = (
+            uniq.drop("text").join(cut, "doc_id") if other_cols else cut
+        )
 
     chunks = chunk_documents(uniq, window=window, stride=stride).withColumn(
         "split", split_column("doc_id", splits, salt=salt)

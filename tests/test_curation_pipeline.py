@@ -270,3 +270,42 @@ def test_decontaminate_large_benchmark_does_not_broadcast(spark, sf_dir):
         assert sorted(map(tuple, part.collect())) == small
     finally:
         pl.DECON_BROADCAST_BYTES = orig
+
+
+def test_curate_corpus_span_cut_stage(spark):
+    """cut_span_ngram= wires remove_duplicate_spans between exact dedup
+    and chunking: shared boilerplate survives exactly once corpus-wide,
+    and docs without duplicated spans pass through with identical chunk
+    text."""
+    header = "this software is provided as is without warranty of any kind"
+    docs = spark.createDataFrame(
+        [
+            (1, header + " alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (2, "one two three four five six seven eight nine ten " + header),
+            (3, "completely unrelated text with no repeated windows anywhere at all ok"),
+        ],
+        "doc_id long, text string",
+    )
+    plain = curate_corpus(docs, min_quality=0.0, window=8, stride=8, budget=16)
+    cut = curate_corpus(
+        docs, min_quality=0.0, window=8, stride=8, budget=16, cut_span_ngram=6
+    )
+    joined_plain = " ".join(
+        r.chunk_text for r in plain.filter("doc_id = 2").orderBy("chunk_idx").collect()
+    )
+    joined_cut = " ".join(
+        r.chunk_text for r in cut.filter("doc_id = 2").orderBy("chunk_idx").collect()
+    )
+    assert header in joined_plain
+    assert header not in joined_cut, joined_cut  # doc 2's copy was cut
+    # doc 1 held the first occurrence: its header survives
+    doc1 = " ".join(
+        r.chunk_text for r in cut.filter("doc_id = 1").orderBy("chunk_idx").collect()
+    )
+    assert header in doc1
+    # untouched doc identical across both runs
+    for df in (plain, cut):
+        assert df.filter("doc_id = 3").count() > 0
+    t3p = [r.chunk_text for r in plain.filter("doc_id = 3").orderBy("chunk_idx").collect()]
+    t3c = [r.chunk_text for r in cut.filter("doc_id = 3").orderBy("chunk_idx").collect()]
+    assert t3p == t3c
