@@ -121,7 +121,11 @@ def cmd_pipeline(args: argparse.Namespace) -> int:
             else spark.read.parquet(args.benchmark).select("text")
         )
     curated = curate_corpus(
-        docs, min_quality=args.min_quality, budget=args.budget, benchmark=benchmark
+        docs,
+        min_quality=args.min_quality,
+        budget=args.budget,
+        benchmark=benchmark,
+        cut_span_ngram=args.cut_span_ngram,
     ).cache()
     write_curated_shards(curated, args.out, bins_per_shard=args.bins_per_shard)
     summary = {
@@ -176,6 +180,13 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="eval-set path (.txt lines or parquet with a text column); "
         "docs sharing token n-grams with it are decontaminated out",
+    )
+    pl.add_argument(
+        "--cut-span-ngram",
+        type=int,
+        default=None,
+        help="cut corpus-duplicated n-token spans (keep-first) after exact "
+        "dedup — substring-level boilerplate removal",
     )
     pl.set_defaults(fn=cmd_pipeline)
 
