@@ -1167,7 +1167,11 @@ def duplicate_spans(
        applies map-side.
 
     The survivors join back candidate-bounded (the duplicated-hash set is
-    tiny next to the corpus), same discipline as the MinHash verify.
+    tiny next to the corpus), same discipline as the MinHash verify; both
+    join sides come from shuffles, so AQE picks the physical strategy
+    from the REAL materialized sizes at runtime — a boilerplate-heavy
+    corpus with a huge duplicated-hash set degrades to a sort-merge join
+    instead of a broadcast OOM (no stats-blind dispatch needed here).
     64-bit fingerprints stand in for the token sequence; at ~1e12 spans
     the birthday collision mass is ~0.03 per corpus — callers needing
     exactness re-verify survivor spans textually (they are few)."""

@@ -260,3 +260,70 @@ def write_curated_shards(
         .partitionBy("split", "shard")
         .parquet(path)
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (round 9): the standard pre-training scrub pass — mask
+# directly-identifying spans in place, keep the document.  Pure JVM
+# regexp_replace chain: map-only, zero shuffle, linear scan at any
+# corpus size.  Patterns are deliberately conservative (high precision):
+# a curation pipeline drops borderline docs via quality gates; the
+# redactor's job is to never leave an obvious identifier behind while
+# not mangling ordinary prose.
+# ---------------------------------------------------------------------------
+
+# order matters: longer/stricter patterns first so e.g. an email is
+# masked before the bare-domain pattern could split it
+PII_PATTERNS: list[tuple[str, str]] = [
+    # emails: local@domain.tld
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    # IPv4, all four octets 0-255; lookarounds exclude dotted sequences
+    # with more segments (version strings like 1.2.3.4.5) that a plain
+    # \b would let through (the dot is a non-word char)
+    (
+        r"(?<![\w.])(?:(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])\.){3}"
+        r"(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])(?![\w.])",
+        "<IP>",
+    ),
+    # credit-card-shaped: 13-16 digits with optional space/dash groups
+    (r"\b(?:\d[ -]?){12,15}\d\b", "<CARD>"),
+    # US-style SSN: 3-2-4 with dashes (dashed form only — high precision)
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    # phone numbers: optional +country, separators, 7-12 digits total,
+    # anchored on punctuation grouping so plain integers never match
+    (r"(?<!\w)\+?\d{1,3}[ .-]\(?\d{2,4}\)?[ .-]\d{3,4}[ .-]\d{2,4}(?!\w)", "<PHONE>"),
+]
+
+
+def redact_pii(
+    docs: DataFrame, text_col: str = "text", patterns=None
+) -> DataFrame:
+    """Same schema as ``docs`` with ``text_col`` rewritten: every span
+    matching a PII pattern replaced by its type tag (<EMAIL>, <IP>,
+    <CARD>, <SSN>, <PHONE>).  One chained regexp_replace expression —
+    a single projection, whole-stage-codegen'd, no shuffle."""
+    col = F.col(text_col)
+    for pat, tag in patterns or PII_PATTERNS:
+        col = F.regexp_replace(col, pat, tag)
+    return docs.withColumn(text_col, col)
+
+
+def pii_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_email, n_ip, n_card, n_ssn, n_phone): per-doc PII hit
+    counts BEFORE redaction — the audit/reporting side of redact_pii
+    (gate on it, sample flagged docs, or track scrub coverage over
+    time).  Counts apply the same masking order as the redactor, so a
+    span counted as one type is not double-counted by a later pattern."""
+    tags = {"<EMAIL>": "n_email", "<IP>": "n_ip", "<CARD>": "n_card",
+            "<SSN>": "n_ssn", "<PHONE>": "n_phone"}
+    # each count runs on the text as already masked by the PREVIOUS
+    # patterns (same sequential order as redact_pii), so a span counted
+    # as one type is never recounted by a later pattern
+    out_cols = []
+    cur = F.col(text_col)
+    for pat, tag in PII_PATTERNS:
+        out_cols.append(
+            F.size(F.regexp_extract_all(cur, F.lit(pat), 0)).alias(tags[tag])
+        )
+        cur = F.regexp_replace(cur, pat, tag)
+    return docs.select("doc_id", *out_cols)
