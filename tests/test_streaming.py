@@ -332,3 +332,36 @@ def test_incremental_minhash_first_appearance_wins(spark, tmp_path):
     )
     assert cands == exp_cands
     assert (1, 3) in cands
+
+
+def test_stateless_curation_ops_compose_with_streams(spark, sf_dir, tmp_path):
+    """The curation projections (PII redaction, quality/repetition
+    scoring) are stateless map-only plans, so they lift onto Structured
+    Streaming unchanged: a parquet file stream through redact_pii +
+    quality_scores yields exactly the batch result."""
+    import shutil
+
+    from emulating_hadoop_with_mpi_spark.functions.pipeline import redact_pii
+    from emulating_hadoop_with_mpi_spark.functions.text import quality_scores
+    from emulating_hadoop_with_mpi_spark.sources.tables import load_table
+    from emulating_hadoop_with_mpi_spark.streaming.events import run_to_memory
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = str(tmp_path / "docs_stream")
+    docs.limit(50).write.parquet(src)
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    batch_docs = spark.read.schema("doc_id long, text string").parquet(src)
+
+    got_redact = {
+        r.doc_id: r.text
+        for r in run_to_memory(redact_pii(stream), "pii_stream_out").collect()
+    }
+    want_redact = {r.doc_id: r.text for r in redact_pii(batch_docs).collect()}
+    assert got_redact == want_redact
+
+    got_q = sorted(
+        map(tuple, run_to_memory(quality_scores(stream), "q_stream_out").collect())
+    )
+    want_q = sorted(map(tuple, quality_scores(batch_docs).collect()))
+    assert got_q == want_q
