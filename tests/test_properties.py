@@ -267,3 +267,42 @@ def test_connected_components_equals_union_find(spark, edges):
     df = spark.createDataFrame(sym, "src long, dst long")
     got = {r["node"]: r["lab"] for r in connected_components(df).collect()}
     assert got == want
+
+
+# --- duplicate-span detection vs a pure-Python sliding-window oracle ------
+
+_span_words = st.sampled_from(["aa", "bb", "cc", "dd"])  # tiny vocab → collisions
+_span_doc = st.lists(_span_words, min_size=0, max_size=12).map(" ".join)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    texts=st.lists(_span_doc, min_size=1, max_size=8),
+    n=st.integers(min_value=2, max_value=4),
+)
+def test_duplicate_spans_any_corpus(spark, texts, n):
+    """duplicate_spans == the brute-force sliding-window count for
+    arbitrary corpora over a tiny vocabulary (dense hash collisions in
+    the BUCKET sense — many genuinely repeated spans, within and across
+    docs, including the all-identical-tokens degenerate case)."""
+    from collections import Counter
+
+    from emulating_hadoop_with_mpi_spark.functions.dedup import duplicate_spans
+
+    docs = list(enumerate(texts))
+    expected_spans = []
+    for doc_id, text in docs:
+        toks = text.lower().split()
+        for pos in range(len(toks) - n + 1):
+            expected_spans.append((doc_id, pos, " ".join(toks[pos : pos + n])))
+    counts = Counter(s for _, _, s in expected_spans)
+    expected = {
+        (d, p): counts[s] for d, p, s in expected_spans if counts[s] >= 2
+    }
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.pos): r.span_count
+        for r in duplicate_spans(df, n=n).collect()
+    }
+    assert got == expected
