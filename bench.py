@@ -276,10 +276,23 @@ def main() -> None:
     run_entry("simhash120_neardup", lambda: simhash120_neardup_pairs(sf_docs), extras)
 
     # cross-document duplicated-span detection (round 9): substring-level
-    # dedup — two exchanges of the token stream (see duplicate_spans).
-    from emulating_hadoop_with_mpi_spark.functions.dedup import duplicate_spans
+    # dedup — two exchanges of the token stream (see duplicate_spans) —
+    # plus its remediation (keep-first span cutting) and the PII scrub
+    # pass (map-only regexp chain), so the curation additions stay
+    # measured per-round.
+    from emulating_hadoop_with_mpi_spark.functions.dedup import (
+        duplicate_spans,
+        remove_duplicate_spans,
+    )
+    from emulating_hadoop_with_mpi_spark.functions.pipeline import redact_pii
 
     run_entry("duplicate_spans_n10", lambda: duplicate_spans(sf_docs, n=10), extras)
+    run_entry(
+        "remove_duplicate_spans_n10",
+        lambda: remove_duplicate_spans(sf_docs.select("doc_id", "text"), n=10),
+        extras,
+    )
+    run_entry("redact_pii", lambda: redact_pii(sf_docs), extras)
 
     # q75b: bucketed embedding near-dup over the full embeddings table
     # (the dedup-family scale path on the vector side, round 8).
