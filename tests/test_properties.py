@@ -306,3 +306,51 @@ def test_duplicate_spans_any_corpus(spark, texts, n):
         for r in duplicate_spans(df, n=n).collect()
     }
     assert got == expected
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    texts=st.lists(_span_doc, min_size=1, max_size=6),
+    n=st.integers(min_value=2, max_value=3),
+)
+def test_remove_duplicate_spans_any_corpus(spark, texts, n):
+    """Cut semantics for arbitrary corpora: token i of doc d survives iff
+    no flagged span (duplicated corpus-wide, not the globally-first
+    occurrence of its hash) covers it — re-derived in pure Python."""
+    from collections import Counter
+
+    from emulating_hadoop_with_mpi_spark.functions.dedup import (
+        remove_duplicate_spans,
+    )
+
+    docs = list(enumerate(texts))
+    spans = []
+    for doc_id, text in docs:
+        toks = text.lower().split()
+        for pos in range(len(toks) - n + 1):
+            spans.append((doc_id, pos, " ".join(toks[pos : pos + n])))
+    counts = Counter(s for _, _, s in spans)
+    dup = [(d, p, s) for d, p, s in spans if counts[s] >= 2]
+    first = {}
+    for d, p, s in sorted(dup):
+        first.setdefault(s, (d, p))
+    cut_starts = {}
+    for d, p, s in dup:
+        if first[s] != (d, p):
+            cut_starts.setdefault(d, set()).add(p)
+    expected = {}
+    for doc_id, text in docs:
+        toks = text.split()  # case-preserving reconstruction
+        starts = cut_starts.get(doc_id)
+        if not starts:
+            expected[doc_id] = text
+        else:
+            kept = [
+                t for i, t in enumerate(toks)
+                if not any(p <= i < p + n for p in starts)
+            ]
+            expected[doc_id] = " ".join(kept)
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r.text for r in remove_duplicate_spans(df, n=n).collect()}
+    assert got == expected
