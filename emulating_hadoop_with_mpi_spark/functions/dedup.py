@@ -95,24 +95,60 @@ def _norm_text() -> Column:
     return F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "))
 
 
+# Registered parameters of the span-dedup section of q70 (the round-9
+# Lee-et-al substring-dedup family, folded onto the driver-checked
+# surface in round 10 per the r9 verdict): 20-token windows, flagged
+# when the exact token sequence occurs >= 2 times corpus-wide.
+SPAN_N = 20
+SPAN_MIN_COUNT = 2
+
+
 @query(
     "q70_dedup_exact",
     oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+    sp AS (
+        SELECT doc_id,
+               array_to_string(t[CAST(pos AS INT):CAST(pos + {SPAN_N - 1} AS INT)], ' ') AS span
+        FROM toks, range(1, 65536) r(pos)
+        WHERE pos <= len(t) - {SPAN_N - 1}
+    ),
+    dup AS (
+        SELECT span, COUNT(*) AS cnt FROM sp
+        GROUP BY span HAVING COUNT(*) >= {SPAN_MIN_COUNT}
+    ),
+    perdoc AS (
+        SELECT sp.doc_id, COUNT(*) AS n_dup_spans, MAX(dup.cnt) AS max_span_count
+        FROM sp JOIN dup USING (span) GROUP BY sp.doc_id
+    )
     SELECT method, keeper_doc_id, n_copies FROM (
         SELECT 'exact' AS method, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
         FROM documents GROUP BY text
         UNION ALL
         SELECT 'normalized' AS method, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
         FROM (SELECT doc_id, {_SQL_NORM} AS norm FROM documents) GROUP BY norm
+        UNION ALL
+        SELECT 'span_ndup' AS method, doc_id AS keeper_doc_id, n_dup_spans AS n_copies
+        FROM perdoc
+        UNION ALL
+        SELECT 'span_max' AS method, doc_id AS keeper_doc_id, max_span_count AS n_copies
+        FROM perdoc
     ) ORDER BY method, keeper_doc_id
     """,
 )
 def q70_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact + normalized dedup in one result, tagged by `method`.
+    """Exact + normalized + span-level dedup in one result, tagged by `method`.
 
     - exact: group identical texts, keep the lowest doc_id.
     - normalized: casefold, strip punctuation, collapse whitespace, then
       hash-group — catches trivially-edited copies.
+    - span_ndup / span_max: the round-9 substring-dedup family
+      (``flag_span_duplicated_docs``, Lee-et-al-style): per document
+      containing at least one corpus-duplicated SPAN_N-token window, the
+      number of flagged window positions (span_ndup) and the largest
+      corpus-wide occurrence count among them (span_max).  One pipeline
+      pass serves both sections (stack() splits the per-doc aggregate
+      into two tagged rows — no second token-stream scan).
 
     Both branches GROUP BY a 64-bit xxhash64 digest of the (normalized)
     text, not the text itself: the shuffle carries 8-byte keys instead of
@@ -137,7 +173,20 @@ def q70_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
         .select(F.lit("normalized").alias("method"), "keeper_doc_id", "n_copies")
     )
-    return exact.unionByName(normalized).orderBy("method", "keeper_doc_id")
+    span = (
+        flag_span_duplicated_docs(docs, n=SPAN_N, min_count=SPAN_MIN_COUNT)
+        .selectExpr(
+            "doc_id AS keeper_doc_id",
+            "stack(2, 'span_ndup', n_dup_spans, 'span_max', max_span_count)"
+            " AS (method, n_copies)",
+        )
+        .select("method", "keeper_doc_id", "n_copies")
+    )
+    return (
+        exact.unionByName(normalized)
+        .unionByName(span)
+        .orderBy("method", "keeper_doc_id")
+    )
 
 
 def shingles_df(docs: DataFrame, n: int = 3) -> DataFrame:
