@@ -800,3 +800,19 @@ def test_semantic_neardup_tau_is_honored(spark, sf_dir):
     strict = {(r["vec_a"], r["vec_b"]) for r in strict_rows}
     assert strict <= set(loose)
     assert all(r["cosine"] >= 0.9 for r in strict_rows)
+
+
+def test_q74_sim64_size_gate(spark, sf_dir, monkeypatch):
+    """Above SIM64_MAX_DOCS the registered q74 must degrade gracefully:
+    the sim64 section comes back EMPTY (its 13-bit buckets are quadratic
+    at that scale — boundary derivation at the constant) while sim120
+    still carries the full result.  Simulated by lowering the boundary
+    below the fixture corpus size; the gate itself must warn."""
+    from emulating_hadoop_with_mpi_spark.functions import dedup
+
+    monkeypatch.setattr(dedup, "SIM64_MAX_DOCS", 3)
+    with pytest.warns(RuntimeWarning, match="sim64 section is empty"):
+        rows = q74_simhash_neardup(spark, sf_dir).collect()
+    assert not [r for r in rows if r.method == "sim64"]
+    sim120 = {(r.doc_a, r.doc_b) for r in rows if r.method == "sim120"}
+    assert sim120, "sim120 must survive the sim64 size gate"
