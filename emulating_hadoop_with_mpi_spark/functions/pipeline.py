@@ -20,6 +20,9 @@ from pyspark.sql import functions as F
 
 from emulating_hadoop_with_mpi_spark.functions.sampling import split_column
 from emulating_hadoop_with_mpi_spark.functions.text import (
+    PII_CARD_RE,
+    PII_EMAIL_RE,
+    PII_SSN_RE,
     chunk_documents,
     pack_sequences,
     quality_scores,
@@ -275,8 +278,9 @@ def write_curated_shards(
 # order matters: longer/stricter patterns first so e.g. an email is
 # masked before the bare-domain pattern could split it
 PII_PATTERNS: list[tuple[str, str]] = [
-    # emails: local@domain.tld
-    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    # emails: local@domain.tld (constant shared with q80's oracle —
+    # defined in functions.text to avoid an import cycle)
+    (PII_EMAIL_RE, "<EMAIL>"),
     # IPv4, all four octets 0-255; lookarounds exclude dotted sequences
     # with more segments (version strings like 1.2.3.4.5) that a plain
     # \b would let through (the dot is a non-word char)
@@ -285,10 +289,18 @@ PII_PATTERNS: list[tuple[str, str]] = [
         r"(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])(?![\w.])",
         "<IP>",
     ),
-    # credit-card-shaped: 13-16 digits with optional space/dash groups
-    (r"\b(?:\d[ -]?){12,15}\d\b", "<CARD>"),
+    # credit-card-shaped (ADVICE r9: the old (?:\d[ -]?){12,15}\d form
+    # masked ANY bare 13-16-digit integer — microsecond epochs, order
+    # ids, hashes in prose).  High-precision form: separator-grouped
+    # 4-4-4-n / amex 4-6-5 layouts, OR a bare 13-16-digit run only when
+    # it starts with a real IIN major-industry digit (3=travel/amex,
+    # 4=visa, 5=mastercard, 6=discover) — a full Luhn check needs a UDF,
+    # which would put a Python hop in a map-only JVM pipeline; the IIN
+    # anchor keeps epoch timestamps (1...) and bare hashes out while
+    # every realistically-formatted card number still matches.
+    (PII_CARD_RE, "<CARD>"),
     # US-style SSN: 3-2-4 with dashes (dashed form only — high precision)
-    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    (PII_SSN_RE, "<SSN>"),
     # phone numbers: optional +country, separators, 7-12 digits total,
     # anchored on punctuation grouping so plain integers never match
     (r"(?<!\w)\+?\d{1,3}[ .-]\(?\d{2,4}\)?[ .-]\d{3,4}[ .-]\d{2,4}(?!\w)", "<PHONE>"),
@@ -308,22 +320,43 @@ def redact_pii(
     return docs.withColumn(text_col, col)
 
 
-def pii_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+# The RE2-expressible subset of PII_PATTERNS (email / card / SSN carry
+# no lookarounds), in the full chain's relative order.  This is the
+# slice the driver's DuckDB oracle can hash-check (q80's pii section);
+# the IPv4/phone patterns use (?<!...) lookarounds, which RE2 lacks, so
+# they stay property-test-checked only (tests/test_pii_redaction.py).
+PII_PATTERNS_RE2: list[tuple[str, str]] = [
+    p for p in PII_PATTERNS if p[1] in ("<EMAIL>", "<CARD>", "<SSN>")
+]
+
+_PII_TAG_COLS = {"<EMAIL>": "n_email", "<IP>": "n_ip", "<CARD>": "n_card",
+                 "<SSN>": "n_ssn", "<PHONE>": "n_phone"}
+
+
+def pii_count_cols(text_col: str = "text", patterns=None) -> list:
+    """The count Columns of the sequential-masking audit chain — exposed
+    separately from ``pii_counts`` so a host query (q80) can embed the
+    counts in an existing projection instead of paying a join.  Each
+    count runs on the text as already masked by the PREVIOUS patterns
+    (same sequential order as redact_pii), so a span counted as one type
+    is never recounted by a later pattern."""
+    out_cols = []
+    cur = F.col(text_col)
+    for pat, tag in patterns or PII_PATTERNS:
+        out_cols.append(
+            F.size(F.regexp_extract_all(cur, F.lit(pat), 0)).alias(_PII_TAG_COLS[tag])
+        )
+        cur = F.regexp_replace(cur, pat, tag)
+    return out_cols
+
+
+def pii_counts(
+    docs: DataFrame, text_col: str = "text", patterns=None
+) -> DataFrame:
     """(doc_id, n_email, n_ip, n_card, n_ssn, n_phone): per-doc PII hit
     counts BEFORE redaction — the audit/reporting side of redact_pii
     (gate on it, sample flagged docs, or track scrub coverage over
-    time).  Counts apply the same masking order as the redactor, so a
-    span counted as one type is not double-counted by a later pattern."""
-    tags = {"<EMAIL>": "n_email", "<IP>": "n_ip", "<CARD>": "n_card",
-            "<SSN>": "n_ssn", "<PHONE>": "n_phone"}
-    # each count runs on the text as already masked by the PREVIOUS
-    # patterns (same sequential order as redact_pii), so a span counted
-    # as one type is never recounted by a later pattern
-    out_cols = []
-    cur = F.col(text_col)
-    for pat, tag in PII_PATTERNS:
-        out_cols.append(
-            F.size(F.regexp_extract_all(cur, F.lit(pat), 0)).alias(tags[tag])
-        )
-        cur = F.regexp_replace(cur, pat, tag)
-    return docs.select("doc_id", *out_cols)
+    time).  ``patterns`` restricts the chain (e.g. PII_PATTERNS_RE2 for
+    the oracle-checkable subset); output columns follow the given
+    chain."""
+    return docs.select("doc_id", *pii_count_cols(text_col, patterns))

@@ -31,6 +31,36 @@ ALL_STOPWORDS = tuple(sorted({w for ws in STOPWORDS.values() for w in ws}))
 # A BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation marks.
 BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
+# The RE2-safe PII regexes (no lookarounds — compile identically under
+# Java regex and DuckDB's RE2).  Defined HERE, not in functions.pipeline
+# where the redaction chain lives, because q80's oracle string embeds
+# them at import time and pipeline imports this module (the reverse
+# import would be a cycle); pipeline re-exports them into PII_PATTERNS.
+# The IPv4/phone patterns carry (?<!...) lookarounds RE2 lacks, so they
+# live only in pipeline.py and stay property-test-checked (NOTES r10).
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+# separator-grouped 4-4-4-n / amex 4-6-5, or bare 13-16 digits anchored
+# on a real IIN major-industry digit (3-6) — rationale at PII_PATTERNS
+PII_CARD_RE = (
+    r"\b(?:\d{4}[ -]\d{4}[ -]\d{4}[ -]\d{1,4}"
+    r"|\d{4}[ -]\d{6}[ -]\d{5}"
+    r"|[3-6]\d{12,15})\b"
+)
+PII_SSN_RE = r"\b\d{3}-\d{2}-\d{4}\b"
+
+# Planted PII canary row for q80's audit section: the synthetic corpus
+# contains zero PII-shaped strings (probed r10), so without a planted
+# row the driver's hash check of the pii counts would be vacuously
+# all-zeros.  One literal row — expressible identically in Spark and
+# DuckDB — makes the check pin actual cross-engine pattern semantics:
+# one email, one grouped card, one SSN, and a 16-digit microsecond
+# epoch that must NOT count as a card (the ADVICE r9 precision case).
+PII_CANARY_DOC_ID = -1
+PII_CANARY_TEXT = (
+    "contact jane.doe@example.com card 4111 1111 1111 1111 "
+    "ssn 123-45-6789 ts 1786741210082019 ok"
+)
+
 FINGERPRINT_PREFIX = 256  # chars of text folded into the rolling hash
 FP_MOD = 2147483647
 
@@ -82,13 +112,29 @@ def _max_run(sorted_hashes: Column) -> Column:
 @query(
     "q80_token_stats",
     oracle=f"""
-    WITH tok AS (SELECT doc_id, lang, {_SQL_TOKENS} AS toks, text FROM documents)
+    WITH docs AS (
+        SELECT doc_id, lang, text FROM documents
+        UNION ALL SELECT {PII_CANARY_DOC_ID}, 'xx', '{PII_CANARY_TEXT}'
+    ),
+    tok AS (SELECT doc_id, lang, {_SQL_TOKENS} AS toks, text FROM docs),
+    pii AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS INT) AS n_email,
+               CAST(len(regexp_extract_all(m1, '{PII_CARD_RE}')) AS INT) AS n_card,
+               CAST(len(regexp_extract_all(
+                   regexp_replace(m1, '{PII_CARD_RE}', '<CARD>', 'g'),
+                   '{PII_SSN_RE}')) AS INT) AS n_ssn
+        FROM (SELECT doc_id, text,
+                     regexp_replace(text, '{PII_EMAIL_RE}', '<EMAIL>', 'g') AS m1
+              FROM docs)
+    )
     SELECT doc_id, lang,
            CAST(len(toks) AS INT) AS n_tokens,
            CAST(len(list_distinct(toks)) AS INT) AS n_uniq_tokens,
            CAST(length(text) AS INT) AS n_chars,
-           CAST(len(regexp_extract_all(text, '{BPE_RE}')) AS INT) AS n_bpe_tokens
-    FROM tok
+           CAST(len(regexp_extract_all(text, '{BPE_RE}')) AS INT) AS n_bpe_tokens,
+           n_email, n_card, n_ssn
+    FROM tok JOIN pii USING (doc_id)
     ORDER BY doc_id
     """,
 )
@@ -98,15 +144,40 @@ def q80_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     fractions briefly prototyped here in r9 live in q81, the quality-filter
     family they belong to — and where the per-query time budget absorbs
     them: q80's r1 baseline is 0.52 s and the features cost ~0.6 s
-    materialized.)"""
+    materialized.)
+
+    Since round 10 this also carries the PII audit section (VERDICT r9
+    item 4): per-doc n_email / n_card / n_ssn from pii_counts'
+    sequential-masking chain, restricted to the RE2-expressible patterns
+    so DuckDB can hash-check them (the IPv4/phone patterns need
+    lookarounds RE2 lacks — property-test-only by design).  The counts
+    ride the SAME single projection (no join, still map-only), and a
+    planted literal canary row (doc_id = {PII_CANARY_DOC_ID}) keeps the
+    check non-vacuous on the PII-free synthetic corpus — including the
+    16-digit-epoch-is-not-a-card precision case."""
+    # lazy import: pipeline imports this module at load time (chunking),
+    # so the reverse import must happen at call time
+    from emulating_hadoop_with_mpi_spark.functions.pipeline import (
+        PII_PATTERNS_RE2,
+        pii_count_cols,
+    )
+
     # pre-sorted narrow input (see q81's note: a post-compute orderBy
     # makes the range-sampling pass execute the feature plan twice)
-    docs = load_table(spark, sf_dir, "documents")
-    return token_stats(docs.select("doc_id", "lang", "text").orderBy("doc_id"))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    canary = docs.sparkSession.createDataFrame(
+        [(PII_CANARY_DOC_ID, "xx", PII_CANARY_TEXT)],
+        schema="doc_id bigint, lang string, text string",
+    )
+    staged = docs.unionByName(canary).orderBy("doc_id")
+    return token_stats(
+        staged, extra_cols=pii_count_cols(patterns=PII_PATTERNS_RE2)
+    )
 
 
-def token_stats(docs: DataFrame) -> DataFrame:
-    """q80's body over any (doc_id, lang, text) frame."""
+def token_stats(docs: DataFrame, extra_cols: list | tuple = ()) -> DataFrame:
+    """q80's body over any (doc_id, lang, text) frame; ``extra_cols``
+    are appended to the same single projection (q80's PII section)."""
     # materialize the token array once (tokens_col() per expression would
     # re-split the text; see shingles_df note in dedup.py)
     staged = docs.select("doc_id", "lang", "text", tokens_col().alias("toks"))
@@ -117,6 +188,7 @@ def token_stats(docs: DataFrame) -> DataFrame:
         F.size(F.array_distinct("toks")).cast("int").alias("n_uniq_tokens"),
         F.length("text").cast("int").alias("n_chars"),
         F.size(F.regexp_extract_all("text", F.lit(BPE_RE), 0)).cast("int").alias("n_bpe_tokens"),
+        *extra_cols,
     )
 
 

@@ -18,6 +18,10 @@ DOCS = [
     (5, "call +1 (555) 123-4567 or 020 7946 0958 now"),
     (6, "in 2024 the answer was 42 and pi is 3.14159 at version 1.2.3.4.5"),
     (7, "mixed: a@b.io from 10.0.0.1 re card 4012888888881881"),
+    # ADVICE r9 precision canaries: bare 13-16-digit integers that are
+    # NOT cards (microsecond epoch starting with 1, an order id starting
+    # with 9) must survive; only IIN-anchored (3-6) bare runs may match
+    (8, "ts 1786741210082019 order 9000000000001234 shipped"),
 ]
 
 
@@ -33,11 +37,13 @@ def test_redaction_masks_planted_pii(spark):
 
 
 def test_redaction_leaves_prose_alone(spark):
-    """Plain years, small numbers, and dotted versions must NOT match —
-    precision over recall (doc 6 is the canary)."""
+    """Plain years, small numbers, dotted versions, and bare long
+    integers (epochs, order ids) must NOT match — precision over recall
+    (docs 6 and 8 are the canaries)."""
     df = spark.createDataFrame(DOCS, "doc_id long, text string")
     out = {r.doc_id: r.text for r in redact_pii(df).collect()}
     assert out[6] == DOCS[5][1]
+    assert out[8] == DOCS[7][1]
 
 
 def test_pii_counts_agree_with_redaction(spark):
