@@ -252,7 +252,15 @@ def matmul_auto(
         l, m = int(arow[0]) + 1, max(int(arow[1]), int(brow[0])) + 1
         n = int(brow[1]) + 1
         a_cells, b_cells = int(arow[2]), int(brow[2])
-    if l * m * n > block_threshold_products:
+    # Work estimate from CELL COUNTS, not dense dims (ADVICE r9): the
+    # join formulations' cost is the number of scalar products actually
+    # streamed = Σ_j nnz_A(·,j)·nnz_B(j,·) ≈ a_cells·b_cells/m under a
+    # uniform spread.  For the dense `.dat` path (dims known ⇒ cells =
+    # l·m / m·n) this reduces to exactly l·m·n — the measured-crossover
+    # behavior is unchanged — while a sparse pair with huge dims but few
+    # nonzeros (near-diagonal A, tiny B) correctly stays on the
+    # nnz-proportional joins instead of paying dense block² tile GEMMs.
+    if a_cells * b_cells // max(m, 1) > block_threshold_products:
         return matmul_block(a, b, block=block)
     if b_cells <= broadcast_threshold_cells:
         return matmul_broadcast(a, b)

@@ -162,3 +162,24 @@ def test_generate_matrix_df_deterministic(spark):
     df2 = generate_matrix_df(spark, 5, 5, seed=9).collect()
     assert sorted(df1) == sorted(df2)
     assert all(0 <= r.v < 10 for r in df1)
+
+
+def test_matmul_auto_sparse_skips_block(spark):
+    """The work estimate is nnz-based, not dense-dims-based (ADVICE r9):
+    a near-diagonal pair with huge DIMS but few nonzeros must stay on
+    the nnz-proportional join paths — the dense bound l·m·n (1e15 here)
+    would have mis-routed it to dense block² tile GEMMs."""
+    from emulating_hadoop_with_mpi_spark.mapreduce.matmul import matmul_auto
+    from emulating_hadoop_with_mpi_spark.plans.inspect import executed_plan
+
+    n = 100_000
+    diag = spark.createDataFrame(
+        [(i, i, 2) for i in range(0, n + 1, 50)], "i int, j int, v int"
+    )
+    # dims=None → sizes derived by counting; est = nnz²/m ≈ 0.04 ≪ 1e9
+    c = matmul_auto(diag, diag)
+    plan = executed_plan(c)
+    assert "MapInPandas" not in plan, plan
+    # and the product is still right: (2·diag)² = 4·diag on the sampled grid
+    rows = {(r.i, r.k): r.v for r in c.collect()}
+    assert rows[(0, 0)] == 4 and rows[(50, 50)] == 4 and len(rows) == n // 50 + 1
