@@ -131,6 +131,7 @@ def curate_corpus(
     benchmark: DataFrame | None = None,
     decon_ngram: int = DECON_NGRAM,
     cut_span_ngram: int | None = None,
+    redact: bool = False,
 ) -> DataFrame:
     """Chunk-level curated table: (doc_id, chunk_idx, chunk_id, split,
     n_tokens, bin_id, bin_fill, chunk_text).
@@ -147,6 +148,16 @@ def curate_corpus(
       n-token spans are cut keep-first AFTER exact dedup
       (functions/dedup.remove_duplicate_spans) — shared boilerplate
       survives exactly once corpus-wide;
+    - optional PII redaction (``redact``, round 10): mask identifying
+      spans AFTER all dedup stages and BEFORE chunking.  The order is a
+      semantic pin, not a convenience: dedup and span cutting must see
+      the ORIGINAL text — redaction collapses distinct identifiers onto
+      shared tags (<EMAIL>, <SSN>), so redacting first would make
+      documents that differ only in their PII read as duplicates (and
+      make unrelated docs share artificial "<EMAIL> thanks for ..."
+      spans for the span cutter to remove); redacting before chunking
+      guarantees no identifier straddles into a training shard.  Pinned
+      in tests/test_curation_pipeline.py::test_redaction_runs_after_span_cut;
     - split: hashed on the ORIGINAL doc_id, so every chunk of a document
       (and every exact duplicate, post-dedup trivially) lands in the same
       split — the train/test-leakage guard a row-level random split lacks;
@@ -196,6 +207,11 @@ def curate_corpus(
         uniq = (
             uniq.drop("text").join(cut, "doc_id") if other_cols else cut
         )
+
+    # PII redaction LAST among the text-rewriting stages (order rationale
+    # in the docstring): a map-only projection over the deduped corpus
+    if redact:
+        uniq = redact_pii(uniq)
 
     chunks = chunk_documents(uniq, window=window, stride=stride).withColumn(
         "split", split_column("doc_id", splits, salt=salt)

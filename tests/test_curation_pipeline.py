@@ -309,3 +309,47 @@ def test_curate_corpus_span_cut_stage(spark):
     t3p = [r.chunk_text for r in plain.filter("doc_id = 3").orderBy("chunk_idx").collect()]
     t3c = [r.chunk_text for r in cut.filter("doc_id = 3").orderBy("chunk_idx").collect()]
     assert t3p == t3c
+
+
+def test_redaction_runs_after_span_cut(spark):
+    """Order pin (VERDICT r9 item 6): redact=True must mask PII AFTER
+    dedup + span cutting, never before.  Docs 1/2 differ ONLY in their
+    email address and share a 5-token tail — shorter than the 6-token
+    span window, so the ORIGINAL texts share no complete span.  Had
+    redaction run first, both would read '<EMAIL> please do not reply
+    thanks' and the span cutter would have deleted doc 2's entire text;
+    with the pinned order both survive, redacted."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alice@example.com please do not reply thanks"),
+            (2, "bob@example.org please do not reply thanks"),
+            # true boilerplate pair: a shared 6-token header in the
+            # ORIGINALS is cut keep-first even with redaction on, and
+            # doc 3's SSN is masked in the output
+            (3, "all rights reserved by the authors ssn 123-45-6789 held"),
+            (4, "all rights reserved by the authors but other words here"),
+        ],
+        "doc_id long, text string",
+    )
+    cur = curate_corpus(
+        docs, min_quality=0.0, window=8, stride=8, budget=16,
+        cut_span_ngram=6, redact=True,
+    ).cache()
+
+    def text_of(doc_id: int) -> str:
+        return " ".join(
+            r.chunk_text
+            for r in cur.filter(f"doc_id = {doc_id}").orderBy("chunk_idx").collect()
+        )
+
+    t1, t2, t3, t4 = (text_of(i) for i in (1, 2, 3, 4))
+    # both email docs survive in full, redacted — not span-cut
+    # (chunk text is lowercased by the tokenizer, hence <email>)
+    assert t1 == "<email> please do not reply thanks", t1
+    assert t2 == "<email> please do not reply thanks", t2
+    # the genuine shared header is cut from the later doc, kept in doc 3
+    assert "all rights reserved by the authors" in t3
+    assert "all rights reserved by the authors" not in t4, t4
+    # and redaction still applied to what remains
+    assert "<ssn>" in t3 and "123-45-6789" not in t3, t3
+    assert not any("@" in t for t in (t1, t2, t3, t4))

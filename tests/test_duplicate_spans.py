@@ -11,6 +11,7 @@ from collections import Counter
 from emulating_hadoop_with_mpi_spark.functions.dedup import (
     duplicate_spans,
     flag_span_duplicated_docs,
+    remove_duplicate_spans,
 )
 
 HEADER = "this software is provided as is without warranty of any kind"  # 11 toks
@@ -114,3 +115,27 @@ def test_remove_duplicate_spans_cut_all(spark):
     assert out[1] == "alpha beta gamma delta epsilon"
     assert out[2] == "zeta eta theta iota kappa"
     assert out[3] == "filler"
+
+
+def test_remove_duplicate_spans_mixed_case_and_whitespace(spark):
+    """ADVICE r9: cut positions are computed over LOWERCASED tokens but
+    the rewrite runs over case-preserved raw tokens, relying on lower()
+    never changing whitespace structure.  Pin that alignment on a corpus
+    with mixed case, tabs, and newlines: the span match is
+    case-insensitive, the cut lands on the right raw tokens, survivors
+    keep their original casing, and untouched docs keep their text
+    byte-for-byte (tabs included)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "KEEP This Phrase Repeated Here\tand MORE unique words"),
+            (2, "other START\n this  phrase REPEATED here\tEnd tail"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.text for r in remove_duplicate_spans(docs, n=4).collect()}
+    # doc 1 held the first occurrence: untouched, byte-for-byte
+    assert out[1] == "KEEP This Phrase Repeated Here\tand MORE unique words"
+    # doc 2's case-varied copy is cut at the right raw-token positions,
+    # surrounding tokens keep their case (whitespace runs collapse —
+    # the documented rewrite contract for flagged docs)
+    assert out[2] == "other START End tail", repr(out[2])
