@@ -29,7 +29,12 @@ from emulating_hadoop_with_mpi_spark.registry import all_queries
 # - spark_32core: a tiny fixed Spark job (range → xxhash64 → sum) across
 #               all cores — tracks the whole-box throughput the basket sees.
 # REF constants were measured on this sandbox at calm load (loadavg < 2,
-# round 9); "value_normalized" = value · (spark_ref / spark_measured_mean).
+# round 9); "value_normalized" = value · (PROBE_REF_SEC / probe_median),
+# i.e. normalization rides the MEDIAN of the per-entry 1/10-scale python
+# probes (falling back to the py canary mean when no probes ran) — the
+# spark canary is recorded for the reader but unused in normalization
+# (ADVICE r9: this comment previously described a spark-ref formula the
+# code never implemented).
 CANARY_PY_LOOP_N = 20_000_000
 CANARY_SPARK_ROWS = 1 << 30
 # Calm-load reference (this sandbox, round 9, loadavg ~1, measured by
@@ -150,10 +155,17 @@ def main() -> None:
         """min of three runs — steady-state, less single-JVM JIT/GC noise.
         All per-leg samples are recorded into the JSON so a ratchet reader
         can tell noise (one bad leg) from regression (all legs slow).
-        Long scale legs (sf10) pass reps=1: at 45-90 s/leg the JIT/GC
-        noise this guards against is already amortized away."""
+        Long scale legs (sf10) pass reps=1 and are instead RE-RUN in a
+        second non-consecutive pass (see the sf10 block): NOTES r9's
+        lesson is that a calm before-leg probe cannot see throttle that
+        starts MID-leg, so single-sample sf10 numbers must be read as
+        min-across-runs — which re-invocation makes official.  Repeat
+        calls with the same label MERGE: samples accumulate, the probe
+        keeps its minimum (the calmest clock, pairing with the min leg),
+        and the caller keeps the min time."""
         if label is not None:
-            probes[label] = _py_probe()
+            p = _py_probe()
+            probes[label] = min(probes.get(label, p), p)
         legs: list[float] = []
         for _ in range(reps):
             t0 = time.perf_counter()
@@ -163,14 +175,16 @@ def main() -> None:
         # pressure into the next measurement
         spark.catalog.clearCache()
         if label is not None:
-            samples[label] = legs
+            samples.setdefault(label, []).extend(legs)
         return min(legs)
 
     def run_entry(label: str, build, sink: dict[str, float], reps: int = 3) -> None:
         """Failure-isolated: one broken query records an error entry and
-        the rest of the bench still produces numbers."""
+        the rest of the bench still produces numbers.  Re-running a label
+        keeps the min across invocations (sf10 min-of-2 protocol)."""
         try:
-            sink[label] = run_timed(build, label, reps=reps)
+            t = run_timed(build, label, reps=reps)
+            sink[label] = min(sink.get(label, t), t)
         except Exception as e:  # noqa: BLE001 — harness must degrade per-entry
             spark.catalog.clearCache()
             errors[label] = f"{type(e).__name__}: {e}"[:500]
@@ -526,41 +540,55 @@ def main() -> None:
         "SPARK_GRAFT_SF10_DIR", os.path.join(repo_dir, "localdata", "sf10")
     )
     if os.path.isdir(sf10_dir):
-        # q74 itself is NOT run at sf10: since round 9 it is a method-tagged
-        # union and its sim64 branch is documented-superlinear at this decade
-        # (13-bit-block collision mass, 132 s at r8 — the reason sim120
-        # exists).  The decade gate for the SimHash family is the sim120
-        # standalone leg below, per the r8 verdict's done-criteria.
-        for name in (
-            "q70_dedup_exact",
-            "q73_minhash_lsh_neardup",
-        ):
-            q = registry[name]
-            run_entry(f"sf10_{name}", lambda: q.fn(spark, sf10_dir), extras, reps=1)
+        sf10_docs = load_table(spark, sf10_dir, "documents")
+
+        # TWO non-consecutive passes over the whole sf10 leg set, gated
+        # on the min (VERDICT r9 item 2): throttle here oscillates on
+        # minute timescales and can start MID-leg, where the before-leg
+        # probe cannot see it (NOTES r9: a calm-probe sim120 leg read
+        # 48.9 s vs 24.6 s best).  Interleaving the other legs between a
+        # leg's two runs de-correlates them from one burst-credit window;
+        # run_entry/run_timed merge repeats by min.
+        def sf10_pass() -> None:
+            for name in (
+                "q70_dedup_exact",
+                "q73_minhash_lsh_neardup",
+                # q74-as-registered joined in round 10: its sim64 section
+                # now size-gates to empty above SIM64_MAX_DOCS (13-bit
+                # blocks are quadratic at this decade — 132 s at r8), so
+                # the registered union costs ~the sim120 branch + one
+                # metadata count.
+                "q74_simhash_neardup",
+            ):
+                q = registry[name]
+                run_entry(f"sf10_{name}", lambda: q.fn(spark, sf10_dir), extras, reps=1)
+            run_entry(
+                "sf10_ppjoin_pairs",
+                lambda: ppjoin_pairs(sf10_docs, persist=True),
+                extras,
+                reps=1,
+            )
+            # the 120-bit width lever, measured at the decade it exists
+            # for: same Hamming<=9 contract, ~2^11 less collision mass
+            # than the 64-bit layout (sf10 ~19 s vs ~64 s when added)
+            run_entry(
+                "sf10_simhash120_neardup",
+                lambda: simhash120_neardup_pairs(sf10_docs),
+                extras,
+                reps=1,
+            )
+
+        sf10_pass()
+        sf10_pass()
+        for name in ("q70_dedup_exact", "q73_minhash_lsh_neardup"):
             if f"sf1_{name}" in extras and f"sf10_{name}" in extras:
                 extras[f"slope3_{name}"] = round(
                     extras[f"sf10_{name}"] / extras[f"sf1_{name}"], 2
                 )
-        sf10_docs = load_table(spark, sf10_dir, "documents")
-        run_entry(
-            "sf10_ppjoin_pairs",
-            lambda: ppjoin_pairs(sf10_docs, persist=True),
-            extras,
-            reps=1,
-        )
         if "sf1_ppjoin_pairs" in extras and "sf10_ppjoin_pairs" in extras:
             extras["slope3_ppjoin_pairs"] = round(
                 extras["sf10_ppjoin_pairs"] / extras["sf1_ppjoin_pairs"], 2
             )
-        # the 120-bit width lever, measured at the decade it exists for:
-        # same Hamming<=9 contract, ~2^11 less collision mass than q74's
-        # 64-bit layout (sf10 ~19 s vs ~64 s when added, slope3 ~3.7)
-        run_entry(
-            "sf10_simhash120_neardup",
-            lambda: simhash120_neardup_pairs(sf10_docs),
-            extras,
-            reps=1,
-        )
         if "simhash120_neardup" in extras and "sf10_simhash120_neardup" in extras:
             extras["slope_sf0.1_sf10_simhash120"] = round(
                 extras["sf10_simhash120_neardup"] / extras["simhash120_neardup"], 2
@@ -602,28 +630,65 @@ def main() -> None:
         f = (PROBE_REF_SEC / p) if p else canary["host_speed_factor"]
         return round(t * f, 3)
 
-    # Decade gates (VERDICT r8 item 1): the SimHash-family scale
-    # configuration must stay survivable at sf10 — absolute ceiling AND
-    # slope, evaluated only when the legs actually ran.  Gate inputs are
-    # per-entry clock-normalized (raw kept alongside): a throttle window
-    # during one sf10 leg must not read as an algorithmic regression.
+    # Decade gates (VERDICT r8 item 1, rebuilt r10 per ADVICE r9): the
+    # SimHash-family scale configuration must stay survivable at sf10.
+    # Gate logic is RAW-FIRST — with the min-of-2 non-consecutive sf10
+    # protocol the raw min is the trustworthy number, so a raw pass is
+    # final.  Normalization may only RESCUE a raw miss when the entry's
+    # probe sits inside a 2× sanity band of its calm-load reference (a
+    # mildly-throttled box, trusted correction); outside the band the
+    # correction itself is untrustworthy — a slow probe before a calm
+    # leg would deflate the value — so the gate records
+    # status="indeterminate" rather than pass or fail.
+    PROBE_SANITY_FACTOR = 2.0
+
+    def _gate(label_for_probe: str, raw: float, norm_v: float, thr: float) -> dict:
+        p = probes.get(label_for_probe)
+        probe_sane = p is not None and p <= PROBE_SANITY_FACTOR * PROBE_REF_SEC
+        if raw <= thr:
+            status = "pass"
+        elif probe_sane and norm_v <= thr:
+            status = "pass"  # rescued by a trusted, mild correction
+        elif not probe_sane:
+            status = "indeterminate"
+        else:
+            status = "fail"
+        return {
+            "raw": raw, "value": norm_v, "threshold": thr,
+            "probe": p, "probe_sane": probe_sane,
+            "pass": status == "pass", "status": status,
+        }
+
     gates: dict[str, dict] = {}
     if "sf10_simhash120_neardup" in extras:
         t = extras["sf10_simhash120_neardup"]
-        tn = _norm("sf10_simhash120_neardup", t)
-        gates["sf10_simhash120_max_35s"] = {"value": tn, "raw": t, "pass": tn <= 35.0}
-    if "slope3_simhash120_neardup" in extras:
-        s = round(
+        gates["sf10_simhash120_max_35s"] = _gate(
+            "sf10_simhash120_neardup", t, _norm("sf10_simhash120_neardup", t), 35.0
+        )
+    # q74-as-registered at the decade (VERDICT r9 item 3 done-criterion):
+    # the sim64 size gate must keep the union's sf10 cost ~the sim120
+    # branch — ceiling 60 s leaves headroom for the count() + union.
+    if "sf10_q74_simhash_neardup" in extras:
+        t = extras["sf10_q74_simhash_neardup"]
+        gates["sf10_q74_registered_max_60s"] = _gate(
+            "sf10_q74_simhash_neardup", t, _norm("sf10_q74_simhash_neardup", t), 60.0
+        )
+    if "slope3_simhash120_neardup" in extras and "sf1_simhash120_neardup" in extras:
+        s_raw = extras["slope3_simhash120_neardup"]
+        s_norm = round(
             _norm("sf10_simhash120_neardup", extras["sf10_simhash120_neardup"])
             / _norm("sf1_simhash120_neardup", extras["sf1_simhash120_neardup"]),
             2,
-        ) if "sf1_simhash120_neardup" in extras else extras["slope3_simhash120_neardup"]
-        gates["slope3_simhash120_max_6"] = {
-            "value": s, "raw": extras["slope3_simhash120_neardup"], "pass": s <= 6.0
-        }
+        )
+        gates["slope3_simhash120_max_6"] = _gate(
+            "sf10_simhash120_neardup", s_raw, s_norm, 6.0
+        )
     if "slope2_q71_fuzzy_dedup" in extras:
         s = extras["slope2_q71_fuzzy_dedup"]
-        gates["slope2_q71_fuzzy_dedup_max_4"] = {"value": s, "pass": s <= 4.0}
+        gates["slope2_q71_fuzzy_dedup_max_4"] = {
+            "raw": s, "value": s, "threshold": 4.0,
+            "pass": s <= 4.0, "status": "pass" if s <= 4.0 else "fail",
+        }
 
     # A broken headline query must never read as a speedup: if any HEADLINE
     # entry errored, the ratchet metric is invalid for this run.
