@@ -1251,15 +1251,24 @@ def duplicate_spans(
 
     Scale shape (the reference point is a distributed suffix array, which
     costs O(tokens·log) shuffle rounds; this is the bounded-n relaxation
-    at exactly TWO exchanges of the token stream):
+    at exactly TWO exchanges, both carrying LONGS only):
 
-    1. posexplode tokens — a Generate over the materialized token array,
-       evaluated once per row (no per-element re-tokenization: the array
-       is the generator input, never referenced inside a lambda).
-    2. ONE window pass per doc (lead(tok, 1..n-1) over pos) builds each
-       span's token sequence in place — shuffle #1, keyed by doc_id.
+    1. posexplode tokens, then immediately xxhash64 each token to a
+       long: exchange #1 (the per-doc window pass below) carries
+       (doc_id, pos, h) — 24 bytes/token — instead of token strings.
+    2. ONE window pass per doc fingerprints each n-token span as a
+       native multi-column xxhash64 over (h, lead(h,1..n-1)) — pure JVM
+       long hashing, no string concat in the hot loop (q81's
+       hashed-fingerprint lesson applied here: measured r10 n=10,
+       string-window 1.33-1.39 s sf0.1 / 1.76-1.94 s sf1 vs this form
+       0.91-0.97 / 1.46-1.48, identical span positions and counts).
+       A third, zero-shuffle variant — building gram hashes map-only
+       with a transform() over the token array à la shingles_df — was
+       measured and REJECTED like r9's map-side MinHash: the
+       interpreted HOF lambda costs more than the narrow shuffle it
+       saves (2.29 s sf1 vs 1.46 s here).
     3. ONE groupBy span-hash keeps hashes with count >= min_count —
-       shuffle #2, carrying (hash, doc_id, pos) longs only, combiner
+       exchange #2, carrying (hash, doc_id, pos) longs, combiner
        applies map-side.
 
     The survivors join back candidate-bounded (the duplicated-hash set is
@@ -1268,27 +1277,26 @@ def duplicate_spans(
     from the REAL materialized sizes at runtime — a boilerplate-heavy
     corpus with a huge duplicated-hash set degrades to a sort-merge join
     instead of a broadcast OOM (no stats-blind dispatch needed here).
-    64-bit fingerprints stand in for the token sequence; at ~1e12 spans
-    the birthday collision mass is ~0.03 per corpus — callers needing
-    exactness re-verify survivor spans textually (they are few)."""
+    64-bit fingerprints stand in for the token sequence (two hash layers:
+    token→long, then span over n longs); at ~1e12 spans the birthday
+    collision mass is ~0.03 per corpus — callers needing exactness
+    re-verify survivor spans textually (they are few)."""
     staged = docs.select("doc_id", tokens_col().alias("toks"))
     toks = staged.select(
         "doc_id", F.posexplode("toks").alias("pos", "tok")
-    )
+    ).select("doc_id", "pos", F.xxhash64("tok").alias("h"))
     w = Window.partitionBy("doc_id").orderBy("pos")
-    span_txt = F.concat_ws(
-        " ", F.col("tok"), *[F.lead("tok", k).over(w) for k in range(1, n)]
-    )
+    span_fp = F.xxhash64(F.col("h"), *[F.lead("h", k).over(w) for k in range(1, n)])
     spans = (
         toks.select(
             "doc_id",
             "pos",
             F.lead("pos", n - 1).over(w).alias("end_pos"),
-            span_txt.alias("span_txt"),
+            span_fp.alias("span_hash"),
         )
         # windows running off the end of the doc have < n tokens
         .filter(F.col("end_pos").isNotNull())
-        .select("doc_id", "pos", F.xxhash64("span_txt").alias("span_hash"))
+        .select("doc_id", "pos", "span_hash")
     )
     dup_hashes = (
         spans.groupBy("span_hash")
