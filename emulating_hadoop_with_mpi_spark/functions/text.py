@@ -380,10 +380,19 @@ def _lang_score_sql(lang: str) -> str:
     return f"CAST(len(list_filter(toks, x -> list_contains({words!r}, x))) AS BIGINT)"
 
 
+# DSIR oracle CTE block for q82's dsir_en section (import is lazy-safe:
+# dsir.py defers its own text imports to call time, so calling into it
+# mid-module-body here cannot cycle)
+from emulating_hadoop_with_mpi_spark.functions.dsir import dsir_oracle_ctes as _dsir_ctes  # noqa: E402
+
+_DSIR_CTES = _dsir_ctes("lang = 'en'")
+
+
 @query(
     "q82_lang_id",
     oracle=f"""
-    WITH scored AS (
+    WITH {_DSIR_CTES},
+    scored AS (
         SELECT doc_id, lang AS lang_label,
                {_lang_score_sql("en")} AS s_en,
                {_lang_score_sql("es")} AS s_es,
@@ -391,19 +400,29 @@ def _lang_score_sql(lang: str) -> str:
                {_lang_score_sql("fr")} AS s_fr
         FROM (SELECT doc_id, lang, {_SQL_TOKENS} AS toks FROM documents)
     )
-    SELECT doc_id, lang_label, s_en, s_es, s_de, s_fr,
+    SELECT scored.doc_id, lang_label, s_en, s_es, s_de, s_fr,
            CASE WHEN s_en = 0 AND s_es = 0 AND s_de = 0 AND s_fr = 0 THEN 'und'
                 WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
                 WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
                 WHEN s_de >= s_fr THEN 'de'
-                ELSE 'fr' END AS lang_pred
-    FROM scored
-    ORDER BY doc_id
+                ELSE 'fr' END AS lang_pred,
+           COALESCE(dsir_sc.dsir, 0.0) AS dsir_en
+    FROM scored LEFT JOIN dsir_sc ON dsir_sc.doc_id = scored.doc_id
+    ORDER BY scored.doc_id
     """,
 )
 def q82_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic: per-language stopword hit counts, argmax with
-    a fixed priority order (en > es > de > fr), 'und' when nothing hits."""
+    a fixed priority order (en > es > de > fr), 'und' when nothing hits.
+
+    Since round 10 this also carries ``dsir_en`` — the DSIR importance
+    score (functions/dsir.py) of every document against the lang='en'
+    subset as the target corpus: the distribution-resemblance sibling of
+    the stopword scores, hash-checked through the md5-bucket DuckDB
+    re-derivation.  English docs score high, zh/fr/de/es docs negative —
+    the data-selection signal a pretraining pipeline thresholds on."""
+    from emulating_hadoop_with_mpi_spark.functions.dsir import dsir_scores
+
     docs = load_table(spark, sf_dir, "documents")
     # pre-sorted narrow input (see q81's note on the double-execute sort)
     staged = (
@@ -434,7 +453,16 @@ def q82_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(s_de >= s_fr, "de")
         .otherwise("fr")
     )
-    return scored.withColumn("lang_pred", pred)
+    sc = dsir_scores(
+        docs.select("doc_id", "lang", "text"), is_target=F.col("lang") == "en"
+    )
+    return (
+        scored.withColumn("lang_pred", pred)
+        .join(sc, "doc_id", "left")
+        .withColumn("dsir_en", F.coalesce(F.col("dsir"), F.lit(0.0)))
+        .drop("dsir")
+        .orderBy("doc_id")
+    )
 
 
 @query(
