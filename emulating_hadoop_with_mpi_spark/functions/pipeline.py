@@ -132,6 +132,8 @@ def curate_corpus(
     decon_ngram: int = DECON_NGRAM,
     cut_span_ngram: int | None = None,
     redact: bool = False,
+    dsir_target=None,
+    dsir_keep_frac: float = 0.5,
 ) -> DataFrame:
     """Chunk-level curated table: (doc_id, chunk_idx, chunk_id, split,
     n_tokens, bin_id, bin_fill, chunk_text).
@@ -148,6 +150,18 @@ def curate_corpus(
       n-token spans are cut keep-first AFTER exact dedup
       (functions/dedup.remove_duplicate_spans) — shared boilerplate
       survives exactly once corpus-wide;
+    - optional DSIR selection (``dsir_target``, round 10): keep the
+      ``dsir_keep_frac`` fraction of documents scoring highest against
+      the target subset selected by the ``dsir_target`` boolean Column
+      (functions/dsir.py — e.g. ``F.col("lang") == "en"``; the predicate
+      must reference columns present on ``docs``).  Runs AFTER dedup and
+      span cutting (duplicate-inflated corpora bias the raw-distribution
+      stats the score divides by — dedup-then-select is the standard
+      order) and BEFORE redaction (selection must see original tokens,
+      not mask tags).  The keep threshold is a percentile_approx over
+      the score distribution, broadcast back as a 1-row frame — no
+      driver-side collect, no global sort.  Docs with fewer than two
+      tokens have no features and are dropped by this stage;
     - optional PII redaction (``redact``, round 10): mask identifying
       spans AFTER all dedup stages and BEFORE chunking.  The order is a
       semantic pin, not a convenience: dedup and span cutting must see
@@ -207,6 +221,24 @@ def curate_corpus(
         uniq = (
             uniq.drop("text").join(cut, "doc_id") if other_cols else cut
         )
+
+    # DSIR selection after the dedup stages, before redaction (order
+    # rationale in the docstring)
+    if dsir_target is not None:
+        from emulating_hadoop_with_mpi_spark.functions.dsir import dsir_scores
+
+        sc = dsir_scores(uniq, is_target=dsir_target)
+        thr = sc.agg(
+            F.expr(
+                f"percentile_approx(dsir, {1.0 - dsir_keep_frac}, 10000)"
+            ).alias("thr")
+        )
+        keep_ids = (
+            sc.crossJoin(F.broadcast(thr))
+            .filter(F.col("dsir") >= F.col("thr"))
+            .select("doc_id")
+        )
+        uniq = uniq.join(keep_ids, "doc_id", "left_semi")
 
     # PII redaction LAST among the text-rewriting stages (order rationale
     # in the docstring): a map-only projection over the deduped corpus

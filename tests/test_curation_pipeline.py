@@ -353,3 +353,26 @@ def test_redaction_runs_after_span_cut(spark):
     # and redaction still applied to what remains
     assert "<ssn>" in t3 and "123-45-6789" not in t3, t3
     assert not any("@" in t for t in (t1, t2, t3, t4))
+
+
+def test_curate_corpus_dsir_selection_stage(spark, sf_dir):
+    """dsir_target= keeps the top-scoring fraction against the target
+    subset: with lang='en' as the target, the survivor set must be
+    substantially more English than the input corpus (and the stage must
+    actually drop ~1-keep_frac of the docs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = curate_corpus(docs, min_quality=0.0)
+    sel = curate_corpus(
+        docs, min_quality=0.0, dsir_target=F.col("lang") == "en",
+        dsir_keep_frac=0.4,
+    )
+    langs = {r.doc_id: r.lang for r in docs.select("doc_id", "lang").collect()}
+    base_ids = {r.doc_id for r in base.select("doc_id").distinct().collect()}
+    sel_ids = {r.doc_id for r in sel.select("doc_id").distinct().collect()}
+    assert sel_ids < base_ids  # strictly filtered, never added
+    assert len(sel_ids) <= 0.55 * len(base_ids), (len(sel_ids), len(base_ids))
+    frac_en_base = sum(langs[i] == "en" for i in base_ids) / len(base_ids)
+    frac_en_sel = sum(langs[i] == "en" for i in sel_ids) / len(sel_ids)
+    # measured at sf0.001: 0.386 → 0.567 — a +0.12 floor keeps the
+    # signal assertion while tolerating small-corpus variance
+    assert frac_en_sel > frac_en_base + 0.12, (frac_en_base, frac_en_sel)
