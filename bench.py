@@ -308,6 +308,21 @@ def main() -> None:
     )
     run_entry("redact_pii", lambda: redact_pii(sf_docs), extras)
 
+    # DSIR importance scoring (round 10): hashed-bigram LLR selection —
+    # one bucket-count exchange + K-row broadcast weights (dsir.py).
+    from pyspark.sql import functions as _F
+
+    from emulating_hadoop_with_mpi_spark.functions.dsir import dsir_scores
+
+    run_entry(
+        "dsir_scores",
+        lambda: dsir_scores(
+            sf_docs.select("doc_id", "lang", "text"),
+            is_target=_F.col("lang") == "en",
+        ),
+        extras,
+    )
+
     # q75b: bucketed embedding near-dup over the full embeddings table
     # (the dedup-family scale path on the vector side, round 8).
     q75b = registry["q75b_semantic_neardup_lsh"]
@@ -437,6 +452,18 @@ def main() -> None:
         if "duplicate_spans_n10" in extras and "sf1_duplicate_spans_n10" in extras:
             extras["slope_duplicate_spans_n10"] = round(
                 extras["sf1_duplicate_spans_n10"] / extras["duplicate_spans_n10"], 2
+            )
+        run_entry(
+            "sf1_dsir_scores",
+            lambda: dsir_scores(
+                sf1_docs.select("doc_id", "lang", "text"),
+                is_target=_F.col("lang") == "en",
+            ),
+            extras,
+        )
+        if "dsir_scores" in extras and "sf1_dsir_scores" in extras:
+            extras["slope_dsir_scores"] = round(
+                extras["sf1_dsir_scores"] / extras["dsir_scores"], 2
             )
         # end-to-end fuzzy-dedup pipeline (candidates -> lev verify ->
         # distributed CC) a decade up — exercises the pointer-jumping
