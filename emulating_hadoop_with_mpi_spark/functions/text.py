@@ -169,10 +169,17 @@ def q80_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(PII_CANARY_DOC_ID, "xx", PII_CANARY_TEXT)],
         schema="doc_id bigint, lang string, text string",
     )
-    staged = docs.unionByName(canary).orderBy("doc_id")
-    return token_stats(
-        staged, extra_cols=pii_count_cols(patterns=PII_PATTERNS_RE2)
-    )
+    def stats(frame: DataFrame) -> DataFrame:
+        return token_stats(
+            frame, extra_cols=pii_count_cols(patterns=PII_PATTERNS_RE2)
+        )
+
+    # The canary row unions into the RESULT, not the input: wrapping the
+    # parquet scan in a union before the sort costs ~0.45 s at sf0.1
+    # (measured r10: 1.29 s vs 0.81 s — the union node blocks the pure
+    # scan+project pipeline).  Prepending keeps global doc_id order
+    # because the canary id (-1) sorts before every real document.
+    return stats(canary).unionByName(stats(docs.orderBy("doc_id")))
 
 
 def token_stats(docs: DataFrame, extra_cols: list | tuple = ()) -> DataFrame:
