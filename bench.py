@@ -323,6 +323,18 @@ def main() -> None:
         extras,
     )
 
+    # BM25 ranked retrieval (round 10): query-vocabulary semi-join keeps
+    # postings candidate-bounded (search.py).
+    from emulating_hadoop_with_mpi_spark.functions.search import bm25_topk
+
+    run_entry(
+        "bm25_topk",
+        lambda: bm25_topk(
+            sf_docs, ["spark hash join", "table scan fast", "window sort"], k=10
+        ),
+        extras,
+    )
+
     # q75b: bucketed embedding near-dup over the full embeddings table
     # (the dedup-family scale path on the vector side, round 8).
     q75b = registry["q75b_semantic_neardup_lsh"]
