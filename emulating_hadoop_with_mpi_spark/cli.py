@@ -126,6 +126,13 @@ def cmd_pipeline(args: argparse.Namespace) -> int:
         budget=args.budget,
         benchmark=benchmark,
         cut_span_ngram=args.cut_span_ngram,
+        redact=args.redact,
+        dsir_target=(
+            F.col("lang") == args.dsir_target_lang
+            if args.dsir_target_lang
+            else None
+        ),
+        dsir_keep_frac=args.dsir_keep_frac,
     ).cache()
     write_curated_shards(curated, args.out, bins_per_shard=args.bins_per_shard)
     summary = {
@@ -188,6 +195,18 @@ def main(argv: list[str] | None = None) -> int:
         help="cut corpus-duplicated n-token spans (keep-first) after exact "
         "dedup — substring-level boilerplate removal",
     )
+    pl.add_argument(
+        "--redact",
+        action="store_true",
+        help="mask PII (email/IP/card/SSN/phone) after dedup, before chunking",
+    )
+    pl.add_argument(
+        "--dsir-target-lang",
+        default=None,
+        help="DSIR selection: keep the top --dsir-keep-frac of docs scoring "
+        "highest against the lang=<X> subset as the target corpus",
+    )
+    pl.add_argument("--dsir-keep-frac", type=float, default=0.5)
     pl.set_defaults(fn=cmd_pipeline)
 
     args = p.parse_args(argv)

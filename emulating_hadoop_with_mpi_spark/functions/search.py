@@ -74,7 +74,7 @@ def bm25_topk(
         )
         .join(F.broadcast(qterms.select("term").distinct()), "term", "left_semi")
         .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
     )
     stats = staged.agg(
         F.count(F.lit(1)).alias("N"), F.avg(F.size("toks")).alias("avgdl")
@@ -122,6 +122,8 @@ def bm25_oracle_sql(
     opens)."""
     from emulating_hadoop_with_mpi_spark.functions.text import _SQL_TOKENS
 
+    if any("'" in q for q in queries):
+        raise ValueError("query strings must not contain single quotes")
     qvals = ", ".join(
         f"({i}, '{q}')" for i, q in enumerate(queries)
     )
