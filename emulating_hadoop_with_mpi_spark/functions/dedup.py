@@ -77,9 +77,27 @@ SIMHASH_BLOCKS = [(0, 13), (13, 13), (26, 13), (39, 13), (52, 12)]  # (offset, w
 # 86% at 9/64) and ~2× sketch-aggregation cost — the documented production
 # choice once corpus size makes collision mass, not the linear sketch
 # pass, the bill.
-SIMHASH120_WORD_BITS = 30
-SIMHASH120_WORDS = ("s0", "s1", "s2", "s3")
+#
+# Word layout (round 10): TWO 60-bit longs (w0 = flat bits 0-59 from md5
+# half 1, w1 = flat bits 60-119 from half 2) — the same layout the
+# DuckDB oracle's lo120/hi120 use.  vs the earlier four 30-bit words:
+# every shuffle row through the pair join carries 2 longs instead of 4
+# and Hamming costs 2 xor+popcounts instead of 4 (sf10 A/B: ~30% off
+# the whole pass together with the lane-packed aggregation below).
+SIMHASH120_WORD_BITS = 60
+SIMHASH120_WORDS = ("w0", "w1")
 SIMHASH120_BLOCKS = [(0, 24), (24, 24), (48, 24), (72, 24), (96, 24)]
+# SWAR lanes for the sign-sum aggregation (round 10): the per-bit sums
+# are accumulated three-to-a-long in 20-bit lanes (value per token =
+# Σ_k ((h>>bit_k)&1) << 20k), cutting the hash-aggregate from 121 sum
+# columns to 41 — measured ~25% off the sf10 sketch stage (299 → 228
+# executor-seconds).  Lane sums stay exact (no cross-lane carry) while
+# every doc has fewer than 2^20 tokens; a doc at the cap (~6 MB of
+# whitespace-split text in ONE row) raises loudly instead of silently
+# corrupting sketches — see the guard in simhash120_df.
+SIMHASH_LANE_BITS = 20
+SIMHASH_LANES = 3
+SIMHASH_TOKEN_CAP = 1 << SIMHASH_LANE_BITS
 
 
 _SQL_NORM = (
@@ -906,38 +924,66 @@ def simhash_hamming(prefix_a: str = "a.", prefix_b: str = "b.") -> Column:
 
 
 def simhash120_df(docs: DataFrame) -> DataFrame:
-    """(doc_id, s0..s3) — 120-bit SimHash from the SAME md5 token digests
+    """(doc_id, w0, w1) — 120-bit SimHash from the SAME md5 token digests
     as ``simhash_df`` (each 15-hex-char half carries 60 bits; the 64-bit
-    sketch uses only 32 of each).  Four 30-bit words: s0/s1 = bits 0-29 /
-    30-59 of h1, s2/s3 = the same from h2.  Same tf-weighted sign-sum
-    construction, same engine-portable integer math."""
+    sketch uses only 32 of each).  Two 60-bit words: w0 = flat bits 0-59
+    from h1, w1 = flat bits 60-119 from h2 — the oracle's lo120/hi120
+    layout.  Same tf-weighted sign-sum construction, same
+    engine-portable integer math.
+
+    The per-bit sums are SWAR-packed (see SIMHASH_LANE_BITS): each long
+    aggregate accumulates three bit positions in 20-bit lanes.  Exact
+    while n_tok < SIMHASH_TOKEN_CAP per doc; a doc at the cap raises
+    (raise_error in the n_tok guard) rather than silently corrupting
+    lane sums — chunk monster rows upstream before sketching."""
     md5 = F.md5(F.col("tok"))
     toks = docs.select("doc_id", F.explode(tokens_col()).alias("tok")).select(
         "doc_id",
         F.conv(F.substring(md5, 1, 15), 16, 10).cast("long").alias("h1"),
         F.conv(F.substring(md5, 16, 15), 16, 10).cast("long").alias("h2"),
     )
-    word_src = [("s0", "h1", 0), ("s1", "h1", 30), ("s2", "h2", 0), ("s3", "h2", 30)]
-    bit_sums = toks.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_tok"),
-        *[
-            F.sum(F.shiftright(F.col(h), base + i).bitwiseAND(F.lit(1))).alias(f"{w}_{i}")
-            for w, h, base in word_src
-            for i in range(SIMHASH120_WORD_BITS)
-        ],
+    aggs = [F.count(F.lit(1)).alias("n_tok")]
+    for w, h in (("w0", "h1"), ("w1", "h2")):
+        for j in range(0, SIMHASH120_WORD_BITS, SIMHASH_LANES):
+            lanes = None
+            for k in range(min(SIMHASH_LANES, SIMHASH120_WORD_BITS - j)):
+                t = F.shiftright(F.col(h), j + k).bitwiseAND(F.lit(1))
+                if k:
+                    t = F.shiftleft(t, SIMHASH_LANE_BITS * k)
+                lanes = t if lanes is None else lanes + t
+            aggs.append(F.sum(lanes).alias(f"{w}_g{j}"))
+    bit_sums = toks.groupBy("doc_id").agg(*aggs)
+    n_guard = (
+        F.when(F.col("n_tok") < F.lit(SIMHASH_TOKEN_CAP), F.col("n_tok"))
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    "simhash120_df: doc exceeds SIMHASH_TOKEN_CAP tokens - "
+                    "lane sums would overflow; chunk the doc upstream"
+                )
+            ).cast("long")
+        )
+    )
+    guarded = bit_sums.select(
+        "doc_id",
+        n_guard.alias("n_tok"),
+        *[c for c in bit_sums.columns if c not in ("doc_id", "n_tok")],
     )
     words = []
-    for w, _, _ in word_src:
+    for w in ("w0", "w1"):
         acc = None
-        for i in range(SIMHASH120_WORD_BITS):
-            bit = (
-                F.when(F.col(f"{w}_{i}") * 2 > F.col("n_tok"), F.lit(1).cast("long"))
-                .otherwise(F.lit(0).cast("long"))
-            )
-            term = F.shiftleft(bit, i)
-            acc = term if acc is None else acc.bitwiseOR(term)
+        for j in range(0, SIMHASH120_WORD_BITS, SIMHASH_LANES):
+            for k in range(min(SIMHASH_LANES, SIMHASH120_WORD_BITS - j)):
+                c = F.shiftrightunsigned(
+                    F.col(f"{w}_g{j}"), SIMHASH_LANE_BITS * k
+                ).bitwiseAND(F.lit(SIMHASH_TOKEN_CAP - 1))
+                bit = F.when(c * 2 > F.col("n_tok"), F.lit(1).cast("long")).otherwise(
+                    F.lit(0).cast("long")
+                )
+                term = F.shiftleft(bit, j + k)
+                acc = term if acc is None else acc.bitwiseOR(term)
         words.append(acc.alias(w))
-    return bit_sums.select("doc_id", *words)
+    return guarded.select("doc_id", *words)
 
 
 def _block_value_words(off: int, width: int, words=SIMHASH120_WORDS, word_bits: int = SIMHASH120_WORD_BITS) -> Column:
@@ -974,38 +1020,37 @@ def _pigeonhole_pairs(sims: DataFrame, blocks, block_value, hamming) -> DataFram
     exact rows only, SHUFFLE_HASH-hinted (Catalyst's stats come from the
     per-doc cached sketch and don't see the probe-side explode — unhinted
     it broadcasts the big side, measured 5× slower at the sf10 decade).
-    Hamming-filter sits in the join, distinct only on survivors."""
+    Hamming-filter sits in the join, distinct only on survivors.
+
+    Join key (round 10): block id and block value are packed into ONE
+    long — k = (block << max_width) | value — so the probe explode emits
+    a flat long array (no struct build/extract) and the join hashes and
+    compares a single column.  The probe shuffle is this operator's
+    measured dominant stage at the sf10 decade (its cost is per-ROW, not
+    per-byte — slimming rows alone moved nothing), so the explode emits
+    the fewest, flattest rows that keep candidate generation complete."""
     sketch_cols = [c for c in sims.columns if c != "doc_id"]
+    shift = max(w for _, w in blocks)
 
-    def exploded(cols_per_block) -> DataFrame:
-        cols = []
+    def exploded(flips: bool) -> DataFrame:
+        ks = []
         for bi, (off, width) in enumerate(blocks):
-            cols.extend(cols_per_block(bi, block_value(off, width), width))
-        return sims.select(
-            "doc_id", *sketch_cols, F.explode(F.array(*cols)).alias("ck")
-        ).select(
-            "doc_id",
-            *sketch_cols,
-            F.col("ck.c").alias("c"),
-            F.col("ck.v").alias("v"),
-        )
+            v = block_value(off, width)
+            base = F.lit(bi << shift)
+            ks.append(base.bitwiseOR(v))
+            if flips:
+                ks.extend(
+                    base.bitwiseOR(v.bitwiseXOR(F.lit(1 << j)))
+                    for j in range(width)
+                )
+        return sims.select("doc_id", *sketch_cols, F.explode(F.array(*ks)).alias("k"))
 
-    a = exploded(
-        lambda bi, v, width: [F.struct(F.lit(bi).alias("c"), v.alias("v"))]
-        + [
-            F.struct(F.lit(bi).alias("c"), v.bitwiseXOR(F.lit(1 << k)).alias("v"))
-            for k in range(width)
-        ]
-    ).alias("a")
-    b = exploded(
-        lambda bi, v, width: [F.struct(F.lit(bi).alias("c"), v.alias("v"))]
-    ).alias("b")
+    a = exploded(True).alias("a")
+    b = exploded(False).alias("b")
     return (
         a.join(
             b.hint("shuffle_hash"),
-            (F.col("a.c") == F.col("b.c"))
-            & (F.col("a.v") == F.col("b.v"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            (F.col("a.k") == F.col("b.k")) & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
@@ -1021,18 +1066,16 @@ def simhash64_from_120(sims120: DataFrame) -> DataFrame:
     """(doc_id, sim_lo, sim_hi) — the 64-bit sketch PROJECTED from the
     120-bit word frame, no second token pass.  Valid because both widths
     take bit i of the sketch half from the SAME per-bit sign sum over
-    md5-half bit i: sim_lo bits 0-31 = s0's 30 bits | s1's low 2 bits,
-    sim_hi likewise from (s2, s3).  Pinned equal to ``simhash_df`` in
-    tests/test_pipeline_ops.py — this is what lets q74 serve both method
-    branches from ONE tokenize+md5+sign-sum aggregation."""
-    lo_hi = []
-    for name, w_lo, w_hi in (("sim_lo", "s0", "s1"), ("sim_hi", "s2", "s3")):
-        lo_hi.append(
-            F.col(w_lo)
-            .bitwiseOR(F.shiftleft(F.col(w_hi).bitwiseAND(F.lit(3)), SIMHASH120_WORD_BITS))
-            .alias(name)
-        )
-    return sims120.select("doc_id", *lo_hi)
+    md5-half bit i: sim_lo = flat bits 0-31 = w0's low 32 bits, sim_hi =
+    flat bits 60-91 = w1's low 32 bits.  Pinned equal to ``simhash_df``
+    in tests/test_pipeline_ops.py — this is what lets q74 serve both
+    method branches from ONE tokenize+md5+sign-sum aggregation."""
+    mask = F.lit((1 << 32) - 1)
+    return sims120.select(
+        "doc_id",
+        F.col("w0").bitwiseAND(mask).alias("sim_lo"),
+        F.col("w1").bitwiseAND(mask).alias("sim_hi"),
+    )
 
 
 def simhash120_neardup_pairs(docs: DataFrame) -> DataFrame:
@@ -1198,7 +1241,7 @@ def q74_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the bench does exactly this per entry)."""
     docs = spread_small_scan(load_table(spark, sf_dir, "documents"))
     n_docs = docs.count()
-    # persist() the sketch table (one ~32-byte row per doc — ~32 GB per
+    # persist() the sketch table (one ~24-byte row per doc — ~24 GB per
     # BILLION docs, trivially cache-able cluster-wide): the probe and
     # value sides of both bucket self-joins read it, and without a
     # materialization point Spark plans the whole tokenize+md5+sign-sum

@@ -84,8 +84,8 @@ def test_simhash120_complete_vs_brute(spark, sf_dir):
     EXACTLY the all-pairs Hamming ≤ 9 set over its own sketches — the
     pigeonhole completeness guarantee carries over from the 64-bit layout
     (5 blocks, ≤ ⌊9/5⌋ = 1 differing bit in some block, single-bit
-    multiprobe).  Words must stay within 30 bits (the block extractor
-    straddles word boundaries)."""
+    multiprobe).  Words must stay within 60 bits (the block extractor
+    straddles the w0/w1 boundary)."""
     from pyspark.sql import functions as F
 
     from emulating_hadoop_with_mpi_spark.functions.dedup import (
@@ -115,8 +115,8 @@ def test_simhash120_complete_vs_brute(spark, sf_dir):
         .collect()
     )
     assert got == brute
-    mx = sims.agg(*[F.max(w).alias(w) for w in ("s0", "s1", "s2", "s3")]).collect()[0]
-    assert all(0 <= mx[w] < (1 << 30) for w in ("s0", "s1", "s2", "s3")), mx
+    mx = sims.agg(*[F.max(w).alias(w) for w in ("w0", "w1")]).collect()[0]
+    assert all(0 <= mx[w] < (1 << 60) for w in ("w0", "w1")), mx
 
 
 def test_ann_lsh_is_honest_vs_brute(spark, sf_dir):
@@ -816,3 +816,29 @@ def test_q74_sim64_size_gate(spark, sf_dir, monkeypatch):
     assert not [r for r in rows if r.method == "sim64"]
     sim120 = {(r.doc_a, r.doc_b) for r in rows if r.method == "sim120"}
     assert sim120, "sim120 must survive the sim64 size gate"
+
+
+def test_simhash120_token_cap_guard(spark):
+    """The SWAR lane sums in simhash120_df are exact only below
+    SIMHASH_TOKEN_CAP tokens per doc; a doc at the cap must RAISE (the
+    n_tok guard), never silently corrupt sketches.  The cap itself
+    (2^20 tokens ≈ 6 MB of text in one row) is exercised by
+    monkeypatching — building a real million-token doc per test run
+    would dominate the suite."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from emulating_hadoop_with_mpi_spark.functions import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "one two three four five six seven eight")], ["doc_id", "text"]
+    )
+    # under the real cap this doc sketches fine
+    assert dedup.simhash120_df(docs).count() == 1
+    orig = dedup.SIMHASH_TOKEN_CAP
+    dedup.SIMHASH_TOKEN_CAP = 4
+    try:
+        with pytest.raises(SparkRuntimeException, match="SIMHASH_TOKEN_CAP"):
+            dedup.simhash120_df(docs).collect()
+    finally:
+        dedup.SIMHASH_TOKEN_CAP = orig
