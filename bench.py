@@ -323,6 +323,18 @@ def main() -> None:
         extras,
     )
 
+    # Quality-classifier training + scoring (round 10): 16 full-batch GD
+    # iterations over the cached feature frame + map-only inference
+    # (classifier.py) — per-iteration cost is a cache scan + one-row agg.
+    from emulating_hadoop_with_mpi_spark.functions.classifier import quality_clf_scores
+    from emulating_hadoop_with_mpi_spark.functions.text import quality_scores
+
+    run_entry(
+        "clf_train_score",
+        lambda: quality_clf_scores(quality_scores(sf_docs.select("doc_id", "text"))),
+        extras,
+    )
+
     # BM25 ranked retrieval (round 10): query-vocabulary semi-join keeps
     # postings candidate-bounded (search.py).
     from emulating_hadoop_with_mpi_spark.functions.search import bm25_topk
@@ -476,6 +488,17 @@ def main() -> None:
         if "dsir_scores" in extras and "sf1_dsir_scores" in extras:
             extras["slope_dsir_scores"] = round(
                 extras["sf1_dsir_scores"] / extras["dsir_scores"], 2
+            )
+        run_entry(
+            "sf1_clf_train_score",
+            lambda: quality_clf_scores(
+                quality_scores(sf1_docs.select("doc_id", "text"))
+            ),
+            extras,
+        )
+        if "clf_train_score" in extras and "sf1_clf_train_score" in extras:
+            extras["slope_clf_train_score"] = round(
+                extras["sf1_clf_train_score"] / extras["clf_train_score"], 2
             )
         # end-to-end fuzzy-dedup pipeline (candidates -> lev verify ->
         # distributed CC) a decade up — exercises the pointer-jumping

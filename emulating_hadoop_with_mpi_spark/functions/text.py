@@ -207,10 +207,10 @@ def _ratio(num: Column, den: Column) -> Column:
     return F.when(den == 0, F.lit(0.0)).otherwise(F.round(num.cast("double") / den, 6))
 
 
-@query(
-    "q81_quality_score",
-    oracle=f"""
-    WITH tok AS (SELECT doc_id, text, {_SQL_TOKENS} AS toks FROM documents),
+# Shared quality-feature CTE block (q81's oracle AND q82's classifier
+# section train on the same features): produces relation
+# ``qfeat(doc_id, n_chars, n_tokens, ratios…, quality)``.
+_QFEAT_CTES = f"""tok AS (SELECT doc_id, text, {_SQL_TOKENS} AS toks FROM documents),
     words AS (
         SELECT doc_id, MAX(c) AS max_word FROM (
             SELECT doc_id, w, COUNT(*) AS c
@@ -253,23 +253,34 @@ def _ratio(num: Column, den: Column) -> Column:
         LEFT JOIN words ON words.doc_id = tok.doc_id
         LEFT JOIN g2 ON g2.doc_id = tok.doc_id
         LEFT JOIN g3 ON g3.doc_id = tok.doc_id
-    )
-    SELECT doc_id, n_chars, n_tokens,
-           {_sql_ratio("n_alpha", "n_chars")} AS alpha_ratio,
-           {_sql_ratio("n_digit", "n_chars")} AS digit_ratio,
-           {_sql_ratio("n_stop", "n_tokens")} AS stopword_ratio,
-           {_sql_ratio("max_word", "n_tokens")} AS max_word_frac,
-           {_sql_ratio("top2", "n2")} AS top_bigram_frac,
-           {_sql_ratio("n3 - d3", "n3")} AS dup_trigram_frac,
-           -- integer-exact score: scaled weights + integer division, so no
-           -- engine-dependent float rounding (midpoint hazard) can occur
-           CASE WHEN n_chars * n_tokens = 0 THEN 0.0
-                ELSE CAST((500000 * n_alpha * n_tokens + 300000 * n_stop * n_chars
-                           + CASE WHEN n_tokens >= 20
-                                  THEN 200000 * n_chars * n_tokens ELSE 0 END)
-                          // (n_chars * n_tokens) AS DOUBLE) / 1000000
-           END AS quality
-    FROM feats
+    ),
+    qfeat AS (
+        SELECT doc_id, n_chars, n_tokens,
+               {_sql_ratio("n_alpha", "n_chars")} AS alpha_ratio,
+               {_sql_ratio("n_digit", "n_chars")} AS digit_ratio,
+               {_sql_ratio("n_stop", "n_tokens")} AS stopword_ratio,
+               {_sql_ratio("max_word", "n_tokens")} AS max_word_frac,
+               {_sql_ratio("top2", "n2")} AS top_bigram_frac,
+               {_sql_ratio("n3 - d3", "n3")} AS dup_trigram_frac,
+               -- integer-exact score: scaled weights + integer division, so no
+               -- engine-dependent float rounding (midpoint hazard) can occur
+               CASE WHEN n_chars * n_tokens = 0 THEN 0.0
+                    ELSE CAST((500000 * n_alpha * n_tokens + 300000 * n_stop * n_chars
+                               + CASE WHEN n_tokens >= 20
+                                      THEN 200000 * n_chars * n_tokens ELSE 0 END)
+                              // (n_chars * n_tokens) AS DOUBLE) / 1000000
+               END AS quality
+        FROM feats
+    )"""
+
+
+@query(
+    "q81_quality_score",
+    oracle=f"""
+    WITH {_QFEAT_CTES}
+    SELECT doc_id, n_chars, n_tokens, alpha_ratio, digit_ratio, stopword_ratio,
+           max_word_frac, top_bigram_frac, dup_trigram_frac, quality
+    FROM qfeat
     ORDER BY doc_id
     """,
 )
@@ -395,10 +406,35 @@ from emulating_hadoop_with_mpi_spark.functions.dsir import dsir_oracle_ctes as _
 _DSIR_CTES = _dsir_ctes("lang = 'en'")
 
 
+# Classifier oracle CTEs (q82's clf_quality section): re-derives the
+# full-batch GD training loop + map-only scoring over the shared qfeat
+# feature relation (import is lazy-safe: classifier.py imports nothing
+# from text.py at module scope).
+from emulating_hadoop_with_mpi_spark.functions.classifier import (  # noqa: E402
+    CLF_QUALITY_GATE as _CLF_GATE,
+    logreg_oracle_ctes as _clf_ctes,
+)
+
+_CLF_CTES = _clf_ctes(
+    feats_cte="qfeat",
+    label_sql=f"CASE WHEN quality >= {_CLF_GATE} THEN 1.0 ELSE 0.0 END",
+    feature_sqls=[
+        "1.0",
+        "alpha_ratio",
+        "stopword_ratio",
+        "CASE WHEN n_tokens >= 20 THEN 1.0 ELSE 0.0 END",
+        "max_word_frac",
+        "dup_trigram_frac",
+    ],
+)
+
+
 @query(
     "q82_lang_id",
     oracle=f"""
     WITH {_DSIR_CTES},
+    {_QFEAT_CTES},
+    {_CLF_CTES},
     scored AS (
         SELECT doc_id, lang AS lang_label,
                {_lang_score_sql("en")} AS s_en,
@@ -413,8 +449,11 @@ _DSIR_CTES = _dsir_ctes("lang = 'en'")
                 WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
                 WHEN s_de >= s_fr THEN 'de'
                 ELSE 'fr' END AS lang_pred,
-           COALESCE(dsir_sc.dsir, 0.0) AS dsir_en
-    FROM scored LEFT JOIN dsir_sc ON dsir_sc.doc_id = scored.doc_id
+           COALESCE(dsir_sc.dsir, 0.0) AS dsir_en,
+           clf_sc.clf_quality AS clf_quality
+    FROM scored
+    LEFT JOIN dsir_sc ON dsir_sc.doc_id = scored.doc_id
+    JOIN clf_sc ON clf_sc.doc_id = scored.doc_id
     ORDER BY scored.doc_id
     """,
 )
@@ -427,7 +466,16 @@ def q82_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     subset as the target corpus: the distribution-resemblance sibling of
     the stopword scores, hash-checked through the md5-bucket DuckDB
     re-derivation.  English docs score high, zh/fr/de/es docs negative —
-    the data-selection signal a pretraining pipeline thresholds on."""
+    the data-selection signal a pretraining pipeline thresholds on.
+
+    ``clf_quality`` (round 10) is the third selection-signal family: a
+    logistic classifier TRAINED inside the query by distributed
+    full-batch gradient descent (functions/classifier.py) over the
+    shared quality features, scored map-only with the learned weights as
+    plan literals.  The driver oracle replays the entire 16-iteration
+    training loop in chained DuckDB CTEs, so the hash check covers the
+    training arithmetic itself, not just the final projection."""
+    from emulating_hadoop_with_mpi_spark.functions.classifier import quality_clf_scores
     from emulating_hadoop_with_mpi_spark.functions.dsir import dsir_scores
 
     docs = load_table(spark, sf_dir, "documents")
@@ -463,11 +511,13 @@ def q82_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     sc = dsir_scores(
         docs.select("doc_id", "lang", "text"), is_target=F.col("lang") == "en"
     )
+    clf = quality_clf_scores(quality_scores(docs.select("doc_id", "text")))
     return (
         scored.withColumn("lang_pred", pred)
         .join(sc, "doc_id", "left")
         .withColumn("dsir_en", F.coalesce(F.col("dsir"), F.lit(0.0)))
         .drop("dsir")
+        .join(clf, "doc_id")
         .orderBy("doc_id")
     )
 
