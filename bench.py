@@ -335,6 +335,17 @@ def main() -> None:
         extras,
     )
 
+    # Bigram-LM cross-entropy (round 10): CCNet-style perplexity filter —
+    # one token-stream exchange builds the per-doc profile; the LM tables
+    # are vocabulary-sized reductions of it (lm.py).
+    from emulating_hadoop_with_mpi_spark.functions.lm import bigram_lm_xent
+
+    run_entry(
+        "lm_xent",
+        lambda: bigram_lm_xent(sf_docs.select("doc_id", "text")),
+        extras,
+    )
+
     # BM25 ranked retrieval (round 10): query-vocabulary semi-join keeps
     # postings candidate-bounded (search.py).
     from emulating_hadoop_with_mpi_spark.functions.search import bm25_topk
@@ -499,6 +510,15 @@ def main() -> None:
         if "clf_train_score" in extras and "sf1_clf_train_score" in extras:
             extras["slope_clf_train_score"] = round(
                 extras["sf1_clf_train_score"] / extras["clf_train_score"], 2
+            )
+        run_entry(
+            "sf1_lm_xent",
+            lambda: bigram_lm_xent(sf1_docs.select("doc_id", "text")),
+            extras,
+        )
+        if "lm_xent" in extras and "sf1_lm_xent" in extras:
+            extras["slope_lm_xent"] = round(
+                extras["sf1_lm_xent"] / extras["lm_xent"], 2
             )
         # end-to-end fuzzy-dedup pipeline (candidates -> lev verify ->
         # distributed CC) a decade up — exercises the pointer-jumping

@@ -1,0 +1,170 @@
+"""Corpus n-gram language-model scoring (CCNet-style perplexity filter).
+
+The other canonical model-based selection signal of a pretraining
+pipeline (public knowledge — Wenzek et al. 2020 "CCNet", which ranks
+CommonCrawl by KenLM perplexity; Heafield 2011): train an n-gram LM on
+the corpus (or a curated reference slice), then score every document by
+its cross-entropy under that LM — fluent/typical text scores low,
+boilerplate and noise score high.  No reference-repo analogue; part of
+the LLM-pipeline operator family SURVEY.md scopes.
+
+Model: add-one-smoothed bigram LM over md5-hashed tokens,
+
+    xent(d) = − Σ_{(w1,w2) ∈ d}  ln( (c(w1,w2) + 1) / (c(w1) + V) )  / n_d
+
+with c(·) corpus occurrence counts, V the distinct-unigram vocabulary
+size, n_d the doc's bigram count.  Tokens are hashed to 60-bit ints
+(md5 first 15 hex chars — the engine-portable digest the SimHash/DSIR
+families use) so every shuffle and join key is a long, never a string;
+at 60 bits accidental collisions are ~n²/2⁶¹ — irrelevant to a
+selection score and identical in both engines, so the oracle still
+matches bit-for-bit.
+
+Scale shape (100 TB):
+- ONE token-stream pass builds the per-doc bigram profile
+  (doc_id, h12, h1, c) — map-side-combined groupBy, one exchange of
+  longs (the dsir.py shape).
+- the LM tables reduce THAT frame: bigram counts keyed by h12, unigram
+  counts by h1 — both vocabulary-sized (≪ corpus), Zipf-skewed but
+  keyed by hash so the heavy head spreads across partitions.
+- scoring joins the profile against the two LM tables.  At bench scale
+  Catalyst/AQE broadcasts them; at 100 TB vocabulary they become
+  shuffle-hash joins on long keys — either way the token stream is
+  never re-read, and the per-doc profile is Σ_d |distinct bigrams in d|
+  rows, already far smaller than the token stream.
+- by default the profile is recomputed by its two consumers rather than
+  pinned in storage memory (the MinHash cache post-mortem rule);
+  ``persist=True`` opts in for small corpora and benchmarks.
+
+Float determinism (oracle contract): counts and V are exact integers in
+both engines; the smoothed probability is ONE pinned IEEE division, ln
+differs ≤ 1 ulp between libm and the JVM, and per-doc sums of ~10²
+such terms sit ~1e-13 from a 0.5e-6 rounding boundary at ROUND(·, 6) —
+the same accepted risk class as functions/dsir.py (docstring there).
+Parenthesization is pinned identically in Spark and the oracle SQL:
+(c12 + 1) / (c1 + V), ln, Σ c·w, negate, divide by n_d, ROUND 6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _h60(col):
+    """60-bit md5 hash — identical in Spark and DuckDB."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def doc_bigram_profile(docs: DataFrame) -> DataFrame:
+    """(doc_id, h12, h1, c): per-document hashed-bigram occurrence
+    counts, with the conditioning-unigram hash kept alongside for the
+    denominator join.  One map-side-combined exchange."""
+    from emulating_hadoop_with_mpi_spark.functions.text import tokens_col
+
+    toks = F.col("toks")
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.struct(
+            _h60(F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1))).alias(
+                "h12"
+            ),
+            _h60(F.element_at(toks, i)).alias("h1"),
+        ),
+    )
+    return (
+        docs.select("doc_id", tokens_col().alias("toks"))
+        .filter(F.size(toks) >= 2)
+        .select("doc_id", F.explode(pairs).alias("p"))
+        .select("doc_id", F.col("p.h12").alias("h12"), F.col("p.h1").alias("h1"))
+        .groupBy("doc_id", "h12", "h1")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def bigram_lm_xent(
+    docs: DataFrame, round_to: int = 6, persist: bool = False
+) -> DataFrame:
+    """(doc_id, lm_xent): per-document cross-entropy under the add-one
+    bigram LM trained on ``docs`` itself (callers selecting against a
+    curated reference slice pass that slice's profile — the registered
+    q82 section trains on the full corpus, the CCNet "self-perplexity"
+    ranking).  Docs with < 2 tokens have no bigrams and are absent —
+    callers coalesce (q82 does)."""
+    prof = doc_bigram_profile(docs)
+    if persist:
+        prof = prof.persist()
+    # LM tables: vocabulary-sized reductions of the profile.  h12 → h1
+    # is many-to-one, so the unigram table reduces the bigram table, not
+    # the profile — one less pass over profile rows.
+    # h12 functionally determines h1 (both hash the same leading token),
+    # so min() is just the single group value — min (not first) mirrors
+    # the oracle's aggregate exactly.
+    big = prof.groupBy("h12").agg(
+        F.sum("c").alias("c12"), F.min("h1").alias("h1")
+    )
+    uni = big.groupBy("h1").agg(F.sum("c12").alias("c1"))
+    v = uni.agg(F.count(F.lit(1)).alias("V"))
+    # pinned probability arithmetic (module docstring): w = ln((c12+1)/(c1+V))
+    w = (
+        big.join(uni, "h1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "h12",
+            F.log(
+                (F.col("c12") + 1).cast("double") / (F.col("c1") + F.col("V")).cast("double")
+            ).alias("w"),
+        )
+    )
+    return (
+        prof.join(w, "h12")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                -F.sum(F.col("c") * F.col("w")) / F.sum("c"), round_to
+            ).alias("lm_xent")
+        )
+    )
+
+
+def lm_oracle_ctes() -> str:
+    """DuckDB CTE block re-deriving bigram_lm_xent over ``documents``
+    for the driver oracle (appended inside a WITH list).  Produces
+    relation ``lm_sc(doc_id, lm_xent)``.  Arithmetic parenthesization
+    matches the Spark expressions term for term."""
+    from emulating_hadoop_with_mpi_spark.functions.text import _SQL_TOKENS
+
+    return f"""lm_tok AS (
+        SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+    ),
+    lm_prof AS (
+        SELECT doc_id,
+               CAST('0x' || substring(md5(g12), 1, 15) AS BIGINT) AS h12,
+               CAST('0x' || substring(md5(g1), 1, 15) AS BIGINT) AS h1,
+               COUNT(*) AS c
+        FROM (
+            SELECT t.doc_id,
+                   t.toks[s.i] || ' ' || t.toks[s.i + 1] AS g12,
+                   t.toks[s.i] AS g1
+            FROM lm_tok t CROSS JOIN LATERAL (
+                SELECT unnest(generate_series(1, len(t.toks) - 1)) AS i
+            ) s
+            WHERE len(t.toks) >= 2
+        ) GROUP BY doc_id, h12, h1
+    ),
+    lm_big AS (
+        SELECT h12, CAST(SUM(c) AS BIGINT) AS c12, MIN(h1) AS h1
+        FROM lm_prof GROUP BY h12
+    ),
+    lm_uni AS (
+        SELECT h1, CAST(SUM(c12) AS BIGINT) AS c1 FROM lm_big GROUP BY h1
+    ),
+    lm_v AS (SELECT CAST(COUNT(*) AS BIGINT) AS V FROM lm_uni),
+    lm_w AS (
+        SELECT h12, LN( CAST(c12 + 1 AS DOUBLE) / CAST(c1 + V AS DOUBLE) ) AS w
+        FROM lm_big JOIN lm_uni USING (h1), lm_v
+    ),
+    lm_sc AS (
+        SELECT doc_id, ROUND( -SUM(c * w) / SUM(c), 6 ) AS lm_xent
+        FROM lm_prof JOIN lm_w USING (h12) GROUP BY doc_id
+    )"""

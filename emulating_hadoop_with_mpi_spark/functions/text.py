@@ -428,6 +428,12 @@ _CLF_CTES = _clf_ctes(
     ],
 )
 
+# Bigram-LM cross-entropy oracle CTEs (q82's lm_xent section — the
+# CCNet-style perplexity selection signal, functions/lm.py)
+from emulating_hadoop_with_mpi_spark.functions.lm import lm_oracle_ctes as _lm_ctes  # noqa: E402
+
+_LM_CTES = _lm_ctes()
+
 
 @query(
     "q82_lang_id",
@@ -435,6 +441,7 @@ _CLF_CTES = _clf_ctes(
     WITH {_DSIR_CTES},
     {_QFEAT_CTES},
     {_CLF_CTES},
+    {_LM_CTES},
     scored AS (
         SELECT doc_id, lang AS lang_label,
                {_lang_score_sql("en")} AS s_en,
@@ -450,10 +457,12 @@ _CLF_CTES = _clf_ctes(
                 WHEN s_de >= s_fr THEN 'de'
                 ELSE 'fr' END AS lang_pred,
            COALESCE(dsir_sc.dsir, 0.0) AS dsir_en,
-           clf_sc.clf_quality AS clf_quality
+           clf_sc.clf_quality AS clf_quality,
+           COALESCE(lm_sc.lm_xent, 0.0) AS lm_xent
     FROM scored
     LEFT JOIN dsir_sc ON dsir_sc.doc_id = scored.doc_id
     JOIN clf_sc ON clf_sc.doc_id = scored.doc_id
+    LEFT JOIN lm_sc ON lm_sc.doc_id = scored.doc_id
     ORDER BY scored.doc_id
     """,
 )
@@ -474,9 +483,15 @@ def q82_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared quality features, scored map-only with the learned weights as
     plan literals.  The driver oracle replays the entire 16-iteration
     training loop in chained DuckDB CTEs, so the hash check covers the
-    training arithmetic itself, not just the final projection."""
+    training arithmetic itself, not just the final projection.
+
+    ``lm_xent`` (round 10) is the fourth: per-doc cross-entropy under
+    an add-one bigram LM trained on the corpus (functions/lm.py — the
+    CCNet-style perplexity filter).  Docs with < 2 tokens have no
+    bigrams and coalesce to 0.0."""
     from emulating_hadoop_with_mpi_spark.functions.classifier import quality_clf_scores
     from emulating_hadoop_with_mpi_spark.functions.dsir import dsir_scores
+    from emulating_hadoop_with_mpi_spark.functions.lm import bigram_lm_xent
 
     docs = load_table(spark, sf_dir, "documents")
     # pre-sorted narrow input (see q81's note on the double-execute sort)
@@ -512,12 +527,15 @@ def q82_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "lang", "text"), is_target=F.col("lang") == "en"
     )
     clf = quality_clf_scores(quality_scores(docs.select("doc_id", "text")))
+    lm = bigram_lm_xent(docs.select("doc_id", "text"))
     return (
         scored.withColumn("lang_pred", pred)
         .join(sc, "doc_id", "left")
         .withColumn("dsir_en", F.coalesce(F.col("dsir"), F.lit(0.0)))
         .drop("dsir")
         .join(clf, "doc_id")
+        .join(lm, "doc_id", "left")
+        .withColumn("lm_xent", F.coalesce(F.col("lm_xent"), F.lit(0.0)))
         .orderBy("doc_id")
     )
 
