@@ -346,6 +346,23 @@ def main() -> None:
         extras,
     )
 
+    # BPE tokenizer training + encoding (round 10): one corpus-sized
+    # shuffle builds the word table; each of the 48 merge rounds is a
+    # vocab-sized job; encode is a map-only nested-replace projection
+    # (bpe.py).  run_timed needs a DataFrame, so train INSIDE the thunk
+    # and return the encode frame — the timed leg covers both.
+    from emulating_hadoop_with_mpi_spark.functions.bpe import bpe_encode, bpe_train
+
+    run_entry(
+        "bpe_train_encode_48",
+        lambda: bpe_encode(
+            sf_docs.select("doc_id", "text"),
+            bpe_train(sf_docs.select("doc_id", "text"), num_merges=48),
+        ),
+        extras,
+        reps=1,
+    )
+
     # BM25 ranked retrieval (round 10): query-vocabulary semi-join keeps
     # postings candidate-bounded (search.py).
     from emulating_hadoop_with_mpi_spark.functions.search import bm25_topk
@@ -519,6 +536,22 @@ def main() -> None:
         if "lm_xent" in extras and "sf1_lm_xent" in extras:
             extras["slope_lm_xent"] = round(
                 extras["sf1_lm_xent"] / extras["lm_xent"], 2
+            )
+        # BPE slope: the word-count pass scales with the corpus; the 48
+        # merge rounds run on the vocabulary, which the synthetic corpus
+        # barely grows — slope ≈ startup-dominated sublinear by design.
+        run_entry(
+            "sf1_bpe_train_encode_48",
+            lambda: bpe_encode(
+                sf1_docs.select("doc_id", "text"),
+                bpe_train(sf1_docs.select("doc_id", "text"), num_merges=48),
+            ),
+            extras,
+            reps=1,
+        )
+        if "bpe_train_encode_48" in extras and "sf1_bpe_train_encode_48" in extras:
+            extras["slope_bpe_train_encode_48"] = round(
+                extras["sf1_bpe_train_encode_48"] / extras["bpe_train_encode_48"], 2
             )
         # end-to-end fuzzy-dedup pipeline (candidates -> lev verify ->
         # distributed CC) a decade up — exercises the pointer-jumping

@@ -1,0 +1,195 @@
+"""Distributed BPE tokenizer training + encoding (Sennrich et al. 2016).
+
+The tokenizer-training stage of a pretraining data pipeline: learn a
+byte-pair-encoding merge table from the corpus, then segment documents
+with it (public knowledge — Sennrich/Haddow/Birch ACL 2016 `learn_bpe`,
+the GPT-2/fastText-family subword scheme).  No reference-repo analogue;
+part of the LLM-pipeline operator family SURVEY.md scopes.
+
+Algorithm (classic): word frequency table → represent each word as a
+character sequence + an end-of-word marker → repeat N times { count all
+adjacent symbol pairs weighted by word count; merge the most frequent
+pair everywhere }.  Ties break deterministically (count desc, then pair
+lexicographic asc) so the merge list is reproducible across runs and
+engines.
+
+Spark-first shape (100 TB):
+- ONE corpus pass builds the word table (token explode + groupBy —
+  map-side combined, the only corpus-sized shuffle).  Everything after
+  runs on the VOCABULARY (≪ corpus, e.g. ~10⁶ rows for 10¹¹ tokens),
+  kept in executor storage via per-round localCheckpoint (lineage
+  truncation — the connected-components pattern, operators/graph.py).
+- each merge round is one vocab-sized job: split → adjacent-pair
+  explode → groupBy(a, b) with map-side combine → driver argmax of ONE
+  row (bounded collect, the k-means-sync class).
+- SYMBOL SEQUENCES ARE WRAPPED STRINGS, NOT ARRAYS: a word's symbols
+  [s1, s2, s3] are stored as the single string  ␟s1␟␟s2␟␟s3␟
+  (US control char U+001F, double separator between symbols, single at
+  the edges).  Applying merge (a, b) is then ONE native literal
+  replace("␟a␟␟b␟" → "␟ab␟") — whole-stage-codegen JVM string scan,
+  left-to-right non-overlapping, which is exactly BPE's merge
+  semantics.  The double separator keeps adjacent disjoint matches
+  from sharing a boundary character (with single ␟, [a,b,a,b] would
+  merge only the first pair because the match consumes the shared
+  separator), and symbols can never contain ␟, so every match aligns
+  to symbol boundaries.  An interpreted fold over symbol arrays
+  (aggregate() lambda) was the alternative; HOF lambdas have lost
+  every measured A/B in this repo (NOTES r9/r10), and replace() keeps
+  the whole training loop and the entire encode path JVM-native.
+- ENCODING IS A PURE PROJECTION: replaying the merge list IN TRAINING
+  ORDER, once each, equals the standard greedy lowest-rank-first
+  encode — a merge's output symbol did not exist when any earlier
+  merge was learned, so later merges can never enable earlier ones.
+  Encode therefore compiles to N nested replace() calls over the
+  wrapped doc string — map-only, no Python, no shuffle; the merge
+  table rides the plan as literals (same broadcast-free trick as the
+  classifier weights).  Cross-word merges cannot fire even though the
+  doc is one wrapped string: any pair whose left symbol ends in the
+  word marker was never adjacent-in-word during training, so it is
+  never in the merge table.
+
+Driver-check status: BPE training is an iterative data-dependent-argmax
+loop — not SQL-expressible (DuckDB recursive CTEs forbid aggregates
+over the recursive relation), and the 50-entry registry is full, so
+like BM25 this ships with full LOCAL exact-parity tests instead: the
+learned merge list and the encoded output are pinned EQUAL to a
+pure-Python reference `learn_bpe`/encode on both constructed corpora
+and the real sf0.001 documents table (tests/test_bpe.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from emulating_hadoop_with_mpi_spark.operators.graph import _unpersist_checkpoint
+
+SEP = "\x1f"
+EOW = "</w>"  # end-of-word marker symbol (Sennrich's convention)
+
+
+def _wrap_word(word: Column) -> Column:
+    """word → its initial wrapped symbol string ␟c1␟␟c2␟…␟</w>␟."""
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length(word)),
+        lambda i: F.substring(word, i, F.lit(1)),
+    )
+    syms = F.concat(chars, F.array(F.lit(EOW)))
+    return F.concat(F.lit(SEP), F.array_join(syms, SEP + SEP), F.lit(SEP))
+
+
+def word_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(wstr, cnt): corpus word-frequency table in wrapped-symbol form —
+    the single corpus-sized pass of BPE training."""
+    from emulating_hadoop_with_mpi_spark.functions.text import tokens_col
+
+    return (
+        docs.select(F.explode(tokens_col(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(_wrap_word(F.col("w")).alias("wstr"), "cnt")
+    )
+
+
+def _pair_counts(words: DataFrame) -> DataFrame:
+    """(a, b, n): adjacent-symbol pair counts over the word table,
+    weighted by word frequency.  Overlapping occurrences count (the
+    classic learn_bpe counting: zip(syms, syms[1:]))."""
+    syms = F.split(
+        F.expr("substring(wstr, 2, length(wstr) - 2)"), SEP + SEP
+    )
+    staged = words.select("cnt", syms.alias("s"))
+    pairs = F.zip_with(
+        F.slice(F.col("s"), 1, F.greatest(F.size("s") - 1, F.lit(0))),
+        F.slice(F.col("s"), 2, F.greatest(F.size("s") - 1, F.lit(0))),
+        lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+    )
+    return (
+        staged.select("cnt", F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("cnt").alias("n"))
+    )
+
+
+def _merge_expr(col: Column, a: str, b: str) -> Column:
+    """Apply merge (a, b) to a wrapped symbol string — one native
+    literal replace (module docstring: boundary-safe by construction)."""
+    return F.replace(
+        col,
+        F.lit(SEP + a + SEP + SEP + b + SEP),
+        F.lit(SEP + a + b + SEP),
+    )
+
+
+def bpe_train(
+    docs: DataFrame,
+    num_merges: int = 64,
+    min_pair_count: int = 2,
+    text_col: str = "text",
+) -> list[tuple[str, str]]:
+    """Learn up to ``num_merges`` BPE merges from ``docs``.  Returns the
+    merge list in training order (the tokenizer artifact).  Stops early
+    when the best remaining pair occurs fewer than ``min_pair_count``
+    times.  Each round localCheckpoints the small word table (lineage
+    truncation; previous round's blocks freed — graph.py pattern)."""
+    words = word_table(docs, text_col).localCheckpoint()
+    merges: list[tuple[str, str]] = []
+    try:
+        for _ in range(num_merges):
+            top = (
+                _pair_counts(words)
+                .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+                .limit(1)
+                .collect()
+            )
+            if not top or top[0]["n"] < min_pair_count:
+                break
+            a, b = top[0]["a"], top[0]["b"]
+            merges.append((a, b))
+            nxt = words.select(
+                _merge_expr(F.col("wstr"), a, b).alias("wstr"), "cnt"
+            ).localCheckpoint()
+            _unpersist_checkpoint(words)
+            words = nxt
+    finally:
+        _unpersist_checkpoint(words)
+    return merges
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, bpe_tokens array<string>, n_bpe bigint): segment every
+    document with a learned merge list — a single map-only projection
+    (ordered-replay encode; module docstring proves equivalence to the
+    greedy rank-based encode).  Merges ride the plan as literals."""
+    from emulating_hadoop_with_mpi_spark.functions.text import tokens_col
+
+    doc_syms = F.flatten(
+        F.transform(
+            tokens_col(text_col),
+            lambda w: F.concat(
+                F.transform(
+                    F.sequence(F.lit(1), F.length(w)),
+                    lambda i: F.substring(w, i, F.lit(1)),
+                ),
+                F.array(F.lit(EOW)),
+            ),
+        )
+    )
+    wdoc = F.concat(F.lit(SEP), F.array_join(doc_syms, SEP + SEP), F.lit(SEP))
+    for a, b in merges:
+        wdoc = _merge_expr(wdoc, a, b)
+    toks = F.split(F.expr("substring(wd, 2, length(wd) - 2)"), SEP + SEP)
+    out = docs.select(id_col, wdoc.alias("wd")).select(
+        id_col,
+        F.when(F.length("wd") < 2, F.expr("CAST(array() AS array<string>)"))
+        .otherwise(toks)
+        .alias("bpe_tokens"),
+    )
+    return out.select(
+        id_col, "bpe_tokens", F.size("bpe_tokens").cast("bigint").alias("n_bpe")
+    )

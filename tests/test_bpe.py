@@ -1,0 +1,140 @@
+"""functions/bpe.py — distributed BPE training + encoding.
+
+Exact-parity tests against a pure-Python reference learn_bpe/encode
+(the Sennrich ACL-2016 algorithm with the repo's pinned tie-break:
+count desc, pair lexicographic asc).  BPE is off the driver registry —
+iterative data-dependent argmax is not SQL-expressible and the 50-entry
+cap is full — so these local parity checks ARE its correctness gate
+(the BM25 precedent).
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+from emulating_hadoop_with_mpi_spark.functions.bpe import (
+    EOW,
+    bpe_encode,
+    bpe_train,
+)
+
+
+def _tokens(text: str) -> list[str]:
+    return [t for t in re.split(r"\s+", text.lower().strip()) if t]
+
+
+def _py_learn_bpe(texts, num_merges, min_pair_count=2):
+    words = Counter()
+    for t in texts:
+        words.update(_tokens(t))
+    vocab = {tuple(w) + (EOW,): c for w, c in words.items()}
+    merges = []
+    for _ in range(num_merges):
+        pairs: Counter = Counter()
+        for syms, c in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += c
+        if not pairs:
+            break
+        # pinned tie-break: count desc, then pair lexicographic asc
+        (a, b), n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n < min_pair_count:
+            break
+        merges.append((a, b))
+        vocab = {_py_apply(syms, a, b): c for syms, c in vocab.items()}
+    return merges
+
+
+def _py_apply(syms, a, b):
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return tuple(out)
+
+
+def _py_encode(text, merges):
+    out = []
+    for w in _tokens(text):
+        syms = tuple(w) + (EOW,)
+        for a, b in merges:
+            syms = _py_apply(syms, a, b)
+        out.extend(syms)
+    return out
+
+
+SENNRICH = (
+    "low low low low low lower lower newest newest newest "
+    "newest newest newest widest widest widest"
+)
+
+
+def test_train_matches_reference_sennrich(spark):
+    docs = spark.createDataFrame([(1, SENNRICH)], ["doc_id", "text"])
+    got = bpe_train(docs, num_merges=10)
+    exp = _py_learn_bpe([SENNRICH], 10)
+    assert got == exp, (got, exp)
+
+
+def test_train_matches_reference_adversarial(spark):
+    """Repetition inside words (overlapping pair counting + non-overlap
+    merging), ties, multi-char growth, digits/punct symbols."""
+    texts = [
+        "aaa aaaa aa a banana bandana",
+        "ab ab abab abab abab ba",
+        "x.y x.y x,y 1234 12 34 1234",
+    ]
+    docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = bpe_train(docs, num_merges=25)
+    exp = _py_learn_bpe(texts, 25)
+    assert got == exp, (got, exp)
+
+
+def test_train_and_encode_match_reference_on_testdata(spark, sf_dir):
+    """End-to-end on the real documents table: identical merge list AND
+    identical segmentation for every document."""
+    from emulating_hadoop_with_mpi_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    got_merges = bpe_train(docs, num_merges=40)
+    exp_merges = _py_learn_bpe(texts.values(), 40)
+    assert got_merges == exp_merges
+    enc = {r.doc_id: list(r.bpe_tokens) for r in bpe_encode(docs, got_merges).collect()}
+    for did, text in texts.items():
+        assert enc[did] == _py_encode(text, got_merges), did
+
+
+def test_encode_is_lossless(spark):
+    """Segmentation must preserve content: stripping the word markers
+    and concatenating reconstructs the normalized token stream."""
+    docs = spark.createDataFrame(
+        [(1, "The  Quick   brown FOX"), (2, SENNRICH), (3, "")], ["doc_id", "text"]
+    )
+    merges = bpe_train(docs, num_merges=15, min_pair_count=1)
+    enc = {r.doc_id: list(r.bpe_tokens) for r in bpe_encode(docs, merges).collect()}
+    for did, text in [(1, "The  Quick   brown FOX"), (2, SENNRICH), (3, "")]:
+        rebuilt = "".join(enc[did]).replace(EOW, " ").strip()
+        assert rebuilt == " ".join(_tokens(text)), (did, rebuilt)
+
+
+def test_encode_plan_is_map_only_jvm(spark):
+    """Encode compiles to nested native replace() calls: no Python
+    evaluation, no shuffle, no join — the 100 TB contract (segment 1 B
+    docs = one projection pass)."""
+    docs = spark.createDataFrame([(1, SENNRICH)], ["doc_id", "text"])
+    merges = [("e", "s"), ("es", "t"), ("l", "o")]
+    plan = bpe_encode(docs, merges)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan, plan
+
+
+def test_early_stop_on_min_pair_count(spark):
+    """Every pair unique -> nothing reaches min_pair_count=2."""
+    docs = spark.createDataFrame([(1, "abc def")], ["doc_id", "text"])
+    assert bpe_train(docs, num_merges=5) == []
