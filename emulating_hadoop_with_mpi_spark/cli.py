@@ -133,8 +133,14 @@ def cmd_pipeline(args: argparse.Namespace) -> int:
             else None
         ),
         dsir_keep_frac=args.dsir_keep_frac,
+        lm_keep_frac=args.lm_keep_frac,
     ).cache()
-    write_curated_shards(curated, args.out, bins_per_shard=args.bins_per_shard)
+    write_curated_shards(
+        curated,
+        args.out,
+        bins_per_shard=args.bins_per_shard,
+        shuffle_seed=args.shuffle_seed,
+    )
     summary = {
         "docs_in": docs.count(),
         "docs_kept": curated.select("doc_id").distinct().count(),
@@ -207,6 +213,20 @@ def main(argv: list[str] | None = None) -> int:
         "highest against the lang=<X> subset as the target corpus",
     )
     pl.add_argument("--dsir-keep-frac", type=float, default=0.5)
+    pl.add_argument(
+        "--shuffle-seed",
+        type=int,
+        default=None,
+        help="deterministic training-order shuffle: scatter bins across "
+        "shards and shuffle bin order inside each shard by this seed",
+    )
+    pl.add_argument(
+        "--lm-keep-frac",
+        type=float,
+        default=None,
+        help="LM-perplexity selection: keep this fraction of docs with the "
+        "LOWEST cross-entropy under the corpus bigram LM (CCNet filter)",
+    )
     pl.set_defaults(fn=cmd_pipeline)
 
     args = p.parse_args(argv)

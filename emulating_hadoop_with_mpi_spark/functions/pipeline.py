@@ -134,6 +134,7 @@ def curate_corpus(
     redact: bool = False,
     dsir_target=None,
     dsir_keep_frac: float = 0.5,
+    lm_keep_frac: float | None = None,
 ) -> DataFrame:
     """Chunk-level curated table: (doc_id, chunk_idx, chunk_id, split,
     n_tokens, bin_id, bin_fill, chunk_text).
@@ -162,6 +163,15 @@ def curate_corpus(
       the score distribution, broadcast back as a 1-row frame — no
       driver-side collect, no global sort.  Docs with fewer than two
       tokens have no features and are dropped by this stage;
+    - optional LM-perplexity selection (``lm_keep_frac``, round 10):
+      keep the fraction of documents with LOWEST cross-entropy under
+      the corpus bigram LM (functions/lm.py — the CCNet filter; low
+      perplexity = fluent/typical text).  Same slot and same rationale
+      as DSIR (after dedup: duplicate-inflated corpora bias the LM the
+      score is taken under; before redaction: the LM must see original
+      tokens), same broadcast percentile-threshold mechanism.  Docs
+      with fewer than two tokens have no bigrams and are dropped by
+      this stage;
     - optional PII redaction (``redact``, round 10): mask identifying
       spans AFTER all dedup stages and BEFORE chunking.  The order is a
       semantic pin, not a convenience: dedup and span cutting must see
@@ -240,6 +250,24 @@ def curate_corpus(
         )
         uniq = uniq.join(keep_ids, "doc_id", "left_semi")
 
+    # LM-perplexity selection in the same slot as DSIR (order rationale
+    # in the docstring) — keep LOW cross-entropy, threshold broadcast
+    if lm_keep_frac is not None:
+        from emulating_hadoop_with_mpi_spark.functions.lm import bigram_lm_xent
+
+        xent = bigram_lm_xent(uniq.select("doc_id", "text"))
+        lm_thr = xent.agg(
+            F.expr(
+                f"percentile_approx(lm_xent, {lm_keep_frac}, 10000)"
+            ).alias("thr")
+        )
+        lm_keep = (
+            xent.crossJoin(F.broadcast(lm_thr))
+            .filter(F.col("lm_xent") <= F.col("thr"))
+            .select("doc_id")
+        )
+        uniq = uniq.join(lm_keep, "doc_id", "left_semi")
+
     # PII redaction LAST among the text-rewriting stages (order rationale
     # in the docstring): a map-only projection over the deduped corpus
     if redact:
@@ -296,18 +324,62 @@ def curate_corpus(
 
 
 def write_curated_shards(
-    curated: DataFrame, path: str, bins_per_shard: int = 64
+    curated: DataFrame,
+    path: str,
+    bins_per_shard: int = 64,
+    shuffle_seed: int | None = None,
 ) -> None:
     """Sharded sink of the curated table: ``split=<s>/shard=<n>``
     directories, one parquet file per (split, shard) — same
     repartition-before-partitionBy small-files guarantee as
-    sources/sinks.write_training_shards."""
-    sharded = curated.withColumn(
-        "shard", F.expr(f"bin_id div {int(bins_per_shard)}").cast("long")
-    )
+    sources/sinks.write_training_shards.
+
+    ``shuffle_seed`` (round 10) turns on DETERMINISTIC training-order
+    shuffling, the global-mix pass a training job wants so no shard is
+    "the earliest documents": bins are scattered across shards by a
+    seeded hash (shard = xxhash64(seed, bin_id) mod n_shards, whole
+    bins kept together — the bin is the packing unit) and shuffled AS
+    UNITS within each shard file (sortWithinPartitions on the bin hash
+    with chunk order preserved inside a bin).  Same seed → bit-identical
+    layout, different seed → different order, content always the same
+    multiset.  Cost over the unseeded path: one 1-row-per-split
+    bin-count aggregate (broadcast back) and a LOCAL sort inside the
+    one exchange the sink already pays — no extra shuffle."""
+    if shuffle_seed is None:
+        sharded = curated.withColumn(
+            "shard", F.expr(f"bin_id div {int(bins_per_shard)}").cast("long")
+        )
+        out = sharded.repartition("split", "shard")
+    else:
+        n_shards = (
+            curated.groupBy("split")
+            .agg(F.countDistinct("bin_id").alias("n_bins"))
+            .select(
+                "split",
+                F.greatest(
+                    F.ceil(F.col("n_bins") / F.lit(int(bins_per_shard))),
+                    F.lit(1),
+                ).cast("long").alias("n_shards"),
+            )
+        )
+        sharded = (
+            curated.join(F.broadcast(n_shards), "split")
+            .withColumn(
+                "shard",
+                F.pmod(
+                    F.xxhash64(F.lit(int(shuffle_seed)), F.col("bin_id")),
+                    F.col("n_shards"),
+                ).cast("long"),
+            )
+            .drop("n_shards")
+        )
+        out = sharded.repartition("split", "shard").sortWithinPartitions(
+            F.xxhash64(F.lit(int(shuffle_seed) + 1), F.col("bin_id")),
+            F.col("bin_id"),
+            F.col("chunk_id"),
+        )
     (
-        sharded.repartition("split", "shard")
-        .write.mode("overwrite")
+        out.write.mode("overwrite")
         .partitionBy("split", "shard")
         .parquet(path)
     )

@@ -376,3 +376,71 @@ def test_curate_corpus_dsir_selection_stage(spark, sf_dir):
     # measured at sf0.001: 0.386 → 0.567 — a +0.12 floor keeps the
     # signal assertion while tolerating small-corpus variance
     assert frac_en_sel > frac_en_base + 0.12, (frac_en_base, frac_en_sel)
+
+
+def test_curate_corpus_lm_selection_stage(spark, sf_dir):
+    """lm_keep_frac= keeps the LOW-cross-entropy fraction under the
+    corpus bigram LM: survivors are a strict subset of the base run,
+    the kept fraction tracks the parameter, and the cut is a clean
+    threshold (every survivor scores <= every dropped doc)."""
+    from emulating_hadoop_with_mpi_spark.functions.lm import bigram_lm_xent
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = curate_corpus(docs, min_quality=0.0)
+    sel = curate_corpus(docs, min_quality=0.0, lm_keep_frac=0.5)
+    base_ids = {r.doc_id for r in base.select("doc_id").distinct().collect()}
+    sel_ids = {r.doc_id for r in sel.select("doc_id").distinct().collect()}
+    assert sel_ids < base_ids
+    assert 0.35 * len(base_ids) <= len(sel_ids) <= 0.65 * len(base_ids)
+    xent = {
+        r.doc_id: r.lm_xent
+        for r in bigram_lm_xent(
+            docs.select("doc_id", "text").filter(
+                F.col("doc_id").isin(list(base_ids))
+            )
+        ).collect()
+    }
+    surv = [xent[i] for i in sel_ids if i in xent]
+    dropped = [xent[i] for i in base_ids - sel_ids if i in xent]
+    assert max(surv) <= min(dropped), (max(surv), min(dropped))
+
+
+def test_write_curated_shards_seeded_shuffle(spark, sf_dir, tmp_path):
+    """shuffle_seed: same seed -> bit-identical layout across two
+    writes; different seed -> different order, same content multiset;
+    bins stay CONTIGUOUS inside every shard file (the packing unit
+    survives the shuffle); unseeded path unchanged."""
+    import glob as _glob
+
+    from emulating_hadoop_with_mpi_spark.functions.pipeline import (
+        write_curated_shards,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    curated = curate_corpus(docs, min_quality=0.0).cache()
+
+    def layout(seed, d):
+        write_curated_shards(curated, str(d), bins_per_shard=4, shuffle_seed=seed)
+        out = []
+        for f in sorted(_glob.glob(f"{d}/split=*/shard=*/*.parquet")):
+            rows = spark.read.parquet(f).select("bin_id", "chunk_id").collect()
+            key = "/".join(f.split(str(d))[1].split("/")[:-1])  # drop part-UUID
+            out.append((key, [(r.bin_id, r.chunk_id) for r in rows]))
+        return out
+
+    a1 = layout(7, tmp_path / "a1")
+    a2 = layout(7, tmp_path / "a2")
+    b = layout(8, tmp_path / "b")
+    assert a1 == a2  # deterministic per seed
+    flat = lambda xs: sorted(t for _, rows in xs for t in rows)
+    assert flat(a1) == flat(b)  # same content
+    assert [r for _, r in a1] != [r for _, r in b]  # different order
+    # bin contiguity inside each file
+    for _, rows in a1:
+        seen, prev = set(), None
+        for bin_id, _c in rows:
+            if bin_id != prev:
+                assert bin_id not in seen, "bin split within a shard file"
+                seen.add(bin_id)
+                prev = bin_id
+    curated.unpersist()
