@@ -376,7 +376,11 @@ def main() -> None:
     )
 
     # q75b: bucketed embedding near-dup over the full embeddings table
-    # (the dedup-family scale path on the vector side, round 8).
+    # (the dedup-family scale path on the vector side, round 8).  Since
+    # round 10 the registered query also carries the SemDeDup 'drop'
+    # section (connected components over the pair graph), so this entry
+    # absorbed the CC rounds — expect it above its r9 figure with the
+    # added functionality.
     q75b = registry["q75b_semantic_neardup_lsh"]
     run_entry("semantic_neardup_lsh", lambda: q75b.fn(spark, sf_dir), extras)
 

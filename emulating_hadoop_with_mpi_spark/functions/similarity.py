@@ -105,7 +105,7 @@ def q75_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SEMANTIC_NEARDUP_ORACLE = """
-    WITH q AS (SELECT vec_id, __QVEC__ AS qv FROM embeddings),
+    WITH RECURSIVE q AS (SELECT vec_id, __QVEC__ AS qv FROM embeddings),
     n AS (SELECT vec_id, list_reduce(list_transform(qv, x -> x * x), (a, b) -> a + b) AS norm2
           FROM q),
     signsum AS (
@@ -133,18 +133,38 @@ _SEMANTIC_NEARDUP_ORACLE = """
     cand AS (
         SELECT p.vec_id AS vec_a, c.vec_id AS vec_b
         FROM probe p JOIN codes c ON c.code = p.pcode AND p.vec_id < c.vec_id
+    ),
+    vpairs AS (
+        SELECT vec_a, vec_b,
+               ROUND(CAST(__DOT__ AS DOUBLE)
+                     / sqrt(CAST(na.norm2 AS DOUBLE) * CAST(nb.norm2 AS DOUBLE)), 6) AS cosine
+        FROM cand
+        JOIN q qa ON qa.vec_id = vec_a
+        JOIN q qb ON qb.vec_id = vec_b
+        JOIN n na ON na.vec_id = vec_a
+        JOIN n nb ON nb.vec_id = vec_b
+        WHERE CAST(__DOT__ AS DOUBLE)
+              / sqrt(CAST(na.norm2 AS DOUBLE) * CAST(nb.norm2 AS DOUBLE)) >= __TAU__
+    ),
+    sem_edges AS (
+        SELECT vec_a AS a, vec_b AS b FROM vpairs
+        UNION
+        SELECT vec_b AS a, vec_a AS b FROM vpairs
+    ),
+    sem_reach(node, lab) AS (
+        SELECT a, a FROM sem_edges
+        UNION
+        SELECT e.b, r.lab FROM sem_reach r JOIN sem_edges e ON e.a = r.node
+    ),
+    sem_labels AS (
+        SELECT node AS vec_id, MIN(lab) AS keeper FROM sem_reach GROUP BY node
     )
-    SELECT vec_a, vec_b,
-           ROUND(CAST(__DOT__ AS DOUBLE)
-                 / sqrt(CAST(na.norm2 AS DOUBLE) * CAST(nb.norm2 AS DOUBLE)), 6) AS cosine
-    FROM cand
-    JOIN q qa ON qa.vec_id = vec_a
-    JOIN q qb ON qb.vec_id = vec_b
-    JOIN n na ON na.vec_id = vec_a
-    JOIN n nb ON nb.vec_id = vec_b
-    WHERE CAST(__DOT__ AS DOUBLE)
-          / sqrt(CAST(na.norm2 AS DOUBLE) * CAST(nb.norm2 AS DOUBLE)) >= __TAU__
-    ORDER BY vec_a, vec_b
+    SELECT 'pair' AS method, vec_a, vec_b, cosine FROM vpairs
+    UNION ALL
+    SELECT 'drop' AS method, vec_id AS vec_a, keeper AS vec_b,
+           CAST(NULL AS DOUBLE) AS cosine
+    FROM sem_labels WHERE vec_id != keeper
+    ORDER BY method, vec_a, vec_b
     """.replace(
     "__QVEC__", _SQL_QVEC
 ).replace(
@@ -176,8 +196,55 @@ def q75b_semantic_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same shape holds with wider codes (collision mass ~ n²·P/2^w —
     the same width-vs-corpus lever q74/simhash120 measure for SimHash).
     Recall vs the q75 brute baseline is measured in
-    tests/test_pipeline_ops.py."""
-    return semantic_neardup_pairs(load_table(spark, sf_dir, "embeddings"))
+    tests/test_pipeline_ops.py.
+
+    Since round 10 the query is a method-tagged union (the q70/q74
+    convention): section 'pair' is the verified near-dup pair list
+    above; section 'drop' is SEMDEDUP — the keep-one-per-component
+    policy of Abbas et al. 2023 (arXiv:2303.09540) over that pair
+    graph: connected components via distributed pointer jumping
+    (operators/graph.py), every non-minimum member emitted as
+    (vec_a=dropped id, vec_b=its keeper, cosine=NULL).  The oracle
+    reproduces the components with a recursive CTE, so the driver hash
+    covers the iterative clustering, not just the pair list."""
+    pairs = semantic_neardup_pairs(load_table(spark, sf_dir, "embeddings"))
+    # persist: the pair list feeds BOTH the 'pair' section and the CC
+    # edge set; CC's per-round jobs would otherwise re-run the whole
+    # candidate+verify pipeline each round.  Same clearCache contract
+    # as q74's sketch frame (the union result is lazy; the builder
+    # cannot unpersist what the driver hasn't read).
+    pairs = pairs.persist()
+    drops = semantic_dedup_drops(pairs)
+    pair_rows = pairs.select(
+        F.lit("pair").alias("method"), "vec_a", "vec_b", "cosine"
+    )
+    drop_rows = drops.select(
+        F.lit("drop").alias("method"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("keeper").alias("vec_b"),
+        F.lit(None).cast("double").alias("cosine"),
+    )
+    return pair_rows.unionByName(drop_rows).orderBy("method", "vec_a", "vec_b")
+
+
+def semantic_dedup_drops(pairs: DataFrame) -> DataFrame:
+    """(vec_id, keeper): SemDeDup verdicts over a near-dup pair frame —
+    for every vector in a component that is NOT the component minimum,
+    the id to drop plus the id it duplicates (Abbas et al. 2023
+    keep-one policy; component = transitive closure of the near-dup
+    relation).  Components come from operators/graph.py pointer jumping:
+    O(log diameter) rounds of keyed equi-joins over the PAIR graph only
+    (O(near-dup vectors) rows per round, never the corpus)."""
+    from emulating_hadoop_with_mpi_spark.operators.graph import connected_components
+
+    edges = (
+        pairs.select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
+        .unionAll(pairs.select(F.col("vec_b").alias("src"), F.col("vec_a").alias("dst")))
+    )
+    labels = connected_components(edges)
+    return labels.filter(F.col("node") != F.col("lab")).select(
+        F.col("node").alias("vec_id"), F.col("lab").alias("keeper")
+    )
 
 
 def semantic_neardup_pairs(

@@ -842,3 +842,20 @@ def test_simhash120_token_cap_guard(spark):
             dedup.simhash120_df(docs).collect()
     finally:
         dedup.SIMHASH_TOKEN_CAP = orig
+
+
+def test_semantic_dedup_drops_keep_one_per_component(spark):
+    """SemDeDup keep-one policy over a constructed near-dup graph:
+    chain {1-2, 2-3} and pair {10-11} -> keep component minima (1, 10),
+    drop 2,3 (keeper 1) and 11 (keeper 10); isolated vectors never
+    appear."""
+    from emulating_hadoop_with_mpi_spark.functions.similarity import (
+        semantic_dedup_drops,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 3, 0.8), (10, 11, 0.99)],
+        ["vec_a", "vec_b", "cosine"],
+    )
+    got = {(r.vec_id, r.keeper) for r in semantic_dedup_drops(pairs).collect()}
+    assert got == {(2, 1), (3, 1), (11, 10)}
