@@ -34,6 +34,14 @@ SEMANTIC_PARTITIONED_BYTES = 64 * 1024 * 1024
 
 NEARDUP_SLICE = 300  # vec_id bound for the oracle-checked brute-force pair scan
 NEARDUP_MIN_COSINE = 0.25
+# SemDeDup drop threshold (q75b's 'drop' section): deliberately ABOVE the
+# pair-listing threshold — SemDeDup removes only near-identical members,
+# and the transitive closure of a looser relation chains the whole corpus
+# into one giant component (measured at sf0.1: tau=0.25 gives ~3k edges
+# over 2k vectors → one component, ~20 pointer-jumping rounds; tau=0.35
+# gives 333 edges → small components, CC converges in a handful of
+# sub-second rounds).  Both engines compare the same ROUND(cosine, 6).
+SEMDEDUP_TAU = 0.35
 TOPK_QUERIES = 8  # vec_id < 8 are the query vectors
 TOPK_K = 10
 LSH_PLANES = 16
@@ -147,9 +155,9 @@ _SEMANTIC_NEARDUP_ORACLE = """
               / sqrt(CAST(na.norm2 AS DOUBLE) * CAST(nb.norm2 AS DOUBLE)) >= __TAU__
     ),
     sem_edges AS (
-        SELECT vec_a AS a, vec_b AS b FROM vpairs
+        SELECT vec_a AS a, vec_b AS b FROM vpairs WHERE cosine >= __SEMTAU__
         UNION
-        SELECT vec_b AS a, vec_a AS b FROM vpairs
+        SELECT vec_b AS a, vec_a AS b FROM vpairs WHERE cosine >= __SEMTAU__
     ),
     sem_reach(node, lab) AS (
         SELECT a, a FROM sem_edges
@@ -176,6 +184,8 @@ _SEMANTIC_NEARDUP_ORACLE = """
     "__PLANES__", str(LSH_PLANES)
 ).replace(
     "__TAU__", str(NEARDUP_MIN_COSINE)
+).replace(
+    "__SEMTAU__", str(SEMDEDUP_TAU)
 )
 
 
@@ -214,7 +224,7 @@ def q75b_semantic_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # as q74's sketch frame (the union result is lazy; the builder
     # cannot unpersist what the driver hasn't read).
     pairs = pairs.persist()
-    drops = semantic_dedup_drops(pairs)
+    drops = semantic_dedup_drops(pairs.filter(F.col("cosine") >= SEMDEDUP_TAU))
     pair_rows = pairs.select(
         F.lit("pair").alias("method"), "vec_a", "vec_b", "cosine"
     )
