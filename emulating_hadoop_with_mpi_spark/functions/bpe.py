@@ -122,46 +122,102 @@ def _merge_expr(col: Column, a: str, b: str) -> Column:
     )
 
 
+# candidate rows scanned per training round = CAND_FACTOR * batch_k.
+# Part of the pinned algorithm spec (the pure-Python test reference scans
+# the same bounded prefix), so the greedy disjoint selection is
+# deterministic and engine-independent even when conflicts force skips.
+CAND_FACTOR = 4
+
+
+def _select_disjoint(
+    candidates: list[tuple[str, str, int]],
+    batch_k: int,
+    budget: int,
+    min_pair_count: int,
+) -> list[tuple[str, str]]:
+    """Greedy pairwise-disjoint batch selection over count-ordered
+    candidates — the fastBPE batching rule, pinned identically in the
+    pure-Python test reference.  A pair is accepted iff neither member
+    NOR its concatenation collides with an already-accepted pair's
+    members or output symbol: disjoint merges commute and their
+    pre-round counts stay exact after applying the earlier accepted
+    merges, so the batch equals ``batch_k`` classic rounds whenever no
+    newly-creatable pair would have out-ranked the later picks."""
+    used: set[str] = set()
+    batch: list[tuple[str, str]] = []
+    for a, b, n in candidates:
+        if len(batch) >= min(batch_k, budget):
+            break
+        if n < min_pair_count:
+            break
+        if a in used or b in used or (a + b) in used:
+            continue
+        batch.append((a, b))
+        used |= {a, b, a + b}
+    return batch
+
+
 def bpe_train(
     docs: DataFrame,
     num_merges: int = 64,
     min_pair_count: int = 2,
     text_col: str = "text",
     checkpoint_every: int = 8,
+    batch_k: int = 8,
 ) -> list[tuple[str, str]]:
     """Learn up to ``num_merges`` BPE merges from ``docs``.  Returns the
     merge list in training order (the tokenizer artifact).  Stops early
     when the best remaining pair occurs fewer than ``min_pair_count``
     times.
 
-    The word table localCheckpoints every ``checkpoint_every`` rounds
+    ``batch_k`` (round 11, the fastBPE batching trick): each driver
+    round collects the top ``CAND_FACTOR * batch_k`` pair counts ONCE
+    and accepts up to ``batch_k`` pairwise-disjoint merges from them in
+    count order (``_select_disjoint``) — disjoint merges commute and
+    leave each other's counts exact, so one vocab-sized job + one
+    bounded collect buys ~batch_k merges instead of 1.  The schedule
+    can differ from classic one-merge-per-round BPE only when a merge
+    would have created a pair out-ranking a later same-batch pick; the
+    test reference implements the identical batched schedule, and
+    ``batch_k=1`` IS classic BPE exactly.  48 merges at sf0.1 measured
+    7.3 s single-merge → the batched rounds cut the driver round-trips
+    ~6×.
+
+    The word table localCheckpoints every ``checkpoint_every`` merges
     (lineage truncation; previous blocks freed — the graph.py pattern).
-    Between checkpoints the pending merges ride as ≤ checkpoint_every−1
-    nested narrow replace() projections on top of the last checkpoint —
+    Between checkpoints the pending merges ride as nested narrow
+    replace() projections on top of the last checkpoint —
     re-executing them inside the next pair-count job costs microseconds
     on the vocab-sized table, while checkpointing EVERY round was one
     extra materialization job per merge (measured round 10 at 48 merges
     on sf0.1: every-round 15.9 s, every-4 8.6 s, every-8 7.3 s)."""
+    batch_k = max(1, int(batch_k))
     words = word_table(docs, text_col).localCheckpoint()
     last_ckpt = words
     pending = 0
     merges: list[tuple[str, str]] = []
     try:
-        for _ in range(num_merges):
+        while len(merges) < num_merges:
             top = (
                 _pair_counts(words)
                 .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
-                .limit(1)
+                .limit(CAND_FACTOR * batch_k)
                 .collect()
             )
-            if not top or top[0]["n"] < min_pair_count:
-                break
-            a, b = top[0]["a"], top[0]["b"]
-            merges.append((a, b))
-            words = words.select(
-                _merge_expr(F.col("wstr"), a, b).alias("wstr"), "cnt"
+            batch = _select_disjoint(
+                [(r["a"], r["b"], r["n"]) for r in top],
+                batch_k,
+                num_merges - len(merges),
+                min_pair_count,
             )
-            pending += 1
+            if not batch:
+                break
+            merges.extend(batch)
+            col = F.col("wstr")
+            for a, b in batch:
+                col = _merge_expr(col, a, b)
+            words = words.select(col.alias("wstr"), "cnt")
+            pending += len(batch)
             if pending >= max(1, checkpoint_every):
                 words = words.localCheckpoint()
                 _unpersist_checkpoint(last_ckpt)
@@ -202,7 +258,7 @@ def bpe_encode(
     toks = F.split(F.expr("substring(wd, 2, length(wd) - 2)"), SEP + SEP)
     out = docs.select(id_col, wdoc.alias("wd")).select(
         id_col,
-        F.when(F.length("wd") < 2, F.expr("CAST(array() AS array<string>)"))
+        F.when(F.length("wd") <= 2, F.expr("CAST(array() AS array<string>)"))
         .otherwise(toks)
         .alias("bpe_tokens"),
     )

@@ -128,10 +128,13 @@ SPAN_MIN_COUNT = 2
     oracle=f"""
     WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
     sp AS (
+        -- per-row unnest(generate_series) bound: exact for ANY document
+        -- length (the earlier range(1, 65536) cross product silently
+        -- missed spans past token 65,535+{SPAN_N - 1} — ADVICE r10)
         SELECT doc_id,
                array_to_string(t[CAST(pos AS INT):CAST(pos + {SPAN_N - 1} AS INT)], ' ') AS span
-        FROM toks, range(1, 65536) r(pos)
-        WHERE pos <= len(t) - {SPAN_N - 1}
+        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - {SPAN_N - 1})) AS pos
+              FROM toks)
     ),
     dup AS (
         SELECT span, COUNT(*) AS cnt FROM sp
@@ -236,9 +239,8 @@ _SQL_SHINGLES = f"""
     SELECT DISTINCT doc_id,
            toks[CAST(pos AS INT)] || ' ' || toks[CAST(pos AS INT)+1]
                 || ' ' || toks[CAST(pos AS INT)+2] AS shingle
-    FROM (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
-         range(1, 65536) r(pos)
-    WHERE pos <= len(toks) - 2
+    FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS pos
+          FROM (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents))
 """
 
 

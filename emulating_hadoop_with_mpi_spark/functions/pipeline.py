@@ -373,7 +373,14 @@ def write_curated_shards(
             )
             .drop("n_shards")
         )
+        # the partition columns lead the sort so the child ordering
+        # already satisfies the parquet writer's partitionBy requirement —
+        # otherwise the writer inserts its OWN sort on (split, shard) and
+        # the bit-identical-layout guarantee would rest on that inserted
+        # sort being stable, which Spark does not promise (ADVICE r10)
         out = sharded.repartition("split", "shard").sortWithinPartitions(
+            F.col("split"),
+            F.col("shard"),
             F.xxhash64(F.lit(int(shuffle_seed) + 1), F.col("bin_id")),
             F.col("bin_id"),
             F.col("chunk_id"),

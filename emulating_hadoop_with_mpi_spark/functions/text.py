@@ -40,11 +40,14 @@ BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 # live only in pipeline.py and stay property-test-checked (NOTES r10).
 PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 # separator-grouped 4-4-4-n / amex 4-6-5, or bare 13-16 digits anchored
-# on a real IIN major-industry digit (3-6) — rationale at PII_PATTERNS
+# on a real IIN major-industry digit — [2-6] since round 11: 2 covers
+# MIR (2200-2204, ADVICE r10 recall case) while still excluding the
+# 16-digit microsecond-epoch class (those lead with 1 until year 2286),
+# which was the ADVICE r9 precision case this anchor exists for.
 PII_CARD_RE = (
     r"\b(?:\d{4}[ -]\d{4}[ -]\d{4}[ -]\d{1,4}"
     r"|\d{4}[ -]\d{6}[ -]\d{5}"
-    r"|[3-6]\d{12,15})\b"
+    r"|[2-6]\d{12,15})\b"
 )
 PII_SSN_RE = r"\b\d{3}-\d{2}-\d{4}\b"
 

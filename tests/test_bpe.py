@@ -14,6 +14,7 @@ import re
 from collections import Counter
 
 from emulating_hadoop_with_mpi_spark.functions.bpe import (
+    CAND_FACTOR,
     EOW,
     bpe_encode,
     bpe_train,
@@ -24,13 +25,18 @@ def _tokens(text: str) -> list[str]:
     return [t for t in re.split(r"\s+", text.lower().strip()) if t]
 
 
-def _py_learn_bpe(texts, num_merges, min_pair_count=2):
+def _py_learn_bpe(texts, num_merges, min_pair_count=2, batch_k=1):
+    """Pure-Python reference of the BATCHED schedule (batch_k=1 is
+    classic Sennrich BPE): per round, sort all pairs by (count desc,
+    pair lex asc), scan the top CAND_FACTOR*batch_k candidates, and
+    greedily accept pairwise-disjoint merges — identical selection rule
+    to bpe.py's _select_disjoint."""
     words = Counter()
     for t in texts:
         words.update(_tokens(t))
     vocab = {tuple(w) + (EOW,): c for w, c in words.items()}
     merges = []
-    for _ in range(num_merges):
+    while len(merges) < num_merges:
         pairs: Counter = Counter()
         for syms, c in vocab.items():
             for a, b in zip(syms, syms[1:]):
@@ -38,11 +44,23 @@ def _py_learn_bpe(texts, num_merges, min_pair_count=2):
         if not pairs:
             break
         # pinned tie-break: count desc, then pair lexicographic asc
-        (a, b), n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
-        if n < min_pair_count:
+        ranked = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        used: set = set()
+        batch = []
+        for (a, b), n in ranked[: CAND_FACTOR * batch_k]:
+            if len(batch) >= min(batch_k, num_merges - len(merges)):
+                break
+            if n < min_pair_count:
+                break
+            if a in used or b in used or (a + b) in used:
+                continue
+            batch.append((a, b))
+            used |= {a, b, a + b}
+        if not batch:
             break
-        merges.append((a, b))
-        vocab = {_py_apply(syms, a, b): c for syms, c in vocab.items()}
+        merges.extend(batch)
+        for a, b in batch:
+            vocab = {_py_apply(syms, a, b): c for syms, c in vocab.items()}
     return merges
 
 
@@ -76,38 +94,79 @@ SENNRICH = (
 
 def test_train_matches_reference_sennrich(spark):
     docs = spark.createDataFrame([(1, SENNRICH)], ["doc_id", "text"])
-    got = bpe_train(docs, num_merges=10)
+    got = bpe_train(docs, num_merges=10, batch_k=1)
     exp = _py_learn_bpe([SENNRICH], 10)
     assert got == exp, (got, exp)
 
 
 def test_train_matches_reference_adversarial(spark):
     """Repetition inside words (overlapping pair counting + non-overlap
-    merging), ties, multi-char growth, digits/punct symbols."""
+    merging), ties, multi-char growth, digits/punct symbols — classic
+    one-merge-per-round schedule."""
     texts = [
         "aaa aaaa aa a banana bandana",
         "ab ab abab abab abab ba",
         "x.y x.y x,y 1234 12 34 1234",
     ]
     docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
-    got = bpe_train(docs, num_merges=25)
+    got = bpe_train(docs, num_merges=25, batch_k=1)
     exp = _py_learn_bpe(texts, 25)
     assert got == exp, (got, exp)
 
 
+def test_batched_train_matches_batched_reference(spark):
+    """The round-11 batched schedule (greedy disjoint top-k per round)
+    is pinned against the same schedule in pure Python, including the
+    conflict-skip path (overlapping symbol pairs forced by repetition)
+    and the bounded candidate scan."""
+    texts = [
+        "aaa aaaa aa a banana bandana",
+        "ab ab abab abab abab ba",
+        SENNRICH,
+    ]
+    docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    for k in (2, 4, 8):
+        got = bpe_train(docs, num_merges=20, batch_k=k)
+        exp = _py_learn_bpe(texts, 20, batch_k=k)
+        assert got == exp, (k, got, exp)
+
+
+def test_batched_selection_is_disjoint_and_budgeted(spark):
+    """No symbol (or produced symbol) repeats inside one batch, and the
+    total never exceeds num_merges even when batch_k doesn't divide it."""
+    docs = spark.createDataFrame([(1, SENNRICH)], ["doc_id", "text"])
+    merges = bpe_train(docs, num_merges=7, batch_k=4, min_pair_count=1)
+    assert len(merges) <= 7
+
+
 def test_train_and_encode_match_reference_on_testdata(spark, sf_dir):
-    """End-to-end on the real documents table: identical merge list AND
-    identical segmentation for every document."""
+    """End-to-end on the real documents table with the DEFAULT (batched)
+    schedule: identical merge list AND identical segmentation for every
+    document."""
     from emulating_hadoop_with_mpi_spark.sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     texts = {r.doc_id: r.text for r in docs.collect()}
     got_merges = bpe_train(docs, num_merges=40)
-    exp_merges = _py_learn_bpe(texts.values(), 40)
+    exp_merges = _py_learn_bpe(texts.values(), 40, batch_k=8)
     assert got_merges == exp_merges
     enc = {r.doc_id: list(r.bpe_tokens) for r in bpe_encode(docs, got_merges).collect()}
     for did, text in texts.items():
         assert enc[did] == _py_encode(text, got_merges), did
+
+
+def test_encode_empty_doc_is_empty(spark):
+    """A zero-token document must encode to []/0 — the ADVICE r10 case:
+    it wraps to the 2-char string '\\x1f\\x1f', which the <= 2 guard
+    maps to an empty array instead of a phantom '' token."""
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "low low")], ["doc_id", "text"]
+    )
+    enc = {r.doc_id: (list(r.bpe_tokens), r.n_bpe)
+           for r in bpe_encode(docs, [("l", "o"), ("lo", "w")]).collect()}
+    assert enc[1] == ([], 0)
+    assert enc[2] == ([], 0)
+    assert enc[3][1] > 0 and enc[3][0] == _py_encode("low low", [("l", "o"), ("lo", "w")])
 
 
 def test_encode_is_lossless(spark):
