@@ -1175,6 +1175,16 @@ _SIMHASH_ORACLE = f"""
 # over.  The sf0.01/sf0.001 oracle corpora (≤ 5k docs) sit far below
 # the boundary, so the driver hash contract is unchanged.
 SIM64_MAX_DOCS = 150_000
+# Stats-based equivalent of the same boundary (round 11, VERDICT r10
+# item 5): the registered q74 dispatches on Catalyst's plan size
+# estimate (plans/inspect.plan_size_bytes — file size for parquet
+# scans, ZERO I/O) instead of a full docs.count() scan per invocation.
+# The test corpora measure ~150 compressed bytes/doc (sf3 = 150k docs
+# = 22.5 MB, sf10 = 500k = 75 MB), so 32 MiB ≈ 210k docs sits between
+# the sf3 regime (sim64 still runs, as under the count gate) and sf10
+# (sim64 empty) with margin for stats fuzz.  count() remains the
+# stats-absent fallback only.
+SIM64_MAX_BYTES = 32 * 1024 * 1024
 
 
 def _block_value(off: int, width: int) -> Column:
@@ -1229,11 +1239,15 @@ def q74_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     All key-partitioned equi-joins; candidate mass tracks bucket
     collisions, not corpus size squared.
 
-    Scale regime (round 10): above SIM64_MAX_DOCS documents the sim64
-    section returns EMPTY (its 13-bit buckets go quadratic there — see
-    the boundary constant's derivation) and sim120, whose 24-bit buckets
-    stay survivable, carries the result alone.  The corpus size is read
-    with one count() over the scan (row-group metadata, no column IO).
+    Scale regime (round 10; stats-dispatched round 11): above the
+    corpus-size boundary the sim64 section returns EMPTY (its 13-bit
+    buckets go quadratic there — see the boundary constant's
+    derivation) and sim120, whose 24-bit buckets stay survivable,
+    carries the result alone.  The size is read from Catalyst's plan
+    estimate (SIM64_MAX_BYTES — zero I/O, same dispatch as the
+    ppjoin/q75b verify regimes); a count() over the scan is only the
+    stats-absent fallback, so a registered q74 run no longer pays a
+    full extra corpus scan for the gate (VERDICT r10 item 5).
 
     Cache contract (same class as ``minhash_verified_pairs``): the
     sketch frame persist()ed below stays resident for the session after
@@ -1242,7 +1256,10 @@ def q74_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent passes should spark.catalog.clearCache() between them
     (the bench does exactly this per entry)."""
     docs = spread_small_scan(load_table(spark, sf_dir, "documents"))
-    n_docs = docs.count()
+    size = _plan_size_bytes(docs)
+    sim64_gated = (
+        size > SIM64_MAX_BYTES if size is not None else docs.count() > SIM64_MAX_DOCS
+    )
     # persist() the sketch table (one ~24-byte row per doc — ~24 GB per
     # BILLION docs, trivially cache-able cluster-wide): the probe and
     # value sides of both bucket self-joins read it, and without a
@@ -1254,9 +1271,10 @@ def q74_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Join shape, hinting rationale, and the filter-before-distinct
     # ordering live in _pigeonhole_pairs (shared by both widths).
     p64 = _pigeonhole_pairs(sims64, SIMHASH_BLOCKS, _block_value, simhash_hamming)
-    if n_docs > SIM64_MAX_DOCS:
+    if sim64_gated:
         warnings.warn(
-            f"q74: corpus has {n_docs} docs > SIM64_MAX_DOCS={SIM64_MAX_DOCS}; "
+            f"q74: corpus is above the sim64 scale boundary "
+            f"(plan estimate {size} B > SIM64_MAX_BYTES={SIM64_MAX_BYTES}); "
             "the sim64 section is empty at this scale — use the sim120 rows",
             RuntimeWarning,
             stacklevel=2,

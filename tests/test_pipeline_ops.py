@@ -680,12 +680,21 @@ def _cc_expected(edges):
 
 
 def _run_cc(spark, pairs):
+    """Both physical regimes — driver-local union-find (the default for
+    graphs this size) and distributed pointer jumping (forced via
+    local_max_edges=0) — must produce identical labels."""
     from emulating_hadoop_with_mpi_spark.operators.graph import connected_components
 
     sym = pairs + [(b, a) for a, b in pairs]
     edges = spark.createDataFrame(sym, "src long, dst long")
-    got = {r["node"]: r["lab"] for r in connected_components(edges).collect()}
-    assert got == _cc_expected(pairs)
+    want = _cc_expected(pairs)
+    local = {r["node"]: r["lab"] for r in connected_components(edges).collect()}
+    assert local == want
+    dist = {
+        r["node"]: r["lab"]
+        for r in connected_components(edges, local_max_edges=0).collect()
+    }
+    assert dist == want
 
 
 def test_connected_components_long_chain(spark):
@@ -714,7 +723,7 @@ def test_connected_components_nonconvergence_raises(spark):
     sym = pairs + [(b, a) for a, b in pairs]
     edges = spark.createDataFrame(sym, "src long, dst long")
     with pytest.raises(RuntimeError, match="converge"):
-        connected_components(edges, max_rounds=2)
+        connected_components(edges, max_rounds=2, local_max_edges=0)
 
 
 def test_minhash_partitioned_regime_never_broadcasts_sets(spark, sf_dir):
@@ -769,11 +778,17 @@ def test_connected_components_empty_and_selfloop(spark):
 
     empty = spark.createDataFrame([], "src long, dst long")
     assert connected_components(empty).count() == 0
+    assert connected_components(empty, local_max_edges=0).count() == 0
 
     pairs = [(5, 5), (5, 6), (6, 5), (6, 6)]
     edges = spark.createDataFrame(pairs, "src long, dst long")
-    got = {r["node"]: r["lab"] for r in connected_components(edges).collect()}
-    assert got == {5: 5, 6: 5}
+    for lme in (None, 0):
+        kw = {} if lme is None else {"local_max_edges": lme}
+        got = {
+            r["node"]: r["lab"]
+            for r in connected_components(edges, **kw).collect()
+        }
+        assert got == {5: 5, 6: 5}
 
 
 def test_decontaminate_short_benchmark_flags_nothing(spark, sf_dir):
@@ -803,19 +818,36 @@ def test_semantic_neardup_tau_is_honored(spark, sf_dir):
 
 
 def test_q74_sim64_size_gate(spark, sf_dir, monkeypatch):
-    """Above SIM64_MAX_DOCS the registered q74 must degrade gracefully:
-    the sim64 section comes back EMPTY (its 13-bit buckets are quadratic
-    at that scale — boundary derivation at the constant) while sim120
-    still carries the full result.  Simulated by lowering the boundary
-    below the fixture corpus size; the gate itself must warn."""
+    """Above the corpus-size boundary the registered q74 must degrade
+    gracefully: the sim64 section comes back EMPTY (its 13-bit buckets
+    are quadratic at that scale — boundary derivation at the constant)
+    while sim120 still carries the full result.  Simulated by lowering
+    the byte boundary below the fixture corpus size; the gate itself
+    must warn.  The dispatch reads Catalyst's plan size estimate — no
+    count() scan — so BOTH boundaries are lowered to prove whichever
+    branch fires does so without the other's constant mattering."""
     from emulating_hadoop_with_mpi_spark.functions import dedup
 
+    monkeypatch.setattr(dedup, "SIM64_MAX_BYTES", 3)
     monkeypatch.setattr(dedup, "SIM64_MAX_DOCS", 3)
     with pytest.warns(RuntimeWarning, match="sim64 section is empty"):
         rows = q74_simhash_neardup(spark, sf_dir).collect()
     assert not [r for r in rows if r.method == "sim64"]
     sim120 = {(r.doc_a, r.doc_b) for r in rows if r.method == "sim120"}
     assert sim120, "sim120 must survive the sim64 size gate"
+
+
+def test_q74_gate_reads_stats_not_a_scan(spark, sf_dir):
+    """The sim64 gate must come from plan_size_bytes (zero-I/O Catalyst
+    stats) on a parquet-backed corpus — stats must be available so the
+    count() fallback never fires for registered runs."""
+    from emulating_hadoop_with_mpi_spark.plans.inspect import plan_size_bytes
+    from emulating_hadoop_with_mpi_spark.sources.tables import load_table
+    from emulating_hadoop_with_mpi_spark.sources.tables import spread_small_scan
+
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents"))
+    size = plan_size_bytes(docs)
+    assert size is not None and size > 0
 
 
 def test_simhash120_token_cap_guard(spark):

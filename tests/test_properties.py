@@ -265,7 +265,14 @@ def test_connected_components_equals_union_find(spark, edges):
 
     sym = edges + [(b, a) for a, b in edges]
     df = spark.createDataFrame(sym, "src long, dst long")
-    got = {r["node"]: r["lab"] for r in connected_components(df).collect()}
+    # local_max_edges=0 forces the DISTRIBUTED pointer-jumping path —
+    # these graphs are all below the local-regime boundary, and the
+    # local path is a union-find itself (pinned vs this one in
+    # test_pipeline_ops._run_cc's both-regimes sweep)
+    got = {
+        r["node"]: r["lab"]
+        for r in connected_components(df, local_max_edges=0).collect()
+    }
     assert got == want
 
 
