@@ -131,7 +131,7 @@ SPAN_MIN_COUNT = 2
         -- per-row unnest(generate_series) bound: exact for ANY document
         -- length (the earlier range(1, 65536) cross product silently
         -- missed spans past token 65,535+{SPAN_N - 1} — ADVICE r10)
-        SELECT doc_id,
+        SELECT doc_id, pos,
                array_to_string(t[CAST(pos AS INT):CAST(pos + {SPAN_N - 1} AS INT)], ' ') AS span
         FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - {SPAN_N - 1})) AS pos
               FROM toks)
@@ -143,7 +143,22 @@ SPAN_MIN_COUNT = 2
     perdoc AS (
         SELECT sp.doc_id, COUNT(*) AS n_dup_spans, MAX(dup.cnt) AS max_span_count
         FROM sp JOIN dup USING (span) GROUP BY sp.doc_id
-    )
+    ),
+    occ AS (
+        -- keep-first cut rule: occurrences of each duplicated span
+        -- ranked corpus-wide by (doc_id, pos); rank 1 survives, the
+        -- rest become cut starts (remove_duplicate_spans semantics)
+        SELECT sp.doc_id, sp.pos,
+               ROW_NUMBER() OVER (PARTITION BY sp.span
+                                  ORDER BY sp.doc_id, sp.pos) AS rk
+        FROM sp JOIN dup USING (span)
+    ),
+    cutpos AS (
+        -- union of the cut intervals [pos, pos + {SPAN_N}) per doc
+        SELECT DISTINCT doc_id, pos + ofs AS i
+        FROM (SELECT doc_id, pos FROM occ WHERE rk > 1), range(0, {SPAN_N}) r(ofs)
+    ),
+    cutcnt AS (SELECT doc_id, COUNT(*) AS n_cut FROM cutpos GROUP BY doc_id)
     SELECT method, keeper_doc_id, n_copies FROM (
         SELECT 'exact' AS method, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
         FROM documents GROUP BY text
@@ -156,6 +171,10 @@ SPAN_MIN_COUNT = 2
         UNION ALL
         SELECT 'span_max' AS method, doc_id AS keeper_doc_id, max_span_count AS n_copies
         FROM perdoc
+        UNION ALL
+        SELECT 'span_cut' AS method, toks.doc_id AS keeper_doc_id,
+               len(t) - COALESCE(n_cut, 0) AS n_copies
+        FROM toks LEFT JOIN cutcnt ON toks.doc_id = cutcnt.doc_id
     ) ORDER BY method, keeper_doc_id
     """,
 )
@@ -172,6 +191,16 @@ def q70_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
       corpus-wide occurrence count among them (span_max).  One pipeline
       pass serves both sections (stack() splits the per-doc aggregate
       into two tagged rows — no second token-stream scan).
+    - span_cut (round 11, VERDICT r10 item 2): the REMEDIATION step —
+      ``remove_duplicate_spans``'s keep-first cut applied to every doc,
+      reported as one row per document with its POST-CUT token count.
+      The oracle re-derives the keep-first cut positions (rank > 1
+      occurrences of each duplicated span, union of their [pos, pos+n)
+      intervals) with the same generate_series window machinery, so the
+      driver hash covers the function that actually rewrites training
+      data, not just the detection gate.  All three span sections read
+      ONE persisted duplicate_spans frame (the `spans=` injection) —
+      the two token-stream exchanges run once for the whole union.
 
     Both branches GROUP BY a 64-bit xxhash64 digest of the (normalized)
     text, not the text itself: the shuffle carries 8-byte keys instead of
@@ -196,8 +225,15 @@ def q70_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
         .select(F.lit("normalized").alias("method"), "keeper_doc_id", "n_copies")
     )
+    # one shared duplicate_spans pass for all three span sections;
+    # persist() stays resident for the session (same contract as q74's
+    # sketch frame — the union is lazy, so the builder cannot unpersist
+    # what the driver hasn't read; the bench clearCache()s per entry)
+    spans_fp = duplicate_spans(docs, n=SPAN_N, min_count=SPAN_MIN_COUNT).persist()
     span = (
-        flag_span_duplicated_docs(docs, n=SPAN_N, min_count=SPAN_MIN_COUNT)
+        flag_span_duplicated_docs(
+            docs, n=SPAN_N, min_count=SPAN_MIN_COUNT, spans=spans_fp
+        )
         .selectExpr(
             "doc_id AS keeper_doc_id",
             "stack(2, 'span_ndup', n_dup_spans, 'span_max', max_span_count)"
@@ -205,13 +241,20 @@ def q70_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("method", "keeper_doc_id", "n_copies")
     )
+    span_cut = remove_duplicate_spans(
+        docs, n=SPAN_N, min_count=SPAN_MIN_COUNT, spans=spans_fp
+    ).select(
+        F.lit("span_cut").alias("method"),
+        F.col("doc_id").alias("keeper_doc_id"),
+        F.size(tokens_col()).cast("bigint").alias("n_copies"),
+    )
     # No trailing global sort: the result is a corpus-sized ledger (one
     # row per distinct text), and a total order over it is exactly the
     # 100 TB anti-pattern — a full range-partitioned sort of the whole
     # output for presentation only.  The driver's hash compare is
     # order-insensitive (the oracle keeps its ORDER BY for readability);
     # measured r10: the sort cost ~0.25 s of q70's 1.2 s at sf0.1.
-    return exact.unionByName(normalized).unionByName(span)
+    return exact.unionByName(normalized).unionByName(span).unionByName(span_cut)
 
 
 def shingles_df(docs: DataFrame, n: int = 3) -> DataFrame:
@@ -1395,14 +1438,21 @@ def duplicate_spans(
 
 
 def flag_span_duplicated_docs(
-    docs: DataFrame, n: int = 20, min_count: int = 2
+    docs: DataFrame,
+    n: int = 20,
+    min_count: int = 2,
+    spans: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, n_dup_spans, max_span_count): one row per document that
     contains at least one corpus-duplicated n-token span — the document-
     level gate over ``duplicate_spans`` (anti-join against this to drop
-    boilerplate carriers, or use n_dup_spans as a filter feature)."""
+    boilerplate carriers, or use n_dup_spans as a filter feature).
+
+    ``spans`` lets a caller that ALSO runs the cut path (q70's union)
+    inject one shared — typically persisted — ``duplicate_spans`` frame
+    so the two token-stream exchanges run once, not once per section."""
     return (
-        duplicate_spans(docs, n=n, min_count=min_count)
+        (spans if spans is not None else duplicate_spans(docs, n=n, min_count=min_count))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_dup_spans"),
@@ -1412,7 +1462,11 @@ def flag_span_duplicated_docs(
 
 
 def remove_duplicate_spans(
-    docs: DataFrame, n: int = 20, min_count: int = 2, keep_first: bool = True
+    docs: DataFrame,
+    n: int = 20,
+    min_count: int = 2,
+    keep_first: bool = True,
+    spans: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, text): the corpus with corpus-duplicated n-token spans CUT
     from each document — the remediation step over ``duplicate_spans``
@@ -1427,8 +1481,13 @@ def remove_duplicate_spans(
     groupBy doc_id to collect that doc's flagged positions (dup-bounded,
     tiny next to the corpus).  The rewrite itself is a per-row JVM
     filter-by-index over the token array — flagged docs only; untouched
-    docs keep their original text byte-for-byte via the left join."""
-    spans = duplicate_spans(docs, n=n, min_count=min_count)
+    docs keep their original text byte-for-byte via the left join.
+
+    ``spans`` — same shared-frame injection as
+    ``flag_span_duplicated_docs`` (q70 passes one persisted
+    duplicate_spans result to both sections)."""
+    if spans is None:
+        spans = duplicate_spans(docs, n=n, min_count=min_count)
     if keep_first:
         w = Window.partitionBy("span_hash").orderBy("doc_id", "pos")
         spans = spans.withColumn("rk", F.row_number().over(w)).filter(
