@@ -699,23 +699,121 @@ def main() -> None:
 
         sf10_pass()
         sf10_pass()
-        for name in ("q70_dedup_exact", "q73_minhash_lsh_neardup"):
-            if f"sf1_{name}" in extras and f"sf10_{name}" in extras:
-                extras[f"slope3_{name}"] = round(
-                    extras[f"sf10_{name}"] / extras[f"sf1_{name}"], 2
-                )
-        if "sf1_ppjoin_pairs" in extras and "sf10_ppjoin_pairs" in extras:
-            extras["slope3_ppjoin_pairs"] = round(
-                extras["sf10_ppjoin_pairs"] / extras["sf1_ppjoin_pairs"], 2
-            )
-        if "simhash120_neardup" in extras and "sf10_simhash120_neardup" in extras:
-            extras["slope_sf0.1_sf10_simhash120"] = round(
-                extras["sf10_simhash120_neardup"] / extras["simhash120_neardup"], 2
-            )
-        if "sf1_simhash120_neardup" in extras and "sf10_simhash120_neardup" in extras:
-            extras["slope3_simhash120_neardup"] = round(
-                extras["sf10_simhash120_neardup"] / extras["sf1_simhash120_neardup"], 2
-            )
+
+        # Stage attribution for q70 at the decade (VERDICT r10 item 4):
+        # which section family absorbs the sf10 cost — the hash-groupBy
+        # ledger sections, the two token-stream span exchanges, or the
+        # flag+cut consumers of the cached span frame.
+        from emulating_hadoop_with_mpi_spark.functions.dedup import (
+            SPAN_MIN_COUNT,
+            SPAN_N,
+            _norm_text as _q70_norm_text,
+            flag_span_duplicated_docs,
+        )
+
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        exact_part = sf10_docs.groupBy(F.xxhash64("text")).agg(
+            F.min("doc_id"), F.count(F.lit(1))
+        )
+        norm_part = sf10_docs.select(F.xxhash64(_q70_norm_text()).alias("k")).groupBy(
+            "k"
+        ).agg(F.count(F.lit(1)))
+        exact_part.write.format("noop").mode("overwrite").save()
+        norm_part.write.format("noop").mode("overwrite").save()
+        extras["sf10_q70_stage1_exact_norm"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        sf10_spans = duplicate_spans(
+            sf10_docs, n=SPAN_N, min_count=SPAN_MIN_COUNT
+        ).cache()
+        sf10_spans.count()
+        extras["sf10_q70_stage2_span_exchanges"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        flag_span_duplicated_docs(sf10_docs, spans=sf10_spans).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        remove_duplicate_spans(
+            sf10_docs.select("doc_id", "text"), n=SPAN_N, spans=sf10_spans
+        ).write.format("noop").mode("overwrite").save()
+        extras["sf10_q70_stage3_flag_and_cut"] = round(time.perf_counter() - t0, 3)
+        sf10_spans.unpersist()
+        spark.catalog.clearCache()
+
+    # --- Second NON-CONSECUTIVE pass (VERDICT r10 items 1 + 8) over
+    # (a) every leg that feeds a gated slope ratio — one striped
+    # single-sample denominator can flip a gate on green code — and
+    # (b) the noisy single-rep extras, so A/B claims about them stop
+    # depending on NOTES forensics.  run_entry merges repeats by min;
+    # all ratios are recomputed from the per-leg minima afterwards. ---
+    if os.path.isdir(sf1_dir):
+        run_entry(
+            "sf1_q71_fuzzy_dedup",
+            lambda: registry["q71_fuzzy_dedup_pipeline"].fn(spark, sf1_dir),
+            extras,
+            reps=1,
+        )
+        run_entry(
+            "sf1_simhash120_neardup",
+            lambda: simhash120_neardup_pairs(load_table(spark, sf1_dir, "documents")),
+            extras,
+            reps=1,
+        )
+        run_entry(
+            "sf1_q70_dedup_exact",
+            lambda: registry["q70_dedup_exact"].fn(spark, sf1_dir),
+            extras,
+            reps=1,
+        )
+        # q75b union (pairs + SemDeDup drop) a decade up — the CC stage's
+        # scale leg (VERDICT r10 item 3 done-criterion)
+        run_entry(
+            "sf1_semantic_neardup_lsh",
+            lambda: registry["q75b_semantic_neardup_lsh"].fn(spark, sf1_dir),
+            extras,
+            reps=1,
+        )
+    if os.path.isdir(sf3_dir):
+        run_entry(
+            "sf3_q71_fuzzy_dedup",
+            lambda: registry["q71_fuzzy_dedup_pipeline"].fn(spark, sf3_dir),
+            extras,
+            reps=1,
+        )
+    run_entry(
+        "matmul_auto_2048",
+        lambda: _mm_auto(big_a, big_b, dims=(2048, 2048, 2048)),
+        extras,
+        reps=1,
+    )
+    run_entry(
+        "matmul_auto_rect_128x4096x4096",
+        lambda: _mm_auto(rect_a, rect_b, dims=(128, 4096, 4096)),
+        extras,
+        reps=1,
+    )
+    run_entry(
+        "bpe_train_encode_48",
+        lambda: bpe_encode(
+            sf_docs.select("doc_id", "text"),
+            bpe_train(sf_docs.select("doc_id", "text"), num_merges=48),
+        ),
+        extras,
+        reps=1,
+    )
+
+    # every slope ratio that involves a re-runnable leg, recomputed from
+    # the final per-leg minima (min-of-2-non-consecutive on BOTH sides)
+    for slope, num, den in (
+        ("slope2_q71_fuzzy_dedup", "sf3_q71_fuzzy_dedup", "sf1_q71_fuzzy_dedup"),
+        ("slope3_simhash120_neardup", "sf10_simhash120_neardup", "sf1_simhash120_neardup"),
+        ("slope_sf0.1_sf10_simhash120", "sf10_simhash120_neardup", "simhash120_neardup"),
+        ("slope3_q70_dedup_exact", "sf10_q70_dedup_exact", "sf1_q70_dedup_exact"),
+        ("slope3_q73_minhash_lsh_neardup", "sf10_q73_minhash_lsh_neardup", "sf1_q73_minhash_lsh_neardup"),
+        ("slope3_ppjoin_pairs", "sf10_ppjoin_pairs", "sf1_ppjoin_pairs"),
+        ("slope_semantic_neardup_lsh", "sf1_semantic_neardup_lsh", "semantic_neardup_lsh"),
+    ):
+        if num in extras and den in extras and extras[den]:
+            extras[slope] = round(extras[num] / extras[den], 2)
 
     # Closing canary: drift DURING the run (start vs end) is itself signal —
     # NOTES r8's afternoon throttling would have shown as end/start > 1.2.
@@ -808,6 +906,17 @@ def main() -> None:
             "raw": s, "value": s, "threshold": 4.0,
             "pass": s <= 4.0, "status": "pass" if s <= 4.0 else "fail",
         }
+    # q70's decade drift gate (VERDICT r10 item 4): the 6-section union's
+    # sf10/sf1 ratio — the span family is the worst mover in the dedup
+    # basket, so it gets the same ≤ 6 ceiling as sim120 (10× data).
+    if "slope3_q70_dedup_exact" in extras and "sf1_q70_dedup_exact" in extras:
+        s_raw = extras["slope3_q70_dedup_exact"]
+        s_norm = round(
+            _norm("sf10_q70_dedup_exact", extras["sf10_q70_dedup_exact"])
+            / _norm("sf1_q70_dedup_exact", extras["sf1_q70_dedup_exact"]),
+            2,
+        )
+        gates["slope3_q70_max_6"] = _gate("sf10_q70_dedup_exact", s_raw, s_norm, 6.0)
 
     # A broken headline query must never read as a speedup: if any HEADLINE
     # entry errored, the ratchet metric is invalid for this run.

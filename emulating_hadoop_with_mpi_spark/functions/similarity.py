@@ -313,12 +313,15 @@ def semantic_neardup_pairs(
     cosine = F.col("dot").cast("double") / F.sqrt(
         F.col("na").cast("double") * F.col("nb").cast("double")
     )
+    # no trailing sort: the pair list is an unordered ledger (the q70
+    # lesson — a corpus-wide range sort for presentation only); q75b's
+    # union applies its own final ORDER BY and every test consumer
+    # compares order-insensitively
     return (
         joined
         .withColumn("dot", dot_q(F.col("qa"), F.col("qb")))
         .filter(cosine >= tau)
         .select("vec_a", "vec_b", F.round(cosine, 6).alias("cosine"))
-        .orderBy("vec_a", "vec_b")
     )
 
 

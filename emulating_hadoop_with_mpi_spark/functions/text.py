@@ -580,40 +580,77 @@ def q83_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BM25 section of q84 (round 11): the fixed query set + k shared by the
+# Spark side and the oracle.  The strings hit the synthetic corpus
+# vocabulary, so the section is non-vacuous at every SF.
+BM25_SECTION_QUERIES = ("spark hash join", "table scan fast", "window sort")
+BM25_SECTION_K = 10
+
+
+def _bm25_section_oracle() -> str:
+    from emulating_hadoop_with_mpi_spark.functions.search import bm25_oracle_sql
+
+    qlist = ", ".join(f"'{q}'" for q in BM25_SECTION_QUERIES)
+    return f"""
+        SELECT 'bm25' AS method, doc_id,
+               ([{qlist}])[query_id + 1] AS term,
+               CAST(NULL AS BIGINT) AS tf, CAST(NULL AS BIGINT) AS df,
+               score, rank AS rnk
+        FROM ({bm25_oracle_sql(list(BM25_SECTION_QUERIES), k=BM25_SECTION_K)})
+    """
+
+
 @query(
     "q84_tfidf_top_terms",
     oracle=f"""
-    WITH tok AS (
-        SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents
-    ),
-    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
-    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
-    n AS (SELECT COUNT(*) AS n_docs FROM documents WHERE len({_SQL_TOKENS}) > 0),
-    scored AS (
-        SELECT doc_id, term, tf, df,
-               ROUND(CAST(tf * n_docs AS DOUBLE) / df, 6) AS score
-        FROM tf JOIN df USING (term), n
-    )
-    SELECT doc_id, term, tf, df, score, CAST(rnk AS INT) AS rnk FROM (
-        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
-                                     ORDER BY score DESC, term) AS rnk
-        FROM scored
-    ) WHERE rnk <= 5
-    ORDER BY doc_id, rnk
+    SELECT method, doc_id, term, tf, df, score, rnk FROM (
+        SELECT 'tfidf' AS method, doc_id, term, tf, df, score, rnk FROM (
+            WITH tok AS (
+                SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents
+            ),
+            tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+            df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+            n AS (SELECT COUNT(*) AS n_docs FROM documents WHERE len({_SQL_TOKENS}) > 0),
+            scored AS (
+                SELECT doc_id, term, tf, df,
+                       ROUND(CAST(tf * n_docs AS DOUBLE) / df, 6) AS score
+                FROM tf JOIN df USING (term), n
+            )
+            SELECT doc_id, term, tf, df, score, CAST(rnk AS INT) AS rnk FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                             ORDER BY score DESC, term) AS rnk
+                FROM scored
+            ) WHERE rnk <= 5
+        )
+        UNION ALL
+        {_bm25_section_oracle()}
+    ) ORDER BY method, doc_id, rnk
     """,
 )
 def q84_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TF-IDF top-5 terms per document with a LINEAR idf (tf·N/df): the
-    score stays a single division of exact integers, so the ranking is
-    bit-identical across engines (log-based idf differs in the last ulp
-    between libm implementations — linear idf ranks identically for a
-    fixed corpus).  Plan shape: one explode + two hash aggregates + a
-    df join + per-doc window top-k.  The df table is O(vocabulary): it
-    broadcasts below the corpus-size boundary (wins single-node) and pins
-    shuffle_hash above it — df is already hash-partitioned by term from
-    its own groupBy, and broadcasting a 100 TB corpus' vocabulary to
-    every executor is the same stats-class failure as the dedup verify
-    joins (plans/inspect.plan_size_bytes dispatch)."""
+    """Corpus text-scoring, method-tagged (the q70/q74 union convention):
+
+    - 'tfidf': TF-IDF top-5 terms per document with a LINEAR idf
+      (tf·N/df) — the score stays a single division of exact integers,
+      so the ranking is bit-identical across engines (log-based idf
+      differs in the last ulp between libm implementations — linear idf
+      ranks identically for a fixed corpus).  Plan shape: one explode +
+      two hash aggregates + a df join + per-doc window top-k.  The df
+      table is O(vocabulary): it broadcasts below the corpus-size
+      boundary (wins single-node) and pins shuffle_hash above it — df
+      is already hash-partitioned by term from its own groupBy, and
+      broadcasting a 100 TB corpus' vocabulary to every executor is the
+      same stats-class failure as the dedup verify joins
+      (plans/inspect.plan_size_bytes dispatch).
+    - 'bm25' (round 11, VERDICT r10 item 7): Okapi BM25 top-10 docs per
+      query for the fixed BM25_SECTION_QUERIES set — ``bm25_topk``
+      (functions/search.py), TF-IDF's query-time sibling, promoted from
+      parity-test-only onto the driver-checked surface.  Its columns
+      map onto the shared schema as (term = the query string,
+      tf/df = NULL, rnk = the per-query rank); the oracle embeds
+      ``bm25_oracle_sql`` — the same DuckDB twin the local parity test
+      pins at sf0.001/sf0.01."""
+    from emulating_hadoop_with_mpi_spark.functions.search import bm25_topk
     from emulating_hadoop_with_mpi_spark.plans.inspect import plan_size_bytes
 
     docs = load_table(spark, sf_dir, "documents")
@@ -647,12 +684,25 @@ def q84_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
-    return (
+    tfidf_rows = (
         scored.withColumn("rnk", F.row_number().over(w).cast("int"))
         .filter(F.col("rnk") <= 5)
-        .select("doc_id", "term", "tf", "df", "score", "rnk")
-        .orderBy("doc_id", "rnk")
+        .select(
+            F.lit("tfidf").alias("method"),
+            "doc_id", "term", "tf", "df", "score", "rnk",
+        )
     )
+    qarr = F.array(*[F.lit(q) for q in BM25_SECTION_QUERIES])
+    bm25_rows = bm25_topk(docs, list(BM25_SECTION_QUERIES), k=BM25_SECTION_K).select(
+        F.lit("bm25").alias("method"),
+        "doc_id",
+        F.element_at(qarr, F.col("query_id") + 1).alias("term"),
+        F.lit(None).cast("long").alias("tf"),
+        F.lit(None).cast("long").alias("df"),
+        "score",
+        F.col("rank").alias("rnk"),
+    )
+    return tfidf_rows.unionByName(bm25_rows).orderBy("method", "doc_id", "rnk")
 
 
 # ---------------------------------------------------------------------------

@@ -194,14 +194,16 @@ def test_tfidf_df_join_dispatches_by_corpus_size(spark, sf_dir):
     from emulating_hadoop_with_mpi_spark.registry import all_queries
 
     q = all_queries()["q84_tfidf_top_terms"]
-    small_rows = sorted(map(tuple, q.fn(spark, sf_dir).collect()))
+    # key=repr: the bm25 section carries NULL tf/df (round 11), which
+    # plain tuple ordering cannot compare against the tfidf ints
+    small_rows = sorted(map(tuple, q.fn(spark, sf_dir).collect()), key=repr)
     orig = tx.TFIDF_PARTITIONED_BYTES
     try:
         tx.TFIDF_PARTITIONED_BYTES = 1
         part = q.fn(spark, sf_dir)
         plan = part._jdf.queryExecution().executedPlan().toString()
         assert "ShuffledHashJoin" in plan
-        assert sorted(map(tuple, part.collect())) == small_rows
+        assert sorted(map(tuple, part.collect()), key=repr) == small_rows
     finally:
         tx.TFIDF_PARTITIONED_BYTES = orig
 
