@@ -764,6 +764,12 @@ def main() -> None:
             extras,
             reps=1,
         )
+        run_entry(
+            "sf1_q73_minhash_lsh_neardup",
+            lambda: registry["q73_minhash_lsh_neardup"].fn(spark, sf1_dir),
+            extras,
+            reps=1,
+        )
         # q75b union (pairs + SemDeDup drop) a decade up — the CC stage's
         # scale leg (VERDICT r10 item 3 done-criterion)
         run_entry(
