@@ -168,22 +168,58 @@ def matmul_block(a: DataFrame, b: DataFrame, block: int = 128) -> DataFrame:
                 aj = np.asarray(r.aj) % blk
                 bi = np.asarray(r.bi_) % blk
                 bj = np.asarray(r.bj_) % blk
-                A = np.zeros((blk, blk), dtype=np.int64)
-                B = np.zeros((blk, blk), dtype=np.int64)
-                # add.at, not fancy-index assignment: duplicate COO
-                # coordinates must SUM (as matmul_coo/matmul_mapreduce do),
-                # not last-write-wins.
-                np.add.at(A, (ai, aj), np.asarray(r.av, dtype=np.int64))
-                np.add.at(B, (bi, bj), np.asarray(r.bv, dtype=np.int64))
-                C = A @ B
-                ii, kk = np.nonzero(C)
+                av = np.asarray(r.av, dtype=np.int64)
+                bv = np.asarray(r.bv, dtype=np.int64)
+                # EXACTNESS-GATED BLAS dispatch (round 11): float64
+                # `A @ B` runs dgemm — vectorized, measured ~an order
+                # of magnitude faster than NumPy's single-threaded
+                # int64 matmul loop — and is EXACT while every
+                # intermediate stays under the 53-bit mantissa:
+                # (1) tile build via bincount scatter-add is exact if
+                #     Σ|values| per input < 2^53 (bounds every partial
+                #     sum, cancellation included);
+                # (2) the GEMM is exact if maxA·maxB·blk < 2^53,
+                #     checked against the BUILT tiles so
+                #     duplicate-summed cells are covered.
+                # Either gate failing falls back to the exact int64
+                # path (add.at + integer matmul) — correctness never
+                # depends on the data being small, only speed does.
+                lim = float(1 << 53)
+                if np.abs(av).sum() < lim and np.abs(bv).sum() < lim:
+                    # bincount over flattened indices == scatter-add
+                    # with duplicate COO coordinates SUMMED (as
+                    # matmul_coo/matmul_mapreduce do)
+                    A = np.bincount(
+                        ai * blk + aj, weights=av.astype(np.float64),
+                        minlength=blk * blk,
+                    ).reshape(blk, blk)
+                    B = np.bincount(
+                        bi * blk + bj, weights=bv.astype(np.float64),
+                        minlength=blk * blk,
+                    ).reshape(blk, blk)
+                    if np.abs(A).max() * np.abs(B).max() * blk < lim:
+                        C = A @ B
+                        ii, kk = np.nonzero(C)
+                        vv = C[ii, kk].astype(np.int64)
+                    else:
+                        C = A.astype(np.int64) @ B.astype(np.int64)
+                        ii, kk = np.nonzero(C)
+                        vv = C[ii, kk]
+                else:
+                    A = np.zeros((blk, blk), dtype=np.int64)
+                    B = np.zeros((blk, blk), dtype=np.int64)
+                    np.add.at(A, (ai, aj), av)
+                    np.add.at(B, (bi, bj), bv)
+                    C = A @ B
+                    ii, kk = np.nonzero(C)
+                    vv = C[ii, kk]
                 if ii.size:
                     outs.append(
                         pd.DataFrame(
                             {
                                 "i": ii + r.bi * blk,
                                 "k": kk + r.bj * blk,
-                                "v": C[ii, kk],
+                                "v": vv,
                             }
                         )
                     )
