@@ -912,30 +912,24 @@ def main() -> None:
             "raw": s, "value": s, "threshold": 4.0,
             "pass": s <= 4.0, "status": "pass" if s <= 4.0 else "fail",
         }
-    # q70's decade drift gates (VERDICT r10 item 4).  Calibration note:
-    # a sim120-style slope ≤ 6 was tried first and is WRONG for q70 —
-    # its dominant sections (the span token-stream exchanges, measured
-    # 10.8 of 9.7 s via the stage legs) scale linearly in tokens while
-    # the sf1 leg is startup-dominated (~1.0-1.5 s), so a LINEAR q70
-    # reads slope ≈ 6-9 depending on how calm the tiny denominator got.
-    # The primary drift guard is therefore the ABSOLUTE sf10 ceiling
-    # (like sim120's 35 s gate): 15 s leaves ~1.5× headroom over the
-    # measured 9.7 s for the 6-section union.  The slope gate stays as
-    # the SUPERLINEARITY guard at 10 (== linear for a 10× step; above
-    # it something is quadratic).
+    # q70's decade drift gate (VERDICT r10 item 4).  Calibration history,
+    # measured on IDENTICAL code across four round-11 runs: a
+    # sim120-style slope3 gate is WRONG for q70 — its dominant sections
+    # (the span token-stream exchanges, 10.8 of 9.7 s via the stage
+    # legs) scale linearly in tokens while the sf1 denominator is
+    # startup-dominated (1.0-1.5 s), so the ratio swung
+    # 6.25/8.16/9.22/12.66 with zero code change (numerator and
+    # denominator land in different throttle windows; min-of-2 cannot
+    # couple them).  A gate that flip-flops on green code is worse than
+    # none — the r10 lesson.  The drift guard is therefore the ABSOLUTE
+    # sf10 ceiling (the sim120-35s style): 15 s ≈ 1.5× headroom over
+    # the 9.7-11.7 s min-of-2 readings of the 6-section union.
+    # slope3_q70_dedup_exact stays in extras as an informational read.
     if "sf10_q70_dedup_exact" in extras:
         t = extras["sf10_q70_dedup_exact"]
         gates["sf10_q70_registered_max_15s"] = _gate(
             "sf10_q70_dedup_exact", t, _norm("sf10_q70_dedup_exact", t), 15.0
         )
-    if "slope3_q70_dedup_exact" in extras and "sf1_q70_dedup_exact" in extras:
-        s_raw = extras["slope3_q70_dedup_exact"]
-        s_norm = round(
-            _norm("sf10_q70_dedup_exact", extras["sf10_q70_dedup_exact"])
-            / _norm("sf1_q70_dedup_exact", extras["sf1_q70_dedup_exact"]),
-            2,
-        )
-        gates["slope3_q70_max_10"] = _gate("sf10_q70_dedup_exact", s_raw, s_norm, 10.0)
 
     # A broken headline query must never read as a speedup: if any HEADLINE
     # entry errored, the ratchet metric is invalid for this run.
