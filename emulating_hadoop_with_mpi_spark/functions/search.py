@@ -49,10 +49,24 @@ def bm25_topk(
     k: int = 10,
     k1: float = BM25_K1,
     b: float = BM25_B,
+    postings: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, doc_id, rank, score): top-k documents per query string
     by BM25 over whitespace-lowercase tokens.  ``query_id`` is the
-    0-based index into ``queries``."""
+    0-based index into ``queries``.
+
+    ``postings=`` (round 12, the q70 ``spans=`` injection convention):
+    a precomputed corpus-wide (doc_id, term, tf, dl) frame — one row per
+    distinct (doc, term), ``dl`` the doc's token count.  When a caller
+    already built that frame for another consumer (q84's tfidf section
+    does), injecting it means the corpus is TOKENIZED ONCE for both
+    sections instead of once per section; corpus stats (N, avgdl) are
+    then derived from the injected frame plus a tokenize-free row count
+    of ``docs``, never a second token scan.  Standalone callers omit it
+    and keep the semi-join-before-exchange shape below — against a
+    corpus-wide frame the vocabulary filter lands after the groupBy
+    instead of before it, which only wins when the grouped frame is
+    shared."""
     from emulating_hadoop_with_mpi_spark.functions.text import tokens_col
 
     spark = docs.sparkSession
@@ -64,22 +78,43 @@ def bm25_topk(
         .distinct()
     )
 
-    staged = docs.select("doc_id", tokens_col().alias("toks"))
-    # (doc_id, term, tf, dl): one row per (doc, term) occurrence class.
-    # The broadcast semi-join against the query vocabulary BEFORE any
-    # exchange is the operative scale move: candidate postings only.
-    postings = (
-        staged.select(
-            "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term")
+    if postings is None:
+        staged = docs.select("doc_id", tokens_col().alias("toks"))
+        # (doc_id, term, tf, dl): one row per (doc, term) occurrence class.
+        # The broadcast semi-join against the query vocabulary BEFORE any
+        # exchange is the operative scale move: candidate postings only.
+        cand = (
+            staged.select(
+                "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term")
+            )
+            .join(F.broadcast(qterms.select("term").distinct()), "term", "left_semi")
+            .groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
         )
-        .join(F.broadcast(qterms.select("term").distinct()), "term", "left_semi")
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
-    )
-    stats = staged.agg(
-        F.count(F.lit(1)).alias("N"), F.avg(F.size("toks")).alias("avgdl")
-    )
-    df_tbl = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        stats = staged.agg(
+            F.count(F.lit(1)).alias("N"), F.avg(F.size("toks")).alias("avgdl")
+        )
+    else:
+        cand = postings.join(
+            F.broadcast(qterms.select("term").distinct()), "term", "left_semi"
+        )
+        # N counts ALL docs (empty ones included — the oracle's COUNT(*)
+        # over staged) but needs no tokenize: a column-pruned row count.
+        # avgdl = Σdl / N with empty docs contributing 0 — dl rides the
+        # posting frame, summed once per doc.  Arithmetic matches
+        # F.avg's long-sum + one double division bit-for-bit (totals
+        # < 2^53 — same exactness class as the tfidf score).
+        n_total = docs.agg(F.count(F.lit(1)).alias("N"))
+        sum_dl = (
+            postings.groupBy("doc_id")
+            .agg(F.max("dl").alias("dl"))
+            .agg(F.coalesce(F.sum("dl"), F.lit(0)).alias("__sdl"))
+        )
+        stats = n_total.crossJoin(F.broadcast(sum_dl)).select(
+            "N",
+            (F.col("__sdl").cast("double") / F.col("N").cast("double")).alias("avgdl"),
+        )
+    df_tbl = cand.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
 
     # idf/saturation with parenthesization pinned identically in the
     # DuckDB twin (tests/test_bm25.py)
@@ -97,7 +132,7 @@ def bm25_topk(
         )
     )
     scored = (
-        postings.join(F.broadcast(df_tbl), "term")
+        cand.join(F.broadcast(df_tbl), "term")
         .crossJoin(F.broadcast(stats))
         .join(F.broadcast(qterms), "term")
         .groupBy("query_id", "doc_id")

@@ -705,8 +705,14 @@ def q84_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
       (tf·N/df) — the score stays a single division of exact integers,
       so the ranking is bit-identical across engines (log-based idf
       differs in the last ulp between libm implementations — linear idf
-      ranks identically for a fixed corpus).  Plan shape: one explode +
-      two hash aggregates + a df join + per-doc window top-k.  The df
+      ranks identically for a fixed corpus).  Plan shape (round 12,
+      VERDICT r11 item 1): ONE logical (doc_id, term, tf, dl) posting
+      frame shared by BOTH sections — df, the corpus sizes, and bm25's
+      candidates are reductions of it.  Above the corpus boundary the
+      frame is persisted, so the text is scanned-and-tokenized exactly
+      once per run (pinned in tests/test_plans.py with the boundary
+      forced); below it consumers recompute — measured faster at toy
+      scale (NOTES r12, the persist A/B).  The df
       table is O(vocabulary): it broadcasts below the corpus-size
       boundary (wins single-node) and pins shuffle_hash above it — df
       is already hash-partitioned by term from its own groupBy, and
@@ -725,22 +731,47 @@ def q84_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from emulating_hadoop_with_mpi_spark.plans.inspect import plan_size_bytes
 
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.explode(tokens_col()).alias("term"))
-    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # ONE logical posting frame for the whole query (VERDICT r11 item 1):
+    # both sections derive from this corpus-wide (doc_id, term, tf, dl)
+    # frame — df, the corpus sizes, and bm25's candidates are all
+    # reductions of it, where the r11 plan tokenized three times (tf, df,
+    # and bm25's own postings + stats).  Whether it is also ONE PHYSICAL
+    # pass is size-dispatched (the sim64/CC regime idiom): above the
+    # corpus boundary the frame is persist()ed, so the text is scanned
+    # and tokenized exactly once (pinned in tests/test_plans.py with the
+    # boundary forced); below it the consumers recompute — MEASURED
+    # (NOTES r12): Catalyst prunes each consumer to a specialized
+    # subplan (no exchange reuse), those passes pipeline across idle
+    # cores at toy scale, and an unconditional persist cost +1.2 s of
+    # cache-build serialization at sf0.1 — slower than the r11 plan it
+    # was meant to fix.  The persisted frame stays resident for the
+    # session (the q70 spans= contract: the union is lazy, so this
+    # builder cannot unpersist what the driver hasn't read; the bench
+    # clearCache()s per entry).
+    staged = docs.select("doc_id", tokens_col().alias("toks"))
+    postings = (
+        staged.select(
+            "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term")
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+    )
     size = plan_size_bytes(docs)
-    df_side = (
-        F.broadcast(df)
-        if size is not None and size <= TFIDF_PARTITIONED_BYTES
-        else df.hint("shuffle_hash")
-    )
-    # Lazy corpus size: a broadcast 1-row aggregate instead of an eager
-    # driver-side .count() (which cost a whole extra Spark job per call).
-    n_docs = docs.filter(F.size(tokens_col()) > 0).agg(
-        F.count(F.lit(1)).alias("__n_docs")
-    )
+    small = size is not None and size <= TFIDF_PARTITIONED_BYTES
+    if not small:
+        postings = postings.persist()
+    # df is a FREE reduction of the posting frame: one row per (doc,
+    # term) means COUNT(*) per term == COUNT(DISTINCT doc_id) over the
+    # token stream — no second corpus-wide countDistinct aggregation.
+    df = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    df_side = F.broadcast(df) if small else df.hint("shuffle_hash")
+    # Lazy corpus size: docs with >= 1 token have >= 1 posting row, so
+    # the tfidf N is a 1-row countDistinct aggregate over the (cached)
+    # posting frame — no extra corpus pass, broadcast into the join.
+    n_docs = postings.agg(F.countDistinct("doc_id").alias("__n_docs"))
     scored = (
-        tf.join(df_side, "term")
+        postings.select("doc_id", "term", "tf")
+        .join(df_side, "term")
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",
@@ -764,7 +795,9 @@ def q84_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     qarr = F.array(*[F.lit(q) for q in BM25_SECTION_QUERIES])
-    bm25_rows = bm25_topk(docs, list(BM25_SECTION_QUERIES), k=BM25_SECTION_K).select(
+    bm25_rows = bm25_topk(
+        docs, list(BM25_SECTION_QUERIES), k=BM25_SECTION_K, postings=postings
+    ).select(
         F.lit("bm25").alias("method"),
         "doc_id",
         F.element_at(qarr, F.col("query_id") + 1).alias("term"),
@@ -773,7 +806,12 @@ def q84_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score",
         F.col("rank").alias("rnk"),
     )
-    return tfidf_rows.unionByName(bm25_rows).orderBy("method", "doc_id", "rnk")
+    # No trailing global sort (the q70 r10 precedent): the result is
+    # ~5 rows per document — corpus-scale — and a range-partitioned
+    # total order over it is presentation only.  The driver's hash
+    # compare is order-insensitive (the oracle keeps its ORDER BY for
+    # readability).
+    return tfidf_rows.unionByName(bm25_rows)
 
 
 # ---------------------------------------------------------------------------

@@ -68,8 +68,21 @@ def plan_size_bytes(df: DataFrame) -> int | None:
     dispatch in the dedup/text scale paths: below a corpus-size boundary
     broadcast-heavy plans win single-node; above it O(corpus)-frame
     broadcasts are pinned away (they cannot survive cluster scale no
-    matter the driver heap)."""
+    matter the driver heap).
+
+    Unknown-stats sentinel (ADVICE r11): Catalyst never reports "no
+    stats" — leaves without sizes get spark.sql.defaultSizeInBytes
+    (Long.MaxValue by default) substituted, so a stats-less frame used to
+    read as "astronomically large" instead of "unknown".  Estimates at or
+    above the sentinel are mapped to None here so callers' documented
+    unknown-stats fallbacks (bounded probes, count() gates) actually
+    fire."""
     try:
-        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
     except Exception:  # noqa: BLE001 — stats are advisory; None = assume big
         return None
+    try:
+        default = int(df.sparkSession.conf.get("spark.sql.defaultSizeInBytes"))
+    except Exception:  # noqa: BLE001 — internal conf; fall back to its default
+        default = (1 << 63) - 1
+    return None if size >= default else size

@@ -60,3 +60,66 @@ def test_bm25_plan_broadcasts_query_side(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
     assert "BroadcastExchange" in plan, plan
+
+
+def test_bm25_injected_postings_equals_standalone(spark, sf_dir):
+    """The postings= injection path (q84's shared-frame contract, round
+    12) must reproduce the standalone path exactly — same candidates,
+    same df, same N/avgdl stats, same ranks — including the empty-doc
+    contribution to N (empty docs carry no postings but DO count in N)."""
+    from pyspark.sql import functions as F
+
+    from emulating_hadoop_with_mpi_spark.functions.text import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    standalone = sorted(
+        (r.query_id, r.doc_id, r.rank, r.score)
+        for r in bm25_topk(docs, QUERIES, k=10).collect()
+    )
+    staged = docs.select("doc_id", tokens_col().alias("toks"))
+    postings = (
+        staged.select(
+            "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term")
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+    )
+    injected = sorted(
+        (r.query_id, r.doc_id, r.rank, r.score)
+        for r in bm25_topk(docs, QUERIES, k=10, postings=postings).collect()
+    )
+    assert len(standalone) > 0
+    assert injected == standalone
+
+
+def test_bm25_injected_postings_counts_empty_docs_in_n(spark):
+    """N/avgdl derivation from the injected frame: a corpus with an
+    empty document must produce the SAME stats as the standalone path
+    (N includes the empty doc; its dl contributes 0 to avgdl)."""
+    from pyspark.sql import functions as F
+
+    from emulating_hadoop_with_mpi_spark.functions.text import tokens_col
+
+    docs = spark.createDataFrame(
+        [
+            (1, "needle in a haystack"),
+            (2, "needle needle sharp needle"),
+            (3, "   "),  # tokenizes to zero tokens
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    staged = docs.select("doc_id", tokens_col().alias("toks"))
+    postings = (
+        staged.select(
+            "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term")
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+    )
+    standalone = sorted(map(tuple, bm25_topk(docs, ["needle"], k=10).collect()))
+    injected = sorted(
+        map(tuple, bm25_topk(docs, ["needle"], k=10, postings=postings).collect())
+    )
+    assert injected == standalone
+    assert len(injected) == 2

@@ -231,3 +231,44 @@ def test_no_cartesian_product_in_any_registered_query(spark, sf_dir):
             offenders.append(f"{name}: row-at-a-time BatchEvalPython in plan")
     spark.catalog.clearCache()
     assert not offenders, offenders
+
+
+def test_q84_tokenizes_corpus_exactly_once_above_boundary(spark, sf_dir):
+    """q84's two sections (tfidf + bm25) share ONE posting frame
+    (VERDICT r11 item 1).  In the cluster-scale regime (corpus above
+    TFIDF_PARTITIONED_BYTES, forced here) the frame is persisted and
+    exactly one parquet scan of documents reads the text column — the
+    r11 plan tokenized the corpus three times (tf, df, and bm25's
+    postings + stats).  The only other documents scan is bm25's stats
+    row count, which reads no columns at all.  (Below the boundary the
+    consumers recompute instead — measured faster at toy scale, NOTES
+    r12; result equality across regimes is pinned by
+    test_tfidf_df_join_dispatches_by_corpus_size.)"""
+    import emulating_hadoop_with_mpi_spark.functions.text as tx
+    from emulating_hadoop_with_mpi_spark.plans.inspect import formatted_plan
+
+    orig = tx.TFIDF_PARTITIONED_BYTES
+    try:
+        tx.TFIDF_PARTITIONED_BYTES = 1
+        plan = formatted_plan(REGISTRY["q84_tfidf_top_terms"].fn(spark, sf_dir))
+    finally:
+        tx.TFIDF_PARTITIONED_BYTES = orig
+    text_scans = [
+        ln for ln in plan.splitlines() if "ReadSchema" in ln and "text" in ln
+    ]
+    assert len(text_scans) == 1, (
+        f"corpus text scanned {len(text_scans)}x:\n" + "\n".join(text_scans)
+    )
+    spark.catalog.clearCache()
+
+
+def test_plan_size_bytes_unknown_stats_is_none(spark):
+    """Catalyst substitutes spark.sql.defaultSizeInBytes (Long.MaxValue)
+    for stats-less leaves instead of reporting "unknown" — ADVICE r11:
+    plan_size_bytes must map that sentinel to None so the documented
+    count()/probe fallbacks (q74's sim64 gate, decontaminate) actually
+    fire for inline frames."""
+    from emulating_hadoop_with_mpi_spark.plans.inspect import plan_size_bytes
+
+    inline = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    assert plan_size_bytes(inline) is None
