@@ -272,3 +272,26 @@ def test_plan_size_bytes_unknown_stats_is_none(spark):
 
     inline = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     assert plan_size_bytes(inline) is None
+
+
+def test_q82_reads_corpus_at_most_three_times(spark, sf_dir):
+    """q82's five selection signals must not each re-scan the corpus
+    (VERDICT r11 item 5): the map-only signals (stopword scores,
+    n_bpe_enc) ride ONE staged projection, and the DSIR/LM profile
+    frames are persisted, so at action time the text is read at most
+    three times — staged, the DSIR bucket profile, the LM bigram
+    profile.  The plan may show one more text-reading scan node inside
+    the classifier's InMemoryRelation, but that cache was materialized
+    during training and never re-executes."""
+    from emulating_hadoop_with_mpi_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(REGISTRY["q82_lang_id"].fn(spark, sf_dir))
+    text_scans = [
+        ln
+        for ln in plan.splitlines()
+        if "ReadSchema" in ln and "text:string" in ln
+    ]
+    assert len(text_scans) <= 4, (
+        f"corpus text scanned {len(text_scans)}x:\n" + "\n".join(text_scans)
+    )
+    spark.catalog.clearCache()
