@@ -18,7 +18,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from emulating_hadoop_with_mpi_spark.functions.sampling import split_column
+from emulating_hadoop_with_mpi_spark.functions.sampling import (
+    DEFAULT_SPLITS,
+    split_column,
+)
 from emulating_hadoop_with_mpi_spark.functions.text import (
     PII_CARD_RE,
     PII_EMAIL_RE,
@@ -34,8 +37,6 @@ from emulating_hadoop_with_mpi_spark.functions.text import (
 # any chunk_idx >= factor raises inside the plan (distributed assert_true,
 # no extra action) instead of silently colliding with the next doc_id.
 CHUNK_ID_FACTOR = 1 << 20
-
-DEFAULT_SPLITS = {"train": 0.9, "val": 0.05, "test": 0.05}
 
 DECON_NGRAM = 8  # benchmark-overlap n-gram width (token n-grams)
 

@@ -17,21 +17,45 @@ from pyspark.sql import functions as F
 
 SPLIT_DENOM = 10_000  # basis points: fractions are exact to 0.01%
 
+# The canonical train/val/test carve (defined here, next to the operator
+# that implements it; functions/pipeline.py and q86's registered split
+# column both import it).
+DEFAULT_SPLITS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+def split_bucket(key_col: str | Column, salt: str = "") -> Column:
+    """Engine-portable split bucket: md5 of the key's string form (first
+    15 hex chars = 60 bits → always-non-negative long) mod SPLIT_DENOM —
+    the same Spark/DuckDB-identical digest convention as the DSIR/LM/
+    SimHash families.  Round 12 (VERDICT r11 item 3): the split moved
+    from xxhash64 to md5 so the assignment every training run trusts is
+    reproducible OUTSIDE Spark byte-for-byte — the driver's DuckDB
+    oracle re-derives it per row (q86's ``split`` column), and any
+    engine with md5 can re-audit which documents were test-set."""
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    return F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(key.cast("string"), F.lit(salt))), 1, 15),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(SPLIT_DENOM),
+    )
+
 
 def split_column(key_col: str | Column, splits: dict[str, float], salt: str = "") -> Column:
     """Label expression assigning each row to a named split by hashing its
-    key: ``xxhash64(key, salt) mod 10000`` landing in consecutive
-    basis-point ranges.  Fractions must sum to 1 (±1e-9).  Deterministic
-    in (key, salt): re-runs, repartitions, and different cluster sizes all
-    produce the identical assignment; change ``salt`` to draw a fresh
-    independent split."""
+    key: ``split_bucket(key, salt)`` (md5-derived, engine-portable)
+    landing in consecutive basis-point ranges.  Fractions must sum to 1
+    (±1e-9).  Deterministic in (key, salt): re-runs, repartitions, and
+    different cluster sizes all produce the identical assignment; change
+    ``salt`` to draw a fresh independent split."""
     if not splits:
         raise ValueError("splits must be non-empty")
     total = sum(splits.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"split fractions must sum to 1 (got {total})")
-    key = F.col(key_col) if isinstance(key_col, str) else key_col
-    bucket = F.pmod(F.xxhash64(key, F.lit(salt)), F.lit(SPLIT_DENOM))
+    bucket = split_bucket(key_col, salt=salt)
     expr = None
     cum = 0
     names = list(splits)
@@ -41,6 +65,34 @@ def split_column(key_col: str | Column, splits: dict[str, float], salt: str = ""
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     last = F.lit(names[-1])
     return (last if expr is None else expr.otherwise(names[-1])).alias("split")
+
+
+def split_oracle_case(key_sql: str, splits: dict[str, float], salt: str = "") -> str:
+    """The DuckDB twin of :func:`split_column` — a CASE expression over
+    the identical md5 bucket, for embedding in driver oracles (q86 does).
+    ``key_sql`` is the SQL expression for the key column; it is CAST to
+    VARCHAR exactly like the Spark side's ``key.cast("string")``."""
+    if not splits:
+        raise ValueError("splits must be non-empty")
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1 (got {total})")
+    if "'" in salt:
+        raise ValueError("salt must not contain single quotes")
+    bucket = (
+        f"(CAST('0x' || substring(md5(CAST({key_sql} AS VARCHAR) || '{salt}'), 1, 15)"
+        f" AS BIGINT) % {SPLIT_DENOM})"
+    )
+    names = list(splits)
+    if len(names) == 1:
+        return f"'{names[0]}'"
+    parts = ["CASE"]
+    cum = 0
+    for name in names[:-1]:
+        cum += int(round(splits[name] * SPLIT_DENOM))
+        parts.append(f"WHEN {bucket} < {cum} THEN '{name}'")
+    parts.append(f"ELSE '{names[-1]}' END")
+    return " ".join(parts)
 
 
 def hash_split(
