@@ -357,7 +357,7 @@ def main() -> None:
         "bpe_train_encode_48",
         lambda: bpe_encode(
             sf_docs.select("doc_id", "text"),
-            bpe_train(sf_docs.select("doc_id", "text"), num_merges=48),
+            bpe_train(sf_docs.select("doc_id", "text"), num_merges=48, batch_k=8),
         ),
         extras,
         reps=1,
@@ -548,7 +548,7 @@ def main() -> None:
             "sf1_bpe_train_encode_48",
             lambda: bpe_encode(
                 sf1_docs.select("doc_id", "text"),
-                bpe_train(sf1_docs.select("doc_id", "text"), num_merges=48),
+                bpe_train(sf1_docs.select("doc_id", "text"), num_merges=48, batch_k=8),
             ),
             extras,
             reps=1,
@@ -801,7 +801,7 @@ def main() -> None:
         "bpe_train_encode_48",
         lambda: bpe_encode(
             sf_docs.select("doc_id", "text"),
-            bpe_train(sf_docs.select("doc_id", "text"), num_merges=48),
+            bpe_train(sf_docs.select("doc_id", "text"), num_merges=48, batch_k=8),
         ),
         extras,
         reps=1,

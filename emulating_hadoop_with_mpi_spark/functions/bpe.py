@@ -163,7 +163,7 @@ def bpe_train(
     min_pair_count: int = 2,
     text_col: str = "text",
     checkpoint_every: int = 8,
-    batch_k: int = 8,
+    batch_k: int = 1,
 ) -> list[tuple[str, str]]:
     """Learn up to ``num_merges`` BPE merges from ``docs``.  Returns the
     merge list in training order (the tokenizer artifact).  Stops early
@@ -182,6 +182,14 @@ def bpe_train(
     ``batch_k=1`` IS classic BPE exactly.  48 merges at sf0.1 measured
     7.3 s single-merge → the batched rounds cut the driver round-trips
     ~6×.
+
+    The DEFAULT is ``batch_k=1`` — classic Sennrich output (ADVICE r11:
+    the schedules diverge materially in practice; the characterization
+    test shows prefix agreement of just 1 merge on the Sennrich corpus
+    at k=8).  Batching is a measured throughput OPT-IN for callers that
+    want "a good tokenizer, fast" rather than bit-faithful classic BPE
+    (bench.py passes batch_k=8; so did the BPE_SECTION_MERGES artifact,
+    whose provenance note records it).
 
     The word table localCheckpoints every ``checkpoint_every`` merges
     (lineage truncation; previous blocks freed — the graph.py pattern).
@@ -247,7 +255,12 @@ def bpe_wrapped_doc_col(
     the bpe parity tests) and measured 0.66 s vs 1.03 s for the
     construction alone at sf0.1."""
     base = F.regexp_replace(F.lower(F.trim(F.col(text_col) if isinstance(text_col, str) else text_col)), r"\s+", " ")
-    chars = F.regexp_replace(base, "(.)", SEP + "$1" + SEP)
+    # (?s) so '.' also matches line terminators (ADVICE r11): Java's
+    # default '.' skips U+2028/U+2029/U+0085, which '\s+' does NOT
+    # collapse (in either engine), so without DOTALL those chars stayed
+    # UNWRAPPED and corrupted the symbol string — and diverged from the
+    # DuckDB twin, whose string_split(w, '') wraps every char.
+    chars = F.regexp_replace(base, "(?s)(.)", SEP + "$1" + SEP)
     wdoc = F.when(base == "", F.lit(SEP + SEP)).otherwise(
         F.concat(
             F.replace(chars, F.lit(SEP + " " + SEP), F.lit(SEP + EOW + SEP)),

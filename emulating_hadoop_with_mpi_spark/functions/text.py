@@ -36,7 +36,7 @@ ALL_STOPWORDS = tuple(sorted({w for ws in STOPWORDS.values() for w in ws}))
 # A BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation marks.
 BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
-# Fixed BPE tokenizer artifact for q80's n_bpe_enc column (round 11,
+# Fixed BPE tokenizer artifact for q82's n_bpe_enc column (round 11,
 # VERDICT r10 missing-item 2): encoding with a FIXED merge list is the
 # production-shaped half of BPE (the tokenizer is a frozen artifact at
 # training time) and IS SQL-expressible as nested replaces, so it rides
@@ -225,13 +225,9 @@ def q80_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def token_stats(
     docs: DataFrame,
     extra_cols: list | tuple = (),
-    extra_staged: dict | None = None,
 ) -> DataFrame:
     """q80's body over any (doc_id, lang, text) frame; ``extra_cols``
-    are appended to the same single projection (q80's PII section).
-    ``extra_staged`` columns are materialized in the FIRST select so an
-    ``extra_cols`` expression can reference one several times without
-    Catalyst re-evaluating its tree (q80's 16-replace BPE chain)."""
+    are appended to the same single projection (q80's PII section)."""
     # materialize the token array once (tokens_col() per expression would
     # re-split the text; see shingles_df note in dedup.py)
     staged = docs.select(
@@ -239,7 +235,6 @@ def token_stats(
         "lang",
         "text",
         tokens_col().alias("toks"),
-        *[c.alias(n) for n, c in (extra_staged or {}).items()],
     )
     return staged.select(
         "doc_id",

@@ -184,8 +184,21 @@ def matmul_block(a: DataFrame, b: DataFrame, block: int = 128) -> DataFrame:
                 # Either gate failing falls back to the exact int64
                 # path (add.at + integer matmul) — correctness never
                 # depends on the data being small, only speed does.
-                lim = float(1 << 53)
-                if np.abs(av).sum() < lim and np.abs(bv).sum() < lim:
+                #
+                # Gate arithmetic (ADVICE r11): the |·| sums are taken
+                # in FLOAT64 — an int64 np.abs().sum() can wrap on
+                # overflow (and |INT64_MIN| stays negative), letting a
+                # pathological block falsely pass.  The float64 sums
+                # and the maxA·maxB·blk product carry their own ulp
+                # rounding, so the threshold is shaved to 2^52: a
+                # 2× safety margin costs nothing (inputs between 2^52
+                # and 2^53 just take the exact int64 path) and absorbs
+                # every boundary-rounding case.
+                lim = float(1 << 52)
+                if (
+                    np.abs(av.astype(np.float64)).sum() < lim
+                    and np.abs(bv.astype(np.float64)).sum() < lim
+                ):
                     # bincount over flattened indices == scatter-add
                     # with duplicate COO coordinates SUMMED (as
                     # matmul_coo/matmul_mapreduce do)

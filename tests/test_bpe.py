@@ -140,14 +140,15 @@ def test_batched_selection_is_disjoint_and_budgeted(spark):
 
 
 def test_train_and_encode_match_reference_on_testdata(spark, sf_dir):
-    """End-to-end on the real documents table with the DEFAULT (batched)
-    schedule: identical merge list AND identical segmentation for every
-    document."""
+    """End-to-end on the real documents table with the batched OPT-IN
+    schedule (k=8, what bench.py runs; the default is classic k=1 since
+    ADVICE r11): identical merge list AND identical segmentation for
+    every document."""
     from emulating_hadoop_with_mpi_spark.sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     texts = {r.doc_id: r.text for r in docs.collect()}
-    got_merges = bpe_train(docs, num_merges=40)
+    got_merges = bpe_train(docs, num_merges=40, batch_k=8)
     exp_merges = _py_learn_bpe(texts.values(), 40, batch_k=8)
     assert got_merges == exp_merges
     enc = {r.doc_id: list(r.bpe_tokens) for r in bpe_encode(docs, got_merges).collect()}
@@ -197,3 +198,60 @@ def test_early_stop_on_min_pair_count(spark):
     """Every pair unique -> nothing reaches min_pair_count=2."""
     docs = spark.createDataFrame([(1, "abc def")], ["doc_id", "text"])
     assert bpe_train(docs, num_merges=5) == []
+
+
+def test_default_schedule_is_classic_sennrich(spark):
+    """ADVICE r11: the batched schedule diverges materially from classic
+    one-merge-per-round BPE (prefix agreement of ONE merge on this very
+    corpus at k=8), so batching must be an explicit opt-in -- the DEFAULT
+    bpe_train call reproduces classic Sennrich output exactly."""
+    docs = spark.createDataFrame([(1, SENNRICH)], ["doc_id", "text"])
+    got = bpe_train(docs, num_merges=10)  # no batch_k: the default
+    exp = _py_learn_bpe([SENNRICH], 10, batch_k=1)
+    assert got == exp, (got, exp)
+    # and the divergence window stays characterized: at k=8 the batched
+    # schedule departs from classic immediately after the first merge
+    batched = _py_learn_bpe([SENNRICH], 10, batch_k=8)
+    assert batched != exp and batched[0] == exp[0]
+
+
+def test_wrap_handles_line_terminators(spark):
+    """ADVICE r11: U+2028/U+2029/U+0085 are NOT collapsed by \\s+ in
+    either engine, so the char wrap must include them like any other
+    char.  Without (?s) Java's '.' skipped them -- 'a\u2028b' encoded to
+    2 symbols instead of 4 and diverged from the DuckDB twin (whose
+    string_split(w, '') wraps every char)."""
+    import duckdb
+    import pandas as pd
+
+    from emulating_hadoop_with_mpi_spark.functions.text import (
+        _SQL_TOKENS,
+        _bpe_enc_oracle_expr,
+        BPE_SECTION_MERGES,
+    )
+
+    texts = ["a\u2028b", "x\u2029y z", "p\u0085q", "low lower newest"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = list(BPE_SECTION_MERGES)
+    got = {
+        r.doc_id: (r.n_bpe, list(r.bpe_tokens))
+        for r in bpe_encode(docs, merges).collect()
+    }
+    assert got[0][0] == 4 and got[0][1] == ["a", "\u2028", "b", EOW], got[0]
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))
+    wd = _bpe_enc_oracle_expr(_SQL_TOKENS)
+    rows = con.sql(
+        f"""
+        SELECT doc_id,
+               CASE WHEN length(wd) <= 2 THEN []
+                    ELSE string_split(substring(wd, 2, length(wd) - 2), e'\\x1F\\x1F')
+               END AS toks
+        FROM (SELECT doc_id, {wd} AS wd FROM documents)
+        """
+    ).fetchall()
+    want = {doc_id: (len(toks), list(toks)) for doc_id, toks in rows}
+    assert got == want, (got, want)
