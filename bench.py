@@ -494,6 +494,15 @@ def main() -> None:
                 extras[f"slope_{name}"] = round(extras[f"sf1_{name}"] / base, 2)
         sf1_docs = load_table(spark, sf1_dir, "documents")
         run_entry("sf1_ppjoin_pairs", lambda: ppjoin_pairs(sf1_docs, persist=True), extras)
+        # first of two non-consecutive samples (the second runs in the
+        # end-of-run pass): r11 read this leg at 11.6-11.9 s with only
+        # one sample per artifact (VERDICT r11 item 6)
+        run_entry(
+            "sf1_semantic_neardup_lsh",
+            lambda: registry["q75b_semantic_neardup_lsh"].fn(spark, sf1_dir),
+            extras,
+            reps=1,
+        )
         # sim120 standalone at sf1: the base leg for the gated slope3 below
         run_entry(
             "sf1_simhash120_neardup",
@@ -778,10 +787,26 @@ def main() -> None:
             extras,
             reps=1,
         )
+        # slope3_ppjoin's denominator — the one gated-family sf1 leg the
+        # r11 second pass missed (VERDICT r11 item 2)
+        run_entry(
+            "sf1_ppjoin_pairs",
+            lambda: ppjoin_pairs(load_table(spark, sf1_dir, "documents"), persist=True),
+            extras,
+            reps=1,
+        )
     if os.path.isdir(sf3_dir):
         run_entry(
             "sf3_q71_fuzzy_dedup",
             lambda: registry["q71_fuzzy_dedup_pipeline"].fn(spark, sf3_dir),
+            extras,
+            reps=1,
+        )
+        # the noisiest informational sf3 leg (33.0 vs 9.4 s across the
+        # two r11 artifacts — VERDICT r11 item 6)
+        run_entry(
+            "sf3_q72_ngram_jaccard_pairs",
+            lambda: registry["q72_ngram_jaccard_pairs"].fn(spark, sf3_dir),
             extras,
             reps=1,
         )
@@ -816,6 +841,8 @@ def main() -> None:
         ("slope3_q70_dedup_exact", "sf10_q70_dedup_exact", "sf1_q70_dedup_exact"),
         ("slope3_q73_minhash_lsh_neardup", "sf10_q73_minhash_lsh_neardup", "sf1_q73_minhash_lsh_neardup"),
         ("slope3_ppjoin_pairs", "sf10_ppjoin_pairs", "sf1_ppjoin_pairs"),
+        ("slope2_ppjoin_pairs", "sf3_ppjoin_pairs", "sf1_ppjoin_pairs"),
+        ("slope2_q72_ngram_jaccard_pairs", "sf3_q72_ngram_jaccard_pairs", "sf1_q72_ngram_jaccard_pairs"),
         ("slope_semantic_neardup_lsh", "sf1_semantic_neardup_lsh", "semantic_neardup_lsh"),
     ):
         if num in extras and den in extras and extras[den]:
@@ -929,6 +956,27 @@ def main() -> None:
         t = extras["sf10_q70_dedup_exact"]
         gates["sf10_q70_registered_max_15s"] = _gate(
             "sf10_q70_dedup_exact", t, _norm("sf10_q70_dedup_exact", t), 15.0
+        )
+    # ppjoin + q73 at the decade (VERDICT r11 item 2): the last two
+    # expensive decade paths without a drift guard.  Same absolute-
+    # ceiling style as q70/sim120 — their sf10 legs already run
+    # min-of-2 non-consecutive via the doubled sf10_pass, so the raw
+    # min is trustworthy; a slope gate would inherit q70's striped-
+    # denominator flip-flop (NOTES r11).  Ceilings calibrated off the
+    # calm r11 readings (ppjoin 35.2 s, q73 35.0-36.5 s) with ~1.5×
+    # headroom.
+    if "sf10_ppjoin_pairs" in extras:
+        t = extras["sf10_ppjoin_pairs"]
+        gates["sf10_ppjoin_max_60s"] = _gate(
+            "sf10_ppjoin_pairs", t, _norm("sf10_ppjoin_pairs", t), 60.0
+        )
+    if "sf10_q73_minhash_lsh_neardup" in extras:
+        t = extras["sf10_q73_minhash_lsh_neardup"]
+        gates["sf10_q73_registered_max_50s"] = _gate(
+            "sf10_q73_minhash_lsh_neardup",
+            t,
+            _norm("sf10_q73_minhash_lsh_neardup", t),
+            50.0,
         )
 
     # A broken headline query must never read as a speedup: if any HEADLINE
