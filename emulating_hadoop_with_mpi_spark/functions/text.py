@@ -1001,6 +1001,76 @@ DECON_SECTION_N = 8
 DECON_SECTION_MOD = 23
 DECON_SECTION_PROMPT = 12
 
+# q85's 'bpe_merge' section (round 12): BPE TRAINING joins the
+# driver-checked surface — the last parity-test-only operator (VERDICT
+# r11 missing-item 3).  "Iterative data-dependent argmax is not one SQL
+# statement" stops being a blocker once the iteration count is a small
+# fixed constant: like q82's 16-iteration GD replay, the oracle replays
+# each training round as a chained CTE (pair count → argmax under the
+# pinned tie-break → one replace over every vocabulary word) and the
+# section emits the LEARNED MERGES THEMSELVES as rows, so the driver
+# hash pins the training output exactly.  min_pair_count=1 on both
+# sides (the early-stop branch is not replayed; any non-degenerate
+# corpus trains 4 rounds).
+BPE_TRAIN_SECTION_K = 4
+
+
+def _bpe_train_oracle_section(k: int = BPE_TRAIN_SECTION_K) -> str:
+    """DuckDB replay of ``bpe_train(num_merges=k, batch_k=1,
+    min_pair_count=1)`` over ``documents``: word-frequency table in
+    wrapped-symbol form (functions/bpe.py's ␟-string layout), then k
+    chained rounds of adjacent-pair count → argmax (n DESC, a ASC,
+    b ASC — the trainer's pinned tie-break) → one boundary-safe
+    replace() per word.  Emits (rank, 'a b') rows."""
+    sep2 = "e'\\x1F\\x1F'"
+    ctes = [
+        f"""bpe_tw0 AS (
+            SELECT e'\\x1F' || array_to_string(
+                       list_append(string_split(w, ''), '</w>'), {sep2})
+                   || e'\\x1F' AS wstr, cnt
+            FROM (SELECT w, COUNT(*) AS cnt
+                  FROM (SELECT unnest({_SQL_TOKENS}) AS w FROM documents)
+                  GROUP BY w)
+        )"""
+    ]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"""bpe_tp{i} AS (
+            SELECT t.s[CAST(u.pos AS INT)] AS a,
+                   t.s[CAST(u.pos AS INT) + 1] AS b, SUM(t.cnt) AS n
+            FROM (SELECT cnt,
+                         string_split(substring(wstr, 2, length(wstr) - 2), {sep2}) AS s
+                  FROM bpe_tw{i - 1}) t
+            CROSS JOIN LATERAL (
+                SELECT unnest(generate_series(1, len(t.s) - 1)) AS pos) u
+            GROUP BY 1, 2
+        )"""
+        )
+        ctes.append(
+            f"bpe_tm{i} AS (SELECT a, b FROM bpe_tp{i} "
+            f"ORDER BY n DESC, a ASC, b ASC LIMIT 1)"
+        )
+        if i < k:
+            ctes.append(
+                f"""bpe_tw{i} AS (
+                SELECT replace(wstr,
+                               e'\\x1F' || m.a || {sep2} || m.b || e'\\x1F',
+                               e'\\x1F' || m.a || m.b || e'\\x1F') AS wstr, cnt
+                FROM bpe_tw{i - 1}, bpe_tm{i} m
+            )"""
+            )
+    union = " UNION ALL ".join(
+        f"SELECT {i} AS r, a, b FROM bpe_tm{i}" for i in range(1, k + 1)
+    )
+    joined = ",\n    ".join(ctes)
+    return f"""
+    SELECT 'bpe_merge' AS method, CAST(r AS BIGINT) AS doc_id,
+           CAST(NULL AS INT) AS chunk_idx, CAST(NULL AS INT) AS n_tokens,
+           a || ' ' || b AS chunk_text
+    FROM ( WITH {joined}
+           {union} )
+    """
+
 
 def _sql_ngram_concat(n: int) -> str:
     """DuckDB n-gram concat over ``toks`` at 1-based position ``pos``."""
@@ -1063,6 +1133,8 @@ _DECON_SECTION_ORACLE = f"""
         )
         UNION ALL
         {_DECON_SECTION_ORACLE}
+        UNION ALL
+        {_bpe_train_oracle_section()}
     ) ORDER BY method, doc_id, chunk_idx
     """,
 )
@@ -1081,10 +1153,22 @@ def q85_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
       eval set is rebuilt from the corpus itself (see the
       DECON_SECTION_* constants), so the check is non-vacuous at every
       SF and needs no fixture.
+    - 'bpe_merge' (round 12, VERDICT r11 missing-item 3): BPE TRAINING
+      itself — ``bpe_train(num_merges={BPE_TRAIN_SECTION_K}, batch_k=1,
+      min_pair_count=1)`` runs inside this query (the q82 classifier
+      precedent: a bounded driver loop of vocab-sized jobs) and the
+      LEARNED MERGES ship as rows (doc_id = merge rank, chunk_text =
+      'a b').  The oracle replays all {BPE_TRAIN_SECTION_K} training
+      rounds as chained CTEs, so the driver hash pins the exact merge
+      identities AND their order — the trainer's pair counting,
+      tie-break, and boundary-safe replace semantics are all under the
+      cross-engine check now, not just the frozen-artifact encode
+      (q82's n_bpe_enc).
 
     No trailing sort — the chunk section alone is corpus-scale output
     and the driver's hash compare is order-insensitive (the oracle keeps
     its ORDER BY for readability)."""
+    from emulating_hadoop_with_mpi_spark.functions.bpe import bpe_train
     from emulating_hadoop_with_mpi_spark.functions.pipeline import decontaminate
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1103,7 +1187,23 @@ def q85_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_hits").cast("int").alias("n_tokens"),
         F.lit(None).cast("string").alias("chunk_text"),
     )
-    return chunks.unionByName(decon)
+    merges = bpe_train(
+        docs.select("doc_id", "text"),
+        num_merges=BPE_TRAIN_SECTION_K,
+        min_pair_count=1,
+        batch_k=1,
+    )
+    mrows = spark.createDataFrame(
+        [(i + 1, f"{a} {b}") for i, (a, b) in enumerate(merges)],
+        "doc_id long, chunk_text string",
+    ).select(
+        F.lit("bpe_merge").alias("method"),
+        "doc_id",
+        F.lit(None).cast("int").alias("chunk_idx"),
+        F.lit(None).cast("int").alias("n_tokens"),
+        "chunk_text",
+    )
+    return chunks.unionByName(decon).unionByName(mrows)
 
 
 @query(
