@@ -79,6 +79,8 @@ def split_oracle_case(key_sql: str, splits: dict[str, float], salt: str = "") ->
         raise ValueError(f"split fractions must sum to 1 (got {total})")
     if "'" in salt:
         raise ValueError("salt must not contain single quotes")
+    if any("'" in name for name in splits):
+        raise ValueError("split names must not contain single quotes")
     bucket = (
         f"(CAST('0x' || substring(md5(CAST({key_sql} AS VARCHAR) || '{salt}'), 1, 15)"
         f" AS BIGINT) % {SPLIT_DENOM})"

@@ -43,6 +43,24 @@ BM25_K1 = 1.2
 BM25_B = 0.75
 
 
+def corpus_postings(docs: DataFrame) -> DataFrame:
+    """(doc_id, term, tf, dl): the corpus-wide posting frame — one row
+    per distinct (doc, term), ``dl`` the doc's full token count.  The
+    shared contract between q84's tfidf section and ``bm25_topk``'s
+    ``postings=`` injection (and the tests that pin their equality):
+    defined ONCE so the three consumers cannot drift."""
+    from emulating_hadoop_with_mpi_spark.functions.text import tokens_col
+
+    staged = docs.select("doc_id", tokens_col().alias("toks"))
+    return (
+        staged.select(
+            "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term")
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     queries: list[str],

@@ -766,14 +766,9 @@ def q84_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # session (the q70 spans= contract: the union is lazy, so this
     # builder cannot unpersist what the driver hasn't read; the bench
     # clearCache()s per entry).
-    staged = docs.select("doc_id", tokens_col().alias("toks"))
-    postings = (
-        staged.select(
-            "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term")
-        )
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
-    )
+    from emulating_hadoop_with_mpi_spark.functions.search import corpus_postings
+
+    postings = corpus_postings(docs)
     size = plan_size_bytes(docs)
     small = size is not None and size <= TFIDF_PARTITIONED_BYTES
     if not small:

@@ -67,23 +67,14 @@ def test_bm25_injected_postings_equals_standalone(spark, sf_dir):
     12) must reproduce the standalone path exactly — same candidates,
     same df, same N/avgdl stats, same ranks — including the empty-doc
     contribution to N (empty docs carry no postings but DO count in N)."""
-    from pyspark.sql import functions as F
-
-    from emulating_hadoop_with_mpi_spark.functions.text import tokens_col
+    from emulating_hadoop_with_mpi_spark.functions.search import corpus_postings
 
     docs = load_table(spark, sf_dir, "documents")
     standalone = sorted(
         (r.query_id, r.doc_id, r.rank, r.score)
         for r in bm25_topk(docs, QUERIES, k=10).collect()
     )
-    staged = docs.select("doc_id", tokens_col().alias("toks"))
-    postings = (
-        staged.select(
-            "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term")
-        )
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
-    )
+    postings = corpus_postings(docs)
     injected = sorted(
         (r.query_id, r.doc_id, r.rank, r.score)
         for r in bm25_topk(docs, QUERIES, k=10, postings=postings).collect()
@@ -96,9 +87,7 @@ def test_bm25_injected_postings_counts_empty_docs_in_n(spark):
     """N/avgdl derivation from the injected frame: a corpus with an
     empty document must produce the SAME stats as the standalone path
     (N includes the empty doc; its dl contributes 0 to avgdl)."""
-    from pyspark.sql import functions as F
-
-    from emulating_hadoop_with_mpi_spark.functions.text import tokens_col
+    from emulating_hadoop_with_mpi_spark.functions.search import corpus_postings
 
     docs = spark.createDataFrame(
         [
@@ -109,14 +98,7 @@ def test_bm25_injected_postings_counts_empty_docs_in_n(spark):
         ],
         "doc_id long, text string",
     )
-    staged = docs.select("doc_id", tokens_col().alias("toks"))
-    postings = (
-        staged.select(
-            "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term")
-        )
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
-    )
+    postings = corpus_postings(docs)
     standalone = sorted(map(tuple, bm25_topk(docs, ["needle"], k=10).collect()))
     injected = sorted(
         map(tuple, bm25_topk(docs, ["needle"], k=10, postings=postings).collect())

@@ -291,7 +291,10 @@ def test_q82_reads_corpus_at_most_three_times(spark, sf_dir):
         for ln in plan.splitlines()
         if "ReadSchema" in ln and "text:string" in ln
     ]
-    assert len(text_scans) <= 4, (
+    # EXACTLY 4 (code-review r12): <= 4 could not catch a regression
+    # reintroducing one extra scan; if a future change legitimately
+    # drops to 3 (e.g. the clf cache child disappears), update the pin.
+    assert len(text_scans) == 4, (
         f"corpus text scanned {len(text_scans)}x:\n" + "\n".join(text_scans)
     )
     spark.catalog.clearCache()
