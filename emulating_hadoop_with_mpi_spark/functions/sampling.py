@@ -113,7 +113,67 @@ def stratified_sample(
     """Per-stratum Bernoulli sampling via sampleBy — rebalancing a corpus
     (e.g. capping the dominant language) in one map-only pass.  Seeded →
     reproducible for a fixed partitioning; for layout-independent
-    selection use hash_split-style keyed hashing instead (the tradeoff:
-    sampleBy gives exact per-row independence, keyed hashing gives
-    layout-independence)."""
+    selection use ``stratified_keep`` instead (the tradeoff: sampleBy
+    gives exact per-row independence, keyed hashing gives
+    layout-independence and an engine-portable audit trail)."""
     return df.sampleBy(strata_col, fractions=fractions, seed=seed)
+
+
+def stratified_keep(
+    key_col: str | Column,
+    strata_col: str | Column,
+    fractions: dict[str, float],
+    default: float = 1.0,
+    salt: str = "",
+) -> Column:
+    """Layout-independent stratified sampling as a boolean KEEP column
+    (round 12): a row survives iff its md5 split bucket falls under its
+    stratum's fraction — ``split_bucket(key, salt) < frac · 10000``.
+    Deterministic in (key, salt) like split_column, so re-runs,
+    repartitions, and other engines reproduce the identical selection
+    (q82 registers one as ``sample_keep``; the DuckDB oracle re-derives
+    it per row).  Strata absent from ``fractions`` keep ``default``
+    mass (1.0 = keep all).  The per-stratum keep rate is exact to a
+    basis point in expectation; unlike sampleBy the draws for equal
+    keys are identical — the same leakage-coupling property the hash
+    split provides."""
+    for name, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {name!r} must be in [0, 1] (got {frac})")
+    if not 0.0 <= default <= 1.0:
+        raise ValueError(f"default fraction must be in [0, 1] (got {default})")
+    bucket = split_bucket(key_col, salt=salt)
+    strata = F.col(strata_col) if isinstance(strata_col, str) else strata_col
+    thr: Column | None = None
+    for name, frac in fractions.items():
+        lim = F.lit(int(round(frac * SPLIT_DENOM)))
+        thr = F.when(strata == name, lim) if thr is None else thr.when(strata == name, lim)
+    lim_default = F.lit(int(round(default * SPLIT_DENOM)))
+    thr = lim_default if thr is None else thr.otherwise(lim_default)
+    return (bucket < thr).alias("sample_keep")
+
+
+def stratified_keep_oracle_case(
+    key_sql: str,
+    strata_sql: str,
+    fractions: dict[str, float],
+    default: float = 1.0,
+    salt: str = "",
+) -> str:
+    """The DuckDB twin of :func:`stratified_keep` for driver oracles."""
+    if "'" in salt or any("'" in name for name in fractions):
+        raise ValueError("salt and strata names must not contain single quotes")
+    bucket = (
+        f"(CAST('0x' || substring(md5(CAST({key_sql} AS VARCHAR) || '{salt}'), 1, 15)"
+        f" AS BIGINT) % {SPLIT_DENOM})"
+    )
+    if not fractions:
+        return f"({bucket} < {int(round(default * SPLIT_DENOM))})"
+    whens = " ".join(
+        f"WHEN '{name}' THEN {int(round(frac * SPLIT_DENOM))}"
+        for name, frac in fractions.items()
+    )
+    return (
+        f"({bucket} < CASE {strata_sql} {whens} "
+        f"ELSE {int(round(default * SPLIT_DENOM))} END)"
+    )

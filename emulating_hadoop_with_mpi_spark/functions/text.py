@@ -17,7 +17,15 @@ from emulating_hadoop_with_mpi_spark.functions.sampling import (
     DEFAULT_SPLITS as _DEFAULT_SPLITS,
     split_column as _split_column,
     split_oracle_case as _split_oracle_case,
+    stratified_keep as _stratified_keep,
+    stratified_keep_oracle_case as _stratified_keep_oracle_case,
 )
+
+# q82's registered stratified-sampling check (round 12, the second half
+# of VERDICT r11 item 3): keep 50% of the dominant 'en' stratum, all of
+# the rest — the canonical corpus-rebalancing selection, as a map-only
+# boolean column whose md5 bucket the DuckDB oracle re-derives per row.
+Q82_SAMPLE_FRACTIONS = {"en": 0.5}
 from emulating_hadoop_with_mpi_spark.registry import query
 from emulating_hadoop_with_mpi_spark.sources.tables import load_table
 
@@ -514,7 +522,8 @@ _LM_CTES = _lm_ctes()
            COALESCE(dsir_sc.dsir, 0.0) AS dsir_en,
            clf_sc.clf_quality AS clf_quality,
            COALESCE(lm_sc.lm_xent, 0.0) AS lm_xent,
-           bpe_sc.n_bpe_enc AS n_bpe_enc
+           bpe_sc.n_bpe_enc AS n_bpe_enc,
+           {_stratified_keep_oracle_case("scored.doc_id", "lang_label", Q82_SAMPLE_FRACTIONS)} AS sample_keep
     FROM scored
     LEFT JOIN dsir_sc ON dsir_sc.doc_id = scored.doc_id
     JOIN clf_sc ON clf_sc.doc_id = scored.doc_id
@@ -526,6 +535,13 @@ _LM_CTES = _lm_ctes()
 def q82_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic: per-language stopword hit counts, argmax with
     a fixed priority order (en > es > de > fr), 'und' when nothing hits.
+
+    ``sample_keep`` (round 12, VERDICT r11 item 3's second half): the
+    layout-independent stratified-sampling decision — keep 50% of the
+    dominant 'en' stratum, everything else (``stratified_keep``,
+    functions/sampling.py) — rides the same map-only projection; the
+    oracle re-derives the md5 bucket per row, so the driver hash covers
+    the corpus-rebalancing SELECTION itself.
 
     Since round 10 this also carries ``dsir_en`` — the DSIR importance
     score (functions/dsir.py) of every document against the lang='en'
@@ -587,6 +603,9 @@ def q82_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         score("de").alias("s_de"),
         score("fr").alias("s_fr"),
         bpe_count_col(F.col("__wd")).alias("n_bpe_enc"),
+        _stratified_keep(
+            "doc_id", "lang", Q82_SAMPLE_FRACTIONS
+        ).alias("sample_keep"),
     )
     s_en, s_es, s_de, s_fr = (F.col(c) for c in ("s_en", "s_es", "s_de", "s_fr"))
     pred = (
@@ -628,6 +647,7 @@ def q82_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id", "lang_label", "s_en", "s_es", "s_de", "s_fr",
             "lang_pred", "dsir_en", "clf_quality", "lm_xent", "n_bpe_enc",
+            "sample_keep",
         )
     )
 

@@ -102,3 +102,40 @@ def test_split_column_empty_splits_raises():
 
     with _pytest.raises(ValueError, match="non-empty"):
         split_column("doc_id", {})
+
+
+def test_stratified_keep_rate_and_layout_independence(spark, sf_dir):
+    """stratified_keep (round 12): ~frac of the named stratum survives,
+    every other stratum keeps default mass, and the selection is
+    identical under repartitioning (the property sampleBy lacks)."""
+    from pyspark.sql import functions as F
+
+    from emulating_hadoop_with_mpi_spark.functions.sampling import stratified_keep
+    from emulating_hadoop_with_mpi_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    tagged = docs.withColumn("keep", stratified_keep("doc_id", "lang", {"en": 0.5}))
+    rows = tagged.collect()
+    en = [r for r in rows if r.lang == "en"]
+    rest = [r for r in rows if r.lang != "en"]
+    assert all(r.keep for r in rest), "non-sampled strata must keep everything"
+    rate = sum(r.keep for r in en) / max(len(en), 1)
+    assert 0.3 <= rate <= 0.7, f"en keep rate {rate} far from 0.5"
+    again = {
+        r.doc_id: r.keep
+        for r in docs.repartition(13, "lang")
+        .withColumn("keep", stratified_keep("doc_id", "lang", {"en": 0.5}))
+        .collect()
+    }
+    assert {r.doc_id: r.keep for r in rows} == again
+
+
+def test_stratified_keep_rejects_bad_fractions(spark):
+    import pytest as _pytest
+
+    from emulating_hadoop_with_mpi_spark.functions.sampling import stratified_keep
+
+    with _pytest.raises(ValueError):
+        stratified_keep("doc_id", "lang", {"en": 1.5})
+    with _pytest.raises(ValueError):
+        stratified_keep("doc_id", "lang", {"en": 0.5}, default=-0.1)
