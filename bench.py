@@ -949,13 +949,20 @@ def main() -> None:
     # denominator land in different throttle windows; min-of-2 cannot
     # couple them).  A gate that flip-flops on green code is worse than
     # none — the r10 lesson.  The drift guard is therefore the ABSOLUTE
-    # sf10 ceiling (the sim120-35s style): 15 s ≈ 1.5× headroom over
-    # the 9.7-11.7 s min-of-2 readings of the 6-section union.
+    # sf10 ceiling (the sim120-35s style).  Calibration: calm min-of-2
+    # readings are 8.2-11.7 s across rounds 11-12, but STRIPED
+    # same-code runs have twice read 15.47-15.49 (r11 run 3, r12 run 3 —
+    # in the r12 case the same run's stage legs summed 10.7 s, proving
+    # stripe-not-drift), so the r11 ceiling of 15 s sat inside the
+    # observed stripe band and failed twice on green code.  18 s keeps
+    # ~1.5x headroom over the worst CALM reading while clearing the
+    # stripe band; a real regression class (2x = the span-exchange
+    # design breaking) still fails it.
     # slope3_q70_dedup_exact stays in extras as an informational read.
     if "sf10_q70_dedup_exact" in extras:
         t = extras["sf10_q70_dedup_exact"]
-        gates["sf10_q70_registered_max_15s"] = _gate(
-            "sf10_q70_dedup_exact", t, _norm("sf10_q70_dedup_exact", t), 15.0
+        gates["sf10_q70_registered_max_18s"] = _gate(
+            "sf10_q70_dedup_exact", t, _norm("sf10_q70_dedup_exact", t), 18.0
         )
     # ppjoin + q73 at the decade (VERDICT r11 item 2): the last two
     # expensive decade paths without a drift guard.  Same absolute-
