@@ -485,6 +485,7 @@ def main() -> None:
             "q72_ngram_jaccard_pairs",
             "q73_minhash_lsh_neardup",
             "q74_simhash_neardup",
+            "q84_tfidf_top_terms",
         ]
         for name in slope_set:
             q = registry[name]
@@ -687,6 +688,12 @@ def main() -> None:
                 # the registered union costs ~the sim120 branch + one
                 # metadata count.
                 "q74_simhash_neardup",
+                # q84 at the decade (VERDICT r12 item 5): the only
+                # headline-basket corpus query that had no sf10 leg —
+                # its 100 TB claims (size-dispatched df side, persisted
+                # posting frame above the boundary) get a measured
+                # decade read.  Informational this round.
+                "q84_tfidf_top_terms",
             ):
                 q = registry[name]
                 run_entry(f"sf10_{name}", lambda: q.fn(spark, sf10_dir), extras, reps=1)
@@ -709,44 +716,103 @@ def main() -> None:
         sf10_pass()
         sf10_pass()
 
-        # Stage attribution for q70 at the decade (VERDICT r10 item 4):
-        # which section family absorbs the sf10 cost — the hash-groupBy
-        # ledger sections, the two token-stream span exchanges, or the
-        # flag+cut consumers of the cached span frame.
+        # --- Stage attribution, now MIN-OF-2 NON-CONSECUTIVE and the
+        # GATE BASIS for q70/q73 (VERDICT r12 item 1): absolute ceilings
+        # on the registered legs failed green code twice under throttle
+        # stripes (15 s r11, 18 s r12 — the day it was set), while the
+        # same runs' stage legs summed to the calm figure.  The stage
+        # legs are short, spread across the run, and min-merged across
+        # two interleaved passes, so one minute-scale stripe cannot
+        # inflate all of them at once: their SUM is the throttle-robust
+        # read of the query's true cost.  Gates below ride these sums;
+        # the registered-leg ceilings survive only as loose catastrophic
+        # backstops (~2× worst calm). ---
+        def stage_timed(label: str, thunk) -> None:
+            """One stage leg: probe + time + min-merge (run_entry's merge
+            semantics for manually-timed stages)."""
+            p = _py_probe()
+            probes[label] = min(probes.get(label, p), p)
+            t0 = time.perf_counter()
+            thunk()
+            v = round(time.perf_counter() - t0, 3)
+            samples.setdefault(label, []).append(v)
+            extras[label] = min(extras.get(label, v), v)
+
+        # q70: which section family absorbs the sf10 cost — the
+        # hash-groupBy ledger sections, the two token-stream span
+        # exchanges, or the flag+cut consumers of the cached span frame.
         from emulating_hadoop_with_mpi_spark.functions.dedup import (
+            NUM_PERM,
             SPAN_MIN_COUNT,
             SPAN_N,
             _norm_text as _q70_norm_text,
             flag_span_duplicated_docs,
+            lsh_candidates,
+            minhash_combined,
+            minhash_verified_pairs,
         )
 
-        spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        exact_part = sf10_docs.groupBy(F.xxhash64("text")).agg(
-            F.min("doc_id"), F.count(F.lit(1))
-        )
-        norm_part = sf10_docs.select(F.xxhash64(_q70_norm_text()).alias("k")).groupBy(
-            "k"
-        ).agg(F.count(F.lit(1)))
-        exact_part.write.format("noop").mode("overwrite").save()
-        norm_part.write.format("noop").mode("overwrite").save()
-        extras["sf10_q70_stage1_exact_norm"] = round(time.perf_counter() - t0, 3)
-        t0 = time.perf_counter()
-        sf10_spans = duplicate_spans(
-            sf10_docs, n=SPAN_N, min_count=SPAN_MIN_COUNT
-        ).cache()
-        sf10_spans.count()
-        extras["sf10_q70_stage2_span_exchanges"] = round(time.perf_counter() - t0, 3)
-        t0 = time.perf_counter()
-        flag_span_duplicated_docs(sf10_docs, spans=sf10_spans).write.format(
-            "noop"
-        ).mode("overwrite").save()
-        remove_duplicate_spans(
-            sf10_docs.select("doc_id", "text"), n=SPAN_N, spans=sf10_spans
-        ).write.format("noop").mode("overwrite").save()
-        extras["sf10_q70_stage3_flag_and_cut"] = round(time.perf_counter() - t0, 3)
-        sf10_spans.unpersist()
-        spark.catalog.clearCache()
+        def q70_stage_pass() -> None:
+            spark.catalog.clearCache()
+
+            def _s1() -> None:
+                exact_part = sf10_docs.groupBy(F.xxhash64("text")).agg(
+                    F.min("doc_id"), F.count(F.lit(1))
+                )
+                norm_part = sf10_docs.select(
+                    F.xxhash64(_q70_norm_text()).alias("k")
+                ).groupBy("k").agg(F.count(F.lit(1)))
+                exact_part.write.format("noop").mode("overwrite").save()
+                norm_part.write.format("noop").mode("overwrite").save()
+
+            stage_timed("sf10_q70_stage1_exact_norm", _s1)
+            sf10_spans = duplicate_spans(
+                sf10_docs, n=SPAN_N, min_count=SPAN_MIN_COUNT
+            ).cache()
+            stage_timed(
+                "sf10_q70_stage2_span_exchanges", lambda: sf10_spans.count()
+            )
+
+            def _s3() -> None:
+                flag_span_duplicated_docs(sf10_docs, spans=sf10_spans).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+                remove_duplicate_spans(
+                    sf10_docs.select("doc_id", "text"), n=SPAN_N, spans=sf10_spans
+                ).write.format("noop").mode("overwrite").save()
+
+            stage_timed("sf10_q70_stage3_flag_and_cut", _s3)
+            sf10_spans.unpersist()
+            spark.catalog.clearCache()
+
+        # q73: the shared signature+shset groupBy (the one corpus
+        # exchange), the LSH band self-join, and the candidate-bounded
+        # exact-Jaccard verify — the same frames the registered path
+        # builds, injected via minhash_verified_pairs(combined=, cands=)
+        # so stage 3 times ONLY the verify joins.
+        def q73_stage_pass() -> None:
+            spark.catalog.clearCache()
+            combined = minhash_combined(sf10_docs)
+            stage_timed(
+                "sf10_q73_stage1_signatures", lambda: combined.count()
+            )
+            sigs = combined.select("doc_id", *[f"h{i}" for i in range(NUM_PERM)])
+            cands = lsh_candidates(sigs).cache()
+            stage_timed("sf10_q73_stage2_band_join", lambda: cands.count())
+            stage_timed(
+                "sf10_q73_stage3_verify",
+                lambda: minhash_verified_pairs(
+                    sf10_docs, combined=combined, cands=cands
+                ).write.format("noop").mode("overwrite").save(),
+            )
+            spark.catalog.clearCache()
+
+        # interleaved: each family's two passes are non-consecutive, so
+        # one burst-credit window cannot cover both samples of any leg
+        q70_stage_pass()
+        q73_stage_pass()
+        q70_stage_pass()
+        q73_stage_pass()
 
     # --- Second NON-CONSECUTIVE pass (VERDICT r10 items 1 + 8) over
     # (a) every leg that feeds a gated slope ratio — one striped
@@ -840,6 +906,7 @@ def main() -> None:
         ("slope_sf0.1_sf10_simhash120", "sf10_simhash120_neardup", "simhash120_neardup"),
         ("slope3_q70_dedup_exact", "sf10_q70_dedup_exact", "sf1_q70_dedup_exact"),
         ("slope3_q73_minhash_lsh_neardup", "sf10_q73_minhash_lsh_neardup", "sf1_q73_minhash_lsh_neardup"),
+        ("slope3_q84_tfidf_top_terms", "sf10_q84_tfidf_top_terms", "sf1_q84_tfidf_top_terms"),
         ("slope3_ppjoin_pairs", "sf10_ppjoin_pairs", "sf1_ppjoin_pairs"),
         ("slope2_ppjoin_pairs", "sf3_ppjoin_pairs", "sf1_ppjoin_pairs"),
         ("slope2_q72_ngram_jaccard_pairs", "sf3_q72_ngram_jaccard_pairs", "sf1_q72_ngram_jaccard_pairs"),
@@ -909,6 +976,39 @@ def main() -> None:
             "pass": status == "pass", "status": status,
         }
 
+    def _gate_stage_sum(stage_keys: list[str], thr: float) -> dict:
+        """Gate on the SUM of min-of-2 non-consecutive stage legs
+        (VERDICT r12 item 1).  Each leg is short and min-merged across
+        two interleaved passes, so a minute-scale throttle stripe cannot
+        inflate every component of the sum — this is the discriminator
+        NOTES used twice (r11/r12) to prove stripe-not-code when the
+        registered leg striped past its ceiling while the same run's
+        stage legs summed to the calm figure.  Normalized value = sum of
+        per-stage probe-normalized times; probe sanity = every stage's
+        calmest probe inside the 2× band."""
+        raw = round(sum(extras[k] for k in stage_keys), 3)
+        norm_v = round(sum(_norm(k, extras[k]) for k in stage_keys), 3)
+        ps = {k: probes.get(k) for k in stage_keys}
+        probe_sane = all(
+            p is not None and p <= PROBE_SANITY_FACTOR * PROBE_REF_SEC
+            for p in ps.values()
+        )
+        if raw <= thr:
+            status = "pass"
+        elif probe_sane and norm_v <= thr:
+            status = "pass"
+        elif not probe_sane:
+            status = "indeterminate"
+        else:
+            status = "fail"
+        return {
+            "raw": raw, "value": norm_v, "threshold": thr,
+            "stage_legs": {k: extras[k] for k in stage_keys},
+            "probes": ps, "probe_sane": probe_sane,
+            "basis": "sum_of_min_of_2_non_consecutive_stage_legs",
+            "pass": status == "pass", "status": status,
+        }
+
     gates: dict[str, dict] = {}
     if "sf10_simhash120_neardup" in extras:
         t = extras["sf10_simhash120_neardup"]
@@ -939,56 +1039,82 @@ def main() -> None:
             "raw": s, "value": s, "threshold": 4.0,
             "pass": s <= 4.0, "status": "pass" if s <= 4.0 else "fail",
         }
-    # q70's decade drift gate (VERDICT r10 item 4).  Calibration history,
-    # measured on IDENTICAL code across four round-11 runs: a
-    # sim120-style slope3 gate is WRONG for q70 — its dominant sections
-    # (the span token-stream exchanges, 10.8 of 9.7 s via the stage
-    # legs) scale linearly in tokens while the sf1 denominator is
-    # startup-dominated (1.0-1.5 s), so the ratio swung
-    # 6.25/8.16/9.22/12.66 with zero code change (numerator and
-    # denominator land in different throttle windows; min-of-2 cannot
-    # couple them).  A gate that flip-flops on green code is worse than
-    # none — the r10 lesson.  The drift guard is therefore the ABSOLUTE
-    # sf10 ceiling (the sim120-35s style).  Calibration: calm min-of-2
-    # readings are 8.2-11.7 s across rounds 11-12, but STRIPED
-    # same-code runs have twice read 15.47-15.49 (r11 run 3, r12 run 3 —
-    # in the r12 case the same run's stage legs summed 10.7 s, proving
-    # stripe-not-drift), so the r11 ceiling of 15 s sat inside the
-    # observed stripe band and failed twice on green code.  18 s keeps
-    # ~1.5x headroom over the worst CALM reading while clearing the
-    # stripe band; a real regression class (2x = the span-exchange
-    # design breaking) still fails it.
+    # q70/q73 drift guards, REBUILT per VERDICT r12 item 1.  History: a
+    # slope3 gate was wrong for q70 (striped-denominator flip-flop, four
+    # r11 same-code runs swung 6.25-12.66); absolute wall-clock ceilings
+    # on the registered leg then ALSO failed green code twice under
+    # throttle stripes (15 s ceiling: striped 15.47-15.49 in r11/r12 vs
+    # calm 8.2-11.7; the recalibrated 18 s ceiling: the r12 driver run
+    # striped 19.2 the day it was set, while the SAME run's stage legs
+    # summed 16.3 and the previous calm run's summed 10.7).  Absolute
+    # ceilings on a box whose ambient drifts 2× intra-day cannot
+    # converge.  The PRIMARY gate is now the stage-leg SUM — each leg
+    # min-of-2 across two interleaved non-consecutive passes, so one
+    # stripe cannot inflate the sum (the exact discriminator NOTES used
+    # twice to prove stripe-not-code).  Calibration: q70 calm stage sums
+    # read 10.7 (r12 calm run) and 16.3 (r12's most degraded run,
+    # SINGLE-sample legs — min-of-2 pulls toward calm); 18 s keeps ~1.7×
+    # over calm while the 2× regression class (the span-exchange design
+    # breaking) still fails.  The registered-leg ceiling survives only
+    # as a loose catastrophic backstop at ~2× worst calm (11.7 → 24 s),
+    # above every stripe ever observed (max 19.2).
     # slope3_q70_dedup_exact stays in extras as an informational read.
+    q70_stage_keys = [
+        "sf10_q70_stage1_exact_norm",
+        "sf10_q70_stage2_span_exchanges",
+        "sf10_q70_stage3_flag_and_cut",
+    ]
+    if all(k in extras for k in q70_stage_keys):
+        gates["sf10_q70_stagesum_max_18s"] = _gate_stage_sum(q70_stage_keys, 18.0)
     if "sf10_q70_dedup_exact" in extras:
         t = extras["sf10_q70_dedup_exact"]
-        gates["sf10_q70_registered_max_18s"] = _gate(
-            "sf10_q70_dedup_exact", t, _norm("sf10_q70_dedup_exact", t), 18.0
+        gates["sf10_q70_registered_backstop_max_24s"] = _gate(
+            "sf10_q70_dedup_exact", t, _norm("sf10_q70_dedup_exact", t), 24.0
         )
-    # ppjoin + q73 at the decade (VERDICT r11 item 2): the last two
-    # expensive decade paths without a drift guard.  Same absolute-
-    # ceiling style as q70/sim120 — their sf10 legs already run
-    # min-of-2 non-consecutive via the doubled sf10_pass, so the raw
-    # min is trustworthy; a slope gate would inherit q70's striped-
-    # denominator flip-flop (NOTES r11).  Ceilings calibrated off the
-    # calm r11 readings (ppjoin 35.2 s, q73 35.0-36.5 s) with ~1.5×
-    # headroom.
+    # q73 gets the same treatment (its old 50 s registered ceiling had
+    # ~6% headroom on a calm read and striped samples hit 91.3 —
+    # VERDICT r12 What's-wrong 3): primary = stage-leg sum (signature
+    # groupBy + band join + bounded verify, the same frames the
+    # registered path builds, injected).  Calibration: calm registered
+    # min-of-2 read 35.0-36.5 across r11; 60 s ≈ 1.7× calm for the sum,
+    # and the backstop sits at ~2× worst calm (75 s), above the worst
+    # observed stripe sample (91.3 was a single leg; its same-run pair
+    # read 59.5, so the min-of-2 registered leg has never exceeded 59.5).
+    q73_stage_keys = [
+        "sf10_q73_stage1_signatures",
+        "sf10_q73_stage2_band_join",
+        "sf10_q73_stage3_verify",
+    ]
+    if all(k in extras for k in q73_stage_keys):
+        gates["sf10_q73_stagesum_max_60s"] = _gate_stage_sum(q73_stage_keys, 60.0)
+    if "sf10_q73_minhash_lsh_neardup" in extras:
+        t = extras["sf10_q73_minhash_lsh_neardup"]
+        gates["sf10_q73_registered_backstop_max_75s"] = _gate(
+            "sf10_q73_minhash_lsh_neardup",
+            t,
+            _norm("sf10_q73_minhash_lsh_neardup", t),
+            75.0,
+        )
+    # ppjoin at the decade (VERDICT r11 item 2): absolute-ceiling style;
+    # the sf10 leg runs min-of-2 non-consecutive via the doubled
+    # sf10_pass.  Calm r11 reading 35.2 s; 60 s ≈ 1.7× headroom and the
+    # worst observed min-of-2 (44.1, r12 degraded run) passes raw.
     if "sf10_ppjoin_pairs" in extras:
         t = extras["sf10_ppjoin_pairs"]
         gates["sf10_ppjoin_max_60s"] = _gate(
             "sf10_ppjoin_pairs", t, _norm("sf10_ppjoin_pairs", t), 60.0
         )
-    if "sf10_q73_minhash_lsh_neardup" in extras:
-        t = extras["sf10_q73_minhash_lsh_neardup"]
-        gates["sf10_q73_registered_max_50s"] = _gate(
-            "sf10_q73_minhash_lsh_neardup",
-            t,
-            _norm("sf10_q73_minhash_lsh_neardup", t),
-            50.0,
-        )
 
     # A broken headline query must never read as a speedup: if any HEADLINE
     # entry errored, the ratchet metric is invalid for this run.
     headline_errors = sorted(set(errors) & set(HEADLINE))
+    # Gate outcomes surface in the HEADLINE json + the exit code
+    # (VERDICT r12 item 1): a failing official artifact must be visible
+    # without opening BENCH_DETAIL.
+    gates_failed = sorted(k for k, g in gates.items() if g.get("status") == "fail")
+    gates_indeterminate = sorted(
+        k for k, g in gates.items() if g.get("status") == "indeterminate"
+    )
     detail = {
         "metric": "headline_query_wall_seconds",
         "value": None if headline_errors else total,
@@ -1006,6 +1132,8 @@ def main() -> None:
         "errors": errors,
         "canary": canary,
         "gates": gates,
+        "gates_failed": gates_failed,
+        "gates_indeterminate": gates_indeterminate,
         "sf": sf,
     }
     detail_path = os.path.join(
@@ -1030,7 +1158,12 @@ def main() -> None:
         # normalized values across rounds without NOTES.md forensics.
         "value_normalized": None if headline_errors else value_normalized,
         "host_speed_factor": canary["host_speed_factor"],
+        # always present (VERDICT r12 item 1): [] is the green signal; a
+        # non-empty list means open BENCH_DETAIL's "gates" for the basis
+        "gates_failed": gates_failed,
     }
+    if gates_indeterminate:
+        out["gates_indeterminate"] = gates_indeterminate
     if headline_errors:
         out["errors"] = headline_errors
     line = json.dumps(out)
@@ -1038,6 +1171,11 @@ def main() -> None:
         out["queries"] = {"_truncated_entries": len(timings)}
         line = json.dumps(out)
     print(line)
+    if gates_failed:
+        # nonzero rc makes a failing gate set unmissable in any harness
+        # that checks exit status; the JSON line above has already been
+        # printed, so the artifact is still recorded.
+        sys.exit(1)
 
 
 def bench_skew_join(spark, run_timed, run_entry, rows: int = 4_000_000) -> dict[str, float]:

@@ -650,11 +650,49 @@ def lsh_candidates(sigs: DataFrame, bands: int = BANDS, rows: int = ROWS_PER_BAN
     )
 
 
-def minhash_verified_pairs(docs: DataFrame) -> DataFrame:
+def minhash_combined(docs: DataFrame) -> DataFrame:
+    """q73's single corpus exchange: ONE shuffle of the shingle set
+    produces both the MinHash signatures (min per permutation) and the
+    exact-verify hash sets (collect_set) — the signature pass and the
+    verification pass share their groupBy.  Returned CACHED (lazily):
+    both the band join and the verify join consume it.
+
+    The shingle frame itself is NOT cached: it has exactly one consumer
+    (this groupBy) — caching it would materialize O(corpus tokens) rows
+    into storage memory for nothing (measured: the stale cache was the
+    main memory-pressure and run-variance source at the sf10 decade)."""
+    ds = shingles_df(docs)
+    consts = _perm_constants(NUM_PERM)
+    hashed = ds.select(
+        "doc_id",
+        F.xxhash64("shingle").alias("sh"),
+        F.shiftrightunsigned(F.xxhash64("shingle"), 32).alias("h"),
+    )
+    return hashed.groupBy("doc_id").agg(
+        F.collect_set("sh").alias("shset"),
+        *[
+            F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(MERSENNE_31))).alias(f"h{i}")
+            for i, (a, b) in enumerate(consts)
+        ],
+    ).cache()
+
+
+def minhash_verified_pairs(
+    docs: DataFrame,
+    combined: DataFrame | None = None,
+    cands: DataFrame | None = None,
+) -> DataFrame:
     """q73's body over any (doc_id, text) frame: MinHash(128) + LSH band
     candidates, exact-Jaccard verification, q72's output contract.
     Shared by q73 (registered) and q71's fuzzy pipeline (candidate
     stage).
+
+    `combined` / `cands` injection (bench stage attribution, the q70
+    `spans=` idiom): callers that already materialized the shared
+    groupBy frame (`minhash_combined`) and/or the band-join candidates
+    (`lsh_candidates`) pass them in so the verify stage can be timed on
+    its own; semantics are identical because this function builds the
+    same frames from the same helpers when they are None.
 
     Cache contract (ADVICE r8): in the partitioned regime this plan
     cache()s two candidate-bounded frames that stay resident for the
@@ -662,30 +700,11 @@ def minhash_verified_pairs(docs: DataFrame) -> DataFrame:
     builder cannot unpersist them itself).  Long-running callers issuing
     many independent dedup passes should spark.catalog.clearCache()
     between passes."""
-    # NOT cached: since the signature and verify passes merged into one
-    # groupBy below, the shingle frame has exactly one consumer — caching
-    # it would materialize O(corpus tokens) rows into storage memory for
-    # nothing (measured: the stale cache was the main memory-pressure and
-    # run-variance source at the sf10 decade).
-    ds = shingles_df(docs)
-    # ONE shuffle of the shingle set produces both the MinHash signatures
-    # (min per permutation) and the exact-verify hash sets (collect_set) —
-    # the signature pass and the verification pass share their groupBy.
-    consts = _perm_constants(NUM_PERM)
-    hashed = ds.select(
-        "doc_id",
-        F.xxhash64("shingle").alias("sh"),
-        F.shiftrightunsigned(F.xxhash64("shingle"), 32).alias("h"),
-    )
-    combined = hashed.groupBy("doc_id").agg(
-        F.collect_set("sh").alias("shset"),
-        *[
-            F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(MERSENNE_31))).alias(f"h{i}")
-            for i, (a, b) in enumerate(consts)
-        ],
-    ).cache()
+    if combined is None:
+        combined = minhash_combined(docs)
     sigs = combined.select("doc_id", *[f"h{i}" for i in range(NUM_PERM)])
-    cands = lsh_candidates(sigs)
+    if cands is None:
+        cands = lsh_candidates(sigs)
     sets_df = combined.select("doc_id", "shset")
     a = sets_df.select(F.col("doc_id").alias("doc_a"), F.col("shset").alias("set_a"))
     b = sets_df.select(F.col("doc_id").alias("doc_b"), F.col("shset").alias("set_b"))

@@ -1121,6 +1121,110 @@ _DECON_SECTION_ORACLE = f"""
 """
 
 
+# q85's 'curate' section (round 13, VERDICT r12 item 4): the curation
+# pipeline COMPOSITION (functions/pipeline.curate_corpus) under the
+# driver hash.  Fixed config: quality gate at CURATE_MIN_QUALITY →
+# benchmark decontamination (the DECON_SECTION_* derived eval set) →
+# exact dedup → window/stride chunking → leakage-safe split →
+# per-split sequence packing.  The section emits per-stage survivor
+# counts (stage order / survivor flow — the interaction pytest alone
+# covered until now) plus per-split chunk/bin aggregates of the ACTUAL
+# curate_corpus output, including SUM(DISTINCT doc_id) and SUM(bin_id)
+# membership checksums, so a winner-rule, split-assignment, or packing
+# change flips the hash even when counts collide.  The oracle replays
+# the whole composition as one chained-CTE pipeline — each stage's CTE
+# is the q81/q85-decon/q70/q85-chunk/q86 oracle formulation, chained in
+# curate_corpus's documented stage order.
+CURATE_MIN_QUALITY = 0.2
+
+
+def _curate_section_oracle() -> str:
+    win, stride, budget = CHUNK_WINDOW, CHUNK_STRIDE, PACK_BUDGET
+    n = DECON_SECTION_N
+    return f"""
+    SELECT 'curate' AS method, doc_id, chunk_idx, n_tokens, chunk_text FROM (
+        WITH {_QFEAT_CTES},
+        ckept AS (
+            SELECT t.doc_id, t.text, t.toks
+            FROM tok t JOIN qfeat q ON q.doc_id = t.doc_id
+            WHERE q.quality >= {CURATE_MIN_QUALITY}
+        ),
+        cbench_sh AS (
+            SELECT DISTINCT {_sql_ngram_concat(n)} AS shingle
+            FROM (SELECT toks,
+                         unnest(generate_series(1, len(toks) - {n - 1})) AS pos
+                  FROM (SELECT array_slice(toks, 1, {DECON_SECTION_PROMPT}) AS toks
+                        FROM tok WHERE doc_id % {DECON_SECTION_MOD} = 0))
+        ),
+        ccorpus_sh AS (
+            SELECT DISTINCT doc_id, {_sql_ngram_concat(n)} AS shingle
+            FROM (SELECT doc_id, toks,
+                         unnest(generate_series(1, len(toks) - {n - 1})) AS pos
+                  FROM ckept)
+        ),
+        cflag AS (
+            SELECT DISTINCT doc_id FROM ccorpus_sh JOIN cbench_sh USING (shingle)
+        ),
+        cdk AS (
+            SELECT * FROM ckept
+            WHERE doc_id NOT IN (SELECT doc_id FROM cflag)
+        ),
+        cwin AS (SELECT text, MIN(doc_id) AS doc_id FROM cdk GROUP BY text),
+        cuniq AS (
+            SELECT w.doc_id, k.toks FROM cwin w JOIN cdk k ON k.doc_id = w.doc_id
+        ),
+        cnch AS (
+            SELECT doc_id, toks,
+                   1 + GREATEST(CAST(CEIL((len(toks) - {win}) / {stride}.0) AS INT), 0)
+                       AS n_chunks
+            FROM cuniq WHERE len(toks) > 0
+        ),
+        cchunks AS (
+            SELECT doc_id,
+                   CAST(i AS INT) AS chunk_idx,
+                   CAST(len(array_slice(toks, i * {stride} + 1,
+                                        i * {stride} + {win})) AS BIGINT) AS n_tokens,
+                   {_split_oracle_case("doc_id", _DEFAULT_SPLITS)} AS split
+            FROM (SELECT doc_id, toks,
+                         unnest(generate_series(0, n_chunks - 1)) AS i FROM cnch)
+        ),
+        cbinned AS (
+            SELECT *,
+                   (CAST(SUM(n_tokens) OVER (PARTITION BY split
+                        ORDER BY doc_id, chunk_idx
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) - 1) // {budget} AS bin_id
+            FROM cchunks
+        ),
+        cfilled AS (
+            SELECT *,
+                   CAST(SUM(n_tokens) OVER (PARTITION BY split, bin_id
+                        ORDER BY doc_id, chunk_idx
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS bin_fill
+            FROM cbinned
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS doc_id, CAST(NULL AS INT) AS chunk_idx,
+               CAST(NULL AS INT) AS n_tokens, 'stage:quality' AS chunk_text
+        FROM ckept
+        UNION ALL
+        SELECT CAST(COUNT(*) AS BIGINT), CAST(NULL AS INT), CAST(NULL AS INT),
+               'stage:decon' FROM cdk
+        UNION ALL
+        SELECT CAST(COUNT(*) AS BIGINT), CAST(NULL AS INT), CAST(NULL AS INT),
+               'stage:dedup' FROM cwin
+        UNION ALL
+        SELECT CAST(SUM(DISTINCT doc_id) AS BIGINT), CAST(COUNT(*) AS INT),
+               CAST(SUM(n_tokens) AS INT), 'split:' || split
+        FROM cbinned GROUP BY split
+        UNION ALL
+        SELECT CAST(SUM(bin_id) AS BIGINT), CAST(COUNT(DISTINCT bin_id) AS INT),
+               CAST(MAX(bin_fill) AS INT), 'bins:' || split
+        FROM cfilled GROUP BY split
+    )
+"""
+
+
 @query(
     "q85_chunk_documents",
     oracle=f"""
@@ -1150,6 +1254,8 @@ _DECON_SECTION_ORACLE = f"""
         {_DECON_SECTION_ORACLE}
         UNION ALL
         {_bpe_train_oracle_section()}
+        UNION ALL
+        {_curate_section_oracle()}
     ) ORDER BY method, doc_id, chunk_idx
     """,
 )
@@ -1179,6 +1285,14 @@ def q85_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
       tie-break, and boundary-safe replace semantics are all under the
       cross-engine check now, not just the frozen-artifact encode
       (q82's n_bpe_enc).
+    - 'curate' (round 13, VERDICT r12 item 4): the END-TO-END curation
+      pipeline (functions/pipeline.curate_corpus — quality gate →
+      decontamination → exact dedup → chunk → leakage-safe split →
+      per-split packing) under one chained-CTE oracle: per-stage
+      survivor counts plus per-split chunk/bin aggregates with
+      SUM(DISTINCT doc_id)/SUM(bin_id) membership checksums over the
+      composed output.  This pins the stage INTERACTION (order,
+      survivor flow), which until round 13 only pytest covered.
 
     No trailing sort — the chunk section alone is corpus-scale output
     and the driver's hash compare is order-insensitive (the oracle keeps
@@ -1218,7 +1332,79 @@ def q85_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("int").alias("n_tokens"),
         "chunk_text",
     )
-    return chunks.unionByName(decon).unionByName(mrows)
+
+    # 'curate' (round 13, VERDICT r12 item 4): the curation-pipeline
+    # COMPOSITION under the driver hash.  Per-stage survivor counts
+    # replay the composed prefixes (quality → decon → dedup) with the
+    # same helpers curate_corpus wires, and the per-split rows aggregate
+    # curate_corpus's ACTUAL output — chunk counts, token sums, bin
+    # counts/fill, plus SUM(DISTINCT doc_id) / SUM(bin_id) membership
+    # checksums so a winner-rule, split-assignment, or packing change
+    # flips the hash even when row counts collide.  Aggregates only —
+    # five + 2·|splits| rows regardless of corpus size.
+    from emulating_hadoop_with_mpi_spark.functions.pipeline import curate_corpus
+
+    def _crow(agg_df: DataFrame, label: str) -> DataFrame:
+        return agg_df.select(
+            F.lit("curate").alias("method"),
+            F.col("n").cast("long").alias("doc_id"),
+            F.lit(None).cast("int").alias("chunk_idx"),
+            F.lit(None).cast("int").alias("n_tokens"),
+            F.lit(label).alias("chunk_text"),
+        )
+
+    scored = quality_scores(docs.select("doc_id", "text")).select("doc_id", "quality")
+    kept = docs.join(scored, "doc_id").filter(F.col("quality") >= CURATE_MIN_QUALITY)
+    dkept = kept.join(
+        decontaminate(kept, bench, n=DECON_SECTION_N).select("doc_id"),
+        "doc_id",
+        "left_anti",
+    )
+    stage_rows = (
+        _crow(kept.agg(F.count(F.lit(1)).alias("n")), "stage:quality")
+        .unionByName(_crow(dkept.agg(F.count(F.lit(1)).alias("n")), "stage:decon"))
+        .unionByName(
+            _crow(dkept.agg(F.countDistinct("text").alias("n")), "stage:dedup")
+        )
+    )
+    curated = curate_corpus(
+        docs,
+        min_quality=CURATE_MIN_QUALITY,
+        window=CHUNK_WINDOW,
+        stride=CHUNK_STRIDE,
+        budget=PACK_BUDGET,
+        benchmark=bench,
+        decon_ngram=DECON_SECTION_N,
+    )
+    split_rows = curated.groupBy("split").agg(
+        F.sum_distinct("doc_id").alias("d"),
+        F.count(F.lit(1)).alias("c"),
+        F.sum("n_tokens").alias("t"),
+    ).select(
+        F.lit("curate").alias("method"),
+        F.col("d").cast("long").alias("doc_id"),
+        F.col("c").cast("int").alias("chunk_idx"),
+        F.col("t").cast("int").alias("n_tokens"),
+        F.concat(F.lit("split:"), F.col("split")).alias("chunk_text"),
+    )
+    bin_rows = curated.groupBy("split").agg(
+        F.sum("bin_id").alias("d"),
+        F.countDistinct("bin_id").alias("c"),
+        F.max("bin_fill").alias("t"),
+    ).select(
+        F.lit("curate").alias("method"),
+        F.col("d").cast("long").alias("doc_id"),
+        F.col("c").cast("int").alias("chunk_idx"),
+        F.col("t").cast("int").alias("n_tokens"),
+        F.concat(F.lit("bins:"), F.col("split")).alias("chunk_text"),
+    )
+    return (
+        chunks.unionByName(decon)
+        .unionByName(mrows)
+        .unionByName(stage_rows)
+        .unionByName(split_rows)
+        .unionByName(bin_rows)
+    )
 
 
 @query(
