@@ -1052,8 +1052,11 @@ def main() -> None:
     # min-of-2 across two interleaved non-consecutive passes, so one
     # stripe cannot inflate the sum (the exact discriminator NOTES used
     # twice to prove stripe-not-code).  Calibration: q70 calm stage sums
-    # read 10.7 (r12 calm run) and 16.3 (r12's most degraded run,
-    # SINGLE-sample legs — min-of-2 pulls toward calm); 18 s keeps ~1.7×
+    # read 10.7 (r12 calm run), 16.3 (r12's most degraded run,
+    # SINGLE-sample legs — min-of-2 pulls toward calm), and 10.42 under
+    # the min-of-2 protocol itself (r13 calm run — in which the
+    # REGISTERED leg striped to 25.2 on one sample while all six stage
+    # samples stayed calm, the design working live); 18 s keeps ~1.7×
     # over calm while the 2× regression class (the span-exchange design
     # breaking) still fails.  The registered-leg ceiling survives only
     # as a loose catastrophic backstop at ~2× worst calm (11.7 → 24 s),
@@ -1076,10 +1079,15 @@ def main() -> None:
     # VERDICT r12 What's-wrong 3): primary = stage-leg sum (signature
     # groupBy + band join + bounded verify, the same frames the
     # registered path builds, injected).  Calibration: calm registered
-    # min-of-2 read 35.0-36.5 across r11; 60 s ≈ 1.7× calm for the sum,
-    # and the backstop sits at ~2× worst calm (75 s), above the worst
-    # observed stripe sample (91.3 was a single leg; its same-run pair
-    # read 59.5, so the min-of-2 registered leg has never exceeded 59.5).
+    # min-of-2 read 35.0-36.5 across r11, 33.1 in r13; the r13 calm
+    # STAGE SUM read 24.77 (signatures 16.4 + band join 5.3 + verify
+    # 3.1 — and the signature leg's other sample striped to 32.7, so
+    # the min-of-2 sum is doing real work), giving the 60 s ceiling
+    # ~2.4× headroom first-round; tighten toward ~45 once a second
+    # round confirms the band.  The backstop sits at ~2× worst calm
+    # (75 s), above the worst observed stripe sample (91.3 was a single
+    # leg; its same-run pair read 59.5, so the min-of-2 registered leg
+    # has never exceeded 59.5).
     q73_stage_keys = [
         "sf10_q73_stage1_signatures",
         "sf10_q73_stage2_band_join",
