@@ -808,11 +808,23 @@ def main() -> None:
             spark.catalog.clearCache()
 
         # interleaved: each family's two passes are non-consecutive, so
-        # one burst-credit window cannot cover both samples of any leg
-        q70_stage_pass()
-        q73_stage_pass()
-        q70_stage_pass()
-        q73_stage_pass()
+        # one burst-credit window cannot cover both samples of any leg.
+        # Failure-isolated like run_entry — BUT a crashed pass must not
+        # silently DELETE its gate (missing stage keys would skip the
+        # stagesum gate and read as green): the error lands in errors[]
+        # under a key the gate block checks, turning the gate
+        # "indeterminate" with the error attached.
+        def stage_pass_guarded(fn, family: str) -> None:
+            try:
+                fn()
+            except Exception as e:  # noqa: BLE001 — harness must degrade
+                spark.catalog.clearCache()
+                errors[f"{family}_stage_pass"] = f"{type(e).__name__}: {e}"[:500]
+
+        stage_pass_guarded(q70_stage_pass, "sf10_q70")
+        stage_pass_guarded(q73_stage_pass, "sf10_q73")
+        stage_pass_guarded(q70_stage_pass, "sf10_q70")
+        stage_pass_guarded(q73_stage_pass, "sf10_q73")
 
     # --- Second NON-CONSECUTIVE pass (VERDICT r10 items 1 + 8) over
     # (a) every leg that feeds a gated slope ratio — one striped
@@ -1062,13 +1074,25 @@ def main() -> None:
     # as a loose catastrophic backstop at ~2× worst calm (11.7 → 24 s),
     # above every stripe ever observed (max 19.2).
     # slope3_q70_dedup_exact stays in extras as an informational read.
+    def _stagesum_gate(gate_name: str, stage_keys: list[str], thr: float, family: str) -> None:
+        """A crashed stage pass must surface as an INDETERMINATE gate
+        with the error attached — never as a silently-missing (= green)
+        gate."""
+        if all(k in extras for k in stage_keys):
+            gates[gate_name] = _gate_stage_sum(stage_keys, thr)
+        elif f"{family}_stage_pass" in errors:
+            gates[gate_name] = {
+                "raw": None, "value": None, "threshold": thr,
+                "error": errors[f"{family}_stage_pass"],
+                "pass": False, "status": "indeterminate",
+            }
+
     q70_stage_keys = [
         "sf10_q70_stage1_exact_norm",
         "sf10_q70_stage2_span_exchanges",
         "sf10_q70_stage3_flag_and_cut",
     ]
-    if all(k in extras for k in q70_stage_keys):
-        gates["sf10_q70_stagesum_max_18s"] = _gate_stage_sum(q70_stage_keys, 18.0)
+    _stagesum_gate("sf10_q70_stagesum_max_18s", q70_stage_keys, 18.0, "sf10_q70")
     if "sf10_q70_dedup_exact" in extras:
         t = extras["sf10_q70_dedup_exact"]
         gates["sf10_q70_registered_backstop_max_24s"] = _gate(
@@ -1093,8 +1117,7 @@ def main() -> None:
         "sf10_q73_stage2_band_join",
         "sf10_q73_stage3_verify",
     ]
-    if all(k in extras for k in q73_stage_keys):
-        gates["sf10_q73_stagesum_max_60s"] = _gate_stage_sum(q73_stage_keys, 60.0)
+    _stagesum_gate("sf10_q73_stagesum_max_60s", q73_stage_keys, 60.0, "sf10_q73")
     if "sf10_q73_minhash_lsh_neardup" in extras:
         t = extras["sf10_q73_minhash_lsh_neardup"]
         gates["sf10_q73_registered_backstop_max_75s"] = _gate(
