@@ -17,6 +17,11 @@ from pyspark.sql import functions as F
 
 SPLIT_DENOM = 10_000  # basis points: fractions are exact to 0.01%
 
+# Range count for the distributed global-order machinery (the
+# pack_sequences precedent: output is invariant to boundary placement,
+# so the approximate percentiles only set task balance, never results).
+ORDER_NUM_RANGES = 64
+
 # The canonical train/val/test carve (defined here, next to the operator
 # that implements it; functions/pipeline.py and q86's registered split
 # column both import it).
@@ -151,6 +156,252 @@ def stratified_keep(
     lim_default = F.lit(int(round(default * SPLIT_DENOM)))
     thr = lim_default if thr is None else thr.otherwise(lim_default)
     return (bucket < thr).alias("sample_keep")
+
+
+def mixture_rates(
+    df: DataFrame,
+    strata_col: str,
+    weight_col: str,
+    weights: dict[str, int],
+) -> DataFrame:
+    """Data-mixture resampling rates (the DoReMi/Pile-style "mix domains
+    to target proportions" op): given per-row weights (token counts) and
+    integer target proportions ``weights`` (e.g. ``{"en": 2, "zh": 1}``
+    = two parts English per part Chinese BY TOKENS), derive the
+    per-stratum keep rate (basis points) that downsamples every stratum
+    to the largest achievable corpus with those proportions — the
+    binding stratum (smallest weight-mass relative to its target share)
+    keeps ~everything, all others are thinned to match.
+
+    ALL arithmetic is 64-bit integer (sums, ``div``, basis points) so the
+    rates are bit-reproducible in any engine — the DuckDB oracle twin
+    (:func:`mixture_oracle_ctes`) re-derives them exactly.  With
+    W = Σ weights and T_s = Σ weight over stratum s:
+
+        B       = min_s (T_s · W) div w_s     (achievable total mass)
+        rate_s  = min(10000, (10000 · ((B · w_s) div W)) div T_s)
+
+    Strata absent from ``weights`` get no row (rate 0 via the consumer's
+    COALESCE) — the mixture defines exactly which domains survive.
+    Headroom: T_s ≤ ~9·10^14 tokens keeps every intermediate below
+    2^63 for W ≤ 10^4 (a 100 TB corpus is ~10^13 tokens).
+
+    One aggregate exchange over ``df`` plus a fixed-size (|strata|-row)
+    window — nothing corpus-scale crosses the driver.  Returns
+    (strata_col, mix_rate_bp) for a broadcast join-back.
+    """
+    from pyspark.sql import Window
+
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    for name, w in weights.items():
+        if not isinstance(w, int) or w <= 0:
+            raise ValueError(f"weight for {name!r} must be a positive int (got {w})")
+    total_w = sum(weights.values())
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(k, int(v)) for k, v in weights.items()],
+        f"{strata_col} string, __wgt long",
+    )
+    totals = df.groupBy(strata_col).agg(
+        F.sum(F.col(weight_col)).cast("long").alias("__t")
+    )
+    joined = totals.join(F.broadcast(wdf), strata_col)
+    # min over the tiny (|strata|-row) frame via an unpartitioned window —
+    # fixed-size, not data-scale (the pack_sequences offsets precedent);
+    # avoids a second traversal of the corpus aggregate.
+    w_all = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return joined.withColumn(
+        "__b", F.min(F.expr(f"(__t * {total_w}) div __wgt")).over(w_all)
+    ).select(
+        strata_col,
+        F.when(F.col("__t") <= 0, F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(SPLIT_DENOM),
+                F.expr(f"({SPLIT_DENOM} * ((__b * __wgt) div {total_w})) div __t"),
+            )
+        )
+        .cast("long")
+        .alias("mix_rate_bp"),
+    )
+
+
+def mixture_keep(key_col: str | Column, rate_bp_col: str | Column, salt: str = "") -> Column:
+    """The keep decision for :func:`mixture_rates` output after the
+    broadcast join-back: a row survives iff its md5 bucket falls under
+    its stratum's derived rate.  Deterministic in (key, salt) like every
+    selection op in this module; strata with no rate row (absent from
+    the mixture) are dropped via the COALESCE-to-0."""
+    rate = F.col(rate_bp_col) if isinstance(rate_bp_col, str) else rate_bp_col
+    return (split_bucket(key_col, salt=salt) < F.coalesce(rate, F.lit(0))).alias(
+        "mix_keep"
+    )
+
+
+def mixture_oracle_ctes(
+    base_sql: str,
+    weights: dict[str, int],
+    prefix: str = "mix",
+) -> str:
+    """DuckDB twin of :func:`mixture_rates` as chained CTEs.  ``base_sql``
+    must be a relation producing (stratum VARCHAR, w BIGINT) rows — one
+    per input row of the Spark side.  Emits ``{prefix}_rate(stratum,
+    rate_bp)``; embed with a LEFT JOIN + COALESCE(rate_bp, 0) and the
+    split-bucket CASE from :func:`stratified_keep_oracle_case`'s idiom.
+    DuckDB ``//`` on BIGINTs truncates like Spark ``div``; every operand
+    here is non-negative, so the two floor conventions agree."""
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    if any("'" in name for name in weights):
+        raise ValueError("strata names must not contain single quotes")
+    total_w = sum(weights.values())
+    vals = ", ".join(f"('{k}', CAST({int(v)} AS BIGINT))" for k, v in weights.items())
+    return f"""{prefix}_t AS (
+        SELECT stratum, CAST(SUM(w) AS BIGINT) AS t FROM ({base_sql}) GROUP BY stratum
+    ),
+    {prefix}_j AS (
+        SELECT t.stratum, t.t, w.wgt
+        FROM {prefix}_t t JOIN (VALUES {vals}) AS w(stratum, wgt) USING (stratum)
+    ),
+    {prefix}_b AS (SELECT MIN((t * {total_w}) // wgt) AS b FROM {prefix}_j),
+    {prefix}_rate AS (
+        SELECT stratum,
+               CASE WHEN t <= 0 THEN 0
+                    ELSE LEAST({SPLIT_DENOM},
+                               ({SPLIT_DENOM} * ((b * wgt) // {total_w})) // t) END
+                   AS rate_bp
+        FROM {prefix}_j CROSS JOIN {prefix}_b
+    )"""
+
+
+def split_bucket_oracle_sql(key_sql: str, salt: str = "") -> str:
+    """DuckDB twin of :func:`split_bucket` (the bare basis-point bucket)
+    for oracles that compare it against a data-derived threshold —
+    q82's mix_keep does."""
+    if "'" in salt:
+        raise ValueError("salt must not contain single quotes")
+    return (
+        f"(CAST('0x' || substring(md5(CAST({key_sql} AS VARCHAR) || '{salt}'), 1, 15)"
+        f" AS BIGINT) % {SPLIT_DENOM})"
+    )
+
+
+def order_key(key_col: str | Column, salt: str = "") -> Column:
+    """60-bit md5-derived order key (the split_bucket digest WITHOUT the
+    basis-point mod): the engine-portable 'random but reproducible' sort
+    key that deterministic training-order shuffling rides on."""
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    return F.conv(
+        F.substring(F.md5(F.concat(key.cast("string"), F.lit(salt))), 1, 15), 16, 10
+    ).cast("long")
+
+
+def order_key_oracle_sql(key_sql: str, salt: str = "") -> str:
+    """DuckDB twin of :func:`order_key` for driver oracles."""
+    if "'" in salt:
+        raise ValueError("salt must not contain single quotes")
+    return (
+        f"CAST('0x' || substring(md5(CAST({key_sql} AS VARCHAR) || '{salt}'), 1, 15)"
+        f" AS BIGINT)"
+    )
+
+
+def ranged_running_total(
+    df: DataFrame,
+    ord_col: Column,
+    tie_col: str,
+    val_col: Column,
+    out_col: str,
+    num_ranges: int = ORDER_NUM_RANGES,
+) -> DataFrame:
+    """Distributed running total of ``val_col`` over the global
+    (``ord_col``, ``tie_col``) order — the generalization of
+    pack_sequences' inline prefix sum (functions/text.py) to an arbitrary
+    numeric order key.  Same scalable shape, NOT a bare
+    ``Window.orderBy`` (which would move the whole corpus to one task):
+
+    1. ``approx_percentile`` range boundaries over the order key (output
+       is invariant to boundary placement — any contiguous-in-order range
+       split yields the same global prefix — so approximate percentiles
+       only affect task balance);
+    2. per-range running totals, window partitioned by range id;
+    3. per-range grand totals + a fixed-size (num_ranges-row) offset
+       window;
+    4. global total = range offset + in-range running total via a
+       broadcast join.
+
+    Rows with equal order keys share a range id by construction (range
+    id = #boundaries strictly below the key), and ``tie_col`` must be
+    unique, so the order — and therefore the output — is total and
+    deterministic.  The staged frame is persisted: three consumers
+    (boundary agg, range totals, the windowed pass) would otherwise each
+    recompute the input lineage.
+    """
+    from pyspark.sql import Window
+
+    staged0 = (
+        df.withColumn("__ord", ord_col)
+        .withColumn("__val", val_col.cast("long"))
+        .persist()
+    )
+    probs = [i / num_ranges for i in range(1, num_ranges)]
+    bounds = staged0.agg(
+        F.percentile_approx(
+            "__ord", F.array(*[F.lit(p) for p in probs]), 10000
+        ).alias("__bounds")
+    )
+    staged = (
+        staged0.join(F.broadcast(bounds))
+        .withColumn(
+            "__rng",
+            F.size(F.filter("__bounds", lambda b: b < F.col("__ord"))).cast("long"),
+        )
+        .drop("__bounds")
+    )
+    w_in = Window.partitionBy("__rng").orderBy("__ord", tie_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    local = staged.withColumn("__cum_in", F.sum("__val").over(w_in))
+    range_totals = staged.groupBy("__rng").agg(F.sum("__val").alias("__rt"))
+    w_rng = Window.partitionBy(F.lit(1)).orderBy("__rng").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = range_totals.select(
+        "__rng", F.coalesce(F.sum("__rt").over(w_rng), F.lit(0)).alias("__off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "__rng")
+        .withColumn(out_col, (F.col("__off") + F.col("__cum_in")).cast("long"))
+        .drop("__ord", "__val", "__rng", "__cum_in", "__off")
+    )
+
+
+def global_order_index(
+    df: DataFrame,
+    key_col: str,
+    salt: str = "",
+    pos_col: str = "shuffle_pos",
+    num_ranges: int = ORDER_NUM_RANGES,
+) -> DataFrame:
+    """Deterministic global training-order shuffle: every row gets its
+    1-based position under the md5-keyed order (``order_key``, ties by
+    the unique ``key_col``) — the reproducible "shuffle the corpus
+    before sharding" op every training run needs, with none of
+    ``rand()``'s layout dependence.  position = distributed prefix COUNT
+    (``ranged_running_total`` with value 1), so re-runs, repartitions,
+    and other engines (``ROW_NUMBER() OVER (ORDER BY md5key, key)`` —
+    q86's oracle re-derives it) produce the identical permutation."""
+    return ranged_running_total(
+        df,
+        ord_col=order_key(key_col, salt=salt),
+        tie_col=key_col,
+        val_col=F.lit(1),
+        out_col=pos_col,
+        num_ranges=num_ranges,
+    )
 
 
 def stratified_keep_oracle_case(

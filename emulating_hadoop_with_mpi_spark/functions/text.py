@@ -15,6 +15,14 @@ from pyspark.sql import functions as F
 
 from emulating_hadoop_with_mpi_spark.functions.sampling import (
     DEFAULT_SPLITS as _DEFAULT_SPLITS,
+    global_order_index as _global_order_index,
+    mixture_keep as _mixture_keep,
+    mixture_oracle_ctes as _mixture_oracle_ctes,
+    mixture_rates as _mixture_rates,
+    order_key_oracle_sql as _order_key_oracle_sql,
+    ranged_running_total as _ranged_running_total,
+    split_bucket as _split_bucket,
+    split_bucket_oracle_sql as _split_bucket_oracle_sql,
     split_column as _split_column,
     split_oracle_case as _split_oracle_case,
     stratified_keep as _stratified_keep,
@@ -26,6 +34,25 @@ from emulating_hadoop_with_mpi_spark.functions.sampling import (
 # the rest — the canonical corpus-rebalancing selection, as a map-only
 # boolean column whose md5 bucket the DuckDB oracle re-derives per row.
 Q82_SAMPLE_FRACTIONS = {"en": 0.5}
+
+# q82's registered data-mixture check (round 13 continuation): resample
+# the corpus to 2:1:1:1:1 en:es:de:fr:zh BY CHARACTERS — the data-mixing
+# op (Pile/DoReMi-style domain reweighting) whose integer-exact keep
+# rates the DuckDB oracle re-derives from the same per-language masses
+# (functions/sampling.mixture_rates).  Mass = the documents table's
+# n_chars column, NOT a tokenize: the rates aggregate reads two tiny
+# columns, so q82's corpus-text scan count stays at the pinned 4 and the
+# 100 TB mixing pass never touches the text bytes.
+MIX_WEIGHTS = {"en": 2, "es": 1, "de": 1, "fr": 1, "zh": 1}
+MIX_SALT = "mix"
+
+# q86's registered training-order shuffle salt (round 13 continuation):
+# the deterministic global permutation every training run shards by.
+SHUFFLE_SALT = "shuf"
+
+# q85's 'budget' section (round 13 continuation): token-budget quality
+# selection — take best-quality documents until the budget fills.
+TOKEN_BUDGET_SECTION = 12_288
 from emulating_hadoop_with_mpi_spark.registry import query
 from emulating_hadoop_with_mpi_spark.sources.tables import load_table
 
@@ -490,6 +517,14 @@ from emulating_hadoop_with_mpi_spark.functions.lm import lm_oracle_ctes as _lm_c
 
 _LM_CTES = _lm_ctes()
 
+# Data-mixture rate CTEs (q82's mix_keep section — functions/sampling.py
+# mixture_rates' integer arithmetic re-derived over the same per-language
+# token masses the Spark side aggregates).
+_MIX_CTES = _mixture_oracle_ctes(
+    "SELECT lang AS stratum, CAST(n_chars AS BIGINT) AS w FROM documents",
+    MIX_WEIGHTS,
+)
+
 
 @query(
     "q82_lang_id",
@@ -498,6 +533,7 @@ _LM_CTES = _lm_ctes()
     {_QFEAT_CTES},
     {_CLF_CTES},
     {_LM_CTES},
+    {_MIX_CTES},
     bpe_sc AS (
         SELECT doc_id,
                CAST(CASE WHEN length(wd) <= 2 THEN 0
@@ -523,12 +559,15 @@ _LM_CTES = _lm_ctes()
            clf_sc.clf_quality AS clf_quality,
            COALESCE(lm_sc.lm_xent, 0.0) AS lm_xent,
            bpe_sc.n_bpe_enc AS n_bpe_enc,
-           {_stratified_keep_oracle_case("scored.doc_id", "lang_label", Q82_SAMPLE_FRACTIONS)} AS sample_keep
+           {_stratified_keep_oracle_case("scored.doc_id", "lang_label", Q82_SAMPLE_FRACTIONS)} AS sample_keep,
+           ({_split_bucket_oracle_sql("scored.doc_id", MIX_SALT)}
+                < COALESCE(mix_rate.rate_bp, 0)) AS mix_keep
     FROM scored
     LEFT JOIN dsir_sc ON dsir_sc.doc_id = scored.doc_id
     JOIN clf_sc ON clf_sc.doc_id = scored.doc_id
     LEFT JOIN lm_sc ON lm_sc.doc_id = scored.doc_id
     JOIN bpe_sc ON bpe_sc.doc_id = scored.doc_id
+    LEFT JOIN mix_rate ON mix_rate.stratum = scored.lang_label
     ORDER BY scored.doc_id
     """,
 )
@@ -570,7 +609,17 @@ def q82_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequences with.  Encoding with a frozen merge list is
     SQL-expressible (the oracle replays the same replace chain over the
     ␟-wrapped symbol string), so the scoring half of BPE rides the
-    driver-checked surface even though the iterative trainer cannot."""
+    driver-checked surface even though the iterative trainer cannot.
+
+    ``mix_keep`` (round 13 continuation) is the seventh: data-mixture
+    resampling (functions/sampling.mixture_rates — the Pile/DoReMi-style
+    "reweight domains to target proportions" op).  The per-language keep
+    rates are DERIVED FROM THE DATA (integer-exact arithmetic over
+    per-language character masses — the pruned n_chars column, zero text
+    reads — MIX_WEIGHTS = 2:1:1:1:1 en:es:de:fr:zh by characters) and
+    applied through the md5 bucket, so the DuckDB oracle
+    re-derives both the RATES and each row's keep decision — the hash
+    covers the mixture math itself, not just the selection."""
     from emulating_hadoop_with_mpi_spark.functions.bpe import (
         bpe_count_col,
         bpe_wrapped_doc_col,
@@ -607,6 +656,17 @@ def q82_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "lang", Q82_SAMPLE_FRACTIONS
         ).alias("sample_keep"),
     )
+    # Data-mixture rates (seventh signal, round 13 continuation): one
+    # per-language mass aggregate over (lang, n_chars) — two pruned
+    # columns, zero text reads — then a |strata|-row broadcast join-back:
+    # the thinning a 2:1:1:1:1 by-character mixture implies,
+    # integer-exact in any engine.
+    mix_rates = _mixture_rates(
+        docs.select("lang", F.col("n_chars").cast("long").alias("w")),
+        "lang",
+        "w",
+        MIX_WEIGHTS,
+    ).withColumnRenamed("lang", "lang_label")
     s_en, s_es, s_de, s_fr = (F.col(c) for c in ("s_en", "s_es", "s_de", "s_fr"))
     pred = (
         F.when((s_en == 0) & (s_es == 0) & (s_de == 0) & (s_fr == 0), "und")
@@ -644,10 +704,12 @@ def q82_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(clf, "doc_id")
         .join(lm, "doc_id", "left")
         .withColumn("lm_xent", F.coalesce(F.col("lm_xent"), F.lit(0.0)))
+        .join(F.broadcast(mix_rates), "lang_label", "left")
+        .withColumn("mix_keep", _mixture_keep("doc_id", "mix_rate_bp", salt=MIX_SALT))
         .select(
             "doc_id", "lang_label", "s_en", "s_es", "s_de", "s_fr",
             "lang_pred", "dsir_en", "clf_quality", "lm_xent", "n_bpe_enc",
-            "sample_keep",
+            "sample_keep", "mix_keep",
         )
     )
 
@@ -1225,6 +1287,31 @@ def _curate_section_oracle() -> str:
 """
 
 
+# q85's 'budget' section (round 13 continuation): token-budget quality
+# selection — the "take the best documents until the budget fills" op a
+# pipeline uses to hit a fixed training-token target.  One row per
+# SELECTED document (cum running total ≤ TOKEN_BUDGET_SECTION over the
+# (quality DESC, doc_id) order); quality is the integer-exact q81 score,
+# so the cross-engine ordering — and therefore the selected SET — is
+# bit-deterministic.  chunk_idx carries the running total.
+def _budget_section_oracle() -> str:
+    return f"""
+    SELECT 'budget' AS method, doc_id, CAST(cum_tokens AS INT) AS chunk_idx,
+           CAST(n_tokens AS INT) AS n_tokens, CAST(NULL AS VARCHAR) AS chunk_text
+    FROM (
+        WITH {_QFEAT_CTES},
+        bcum AS (
+            SELECT doc_id, n_tokens,
+                   CAST(SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                       AS cum_tokens
+            FROM qfeat WHERE n_tokens > 0
+        )
+        SELECT * FROM bcum WHERE cum_tokens <= {TOKEN_BUDGET_SECTION}
+    )
+"""
+
+
 @query(
     "q85_chunk_documents",
     oracle=f"""
@@ -1256,6 +1343,8 @@ def _curate_section_oracle() -> str:
         {_bpe_train_oracle_section()}
         UNION ALL
         {_curate_section_oracle()}
+        UNION ALL
+        {_budget_section_oracle()}
     ) ORDER BY method, doc_id, chunk_idx
     """,
 )
@@ -1293,6 +1382,14 @@ def q85_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
       SUM(DISTINCT doc_id)/SUM(bin_id) membership checksums over the
       composed output.  This pins the stage INTERACTION (order,
       survivor flow), which until round 13 only pytest covered.
+    - 'budget' (round 13 continuation): token-budget quality selection —
+      one row per document kept by "best quality first until
+      {TOKEN_BUDGET_SECTION} tokens" (chunk_idx = the running token
+      total at that document).  Distributed prefix sum over the
+      (quality DESC, doc_id) order (functions/sampling.py
+      ranged_running_total — no single-task global window); the oracle
+      re-derives the selection with one SUM() OVER window, which the
+      two-phase distributed sum must equal exactly.
 
     No trailing sort — the chunk section alone is corpus-scale output
     and the driver's hash compare is order-insensitive (the oracle keeps
@@ -1398,12 +1495,42 @@ def q85_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t").cast("int").alias("n_tokens"),
         F.concat(F.lit("bins:"), F.col("split")).alias("chunk_text"),
     )
+    # 'budget' (round 13 continuation): token-budget quality selection —
+    # distributed running total of n_tokens over the (quality DESC,
+    # doc_id) order (ranged_running_total, functions/sampling.py — the
+    # pack_sequences prefix machinery over the quality order key), keep
+    # while the running total fits the budget.  The integer-exact q81
+    # quality makes the cross-engine ordering, and therefore the selected
+    # SET, bit-deterministic.
+    qs = (
+        quality_scores(docs.select("doc_id", "text"))
+        .select("doc_id", "n_tokens", "quality")
+        .filter(F.col("n_tokens") > 0)
+    )
+    brows = (
+        _ranged_running_total(
+            qs,
+            ord_col=-F.col("quality"),
+            tie_col="doc_id",
+            val_col=F.col("n_tokens"),
+            out_col="cum_tokens",
+        )
+        .filter(F.col("cum_tokens") <= TOKEN_BUDGET_SECTION)
+        .select(
+            F.lit("budget").alias("method"),
+            "doc_id",
+            F.col("cum_tokens").cast("int").alias("chunk_idx"),
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            F.lit(None).cast("string").alias("chunk_text"),
+        )
+    )
     return (
         chunks.unionByName(decon)
         .unionByName(mrows)
         .unionByName(stage_rows)
         .unionByName(split_rows)
         .unionByName(bin_rows)
+        .unionByName(brows)
     )
 
 
@@ -1426,7 +1553,10 @@ def q85_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, n_tokens, CAST(bin_id AS BIGINT) AS bin_id,
            CAST(SUM(n_tokens) OVER (PARTITION BY bin_id ORDER BY doc_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS bin_fill,
-           {_split_oracle_case("doc_id", _DEFAULT_SPLITS)} AS split
+           {_split_oracle_case("doc_id", _DEFAULT_SPLITS)} AS split,
+           CAST(ROW_NUMBER() OVER (
+                ORDER BY {_order_key_oracle_sql("doc_id", SHUFFLE_SALT)}, doc_id
+           ) AS BIGINT) AS shuffle_pos
     FROM binned
     ORDER BY doc_id
     """,
@@ -1445,8 +1575,19 @@ def q86_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle, so the driver hash covers the ASSIGNMENT itself, not just
     its counts; it is map-only on this query's spine (zero extra scans
     or joins).  No trailing sort — the output is corpus-scale and the
-    driver's hash compare is order-insensitive."""
+    driver's hash compare is order-insensitive.
+
+    ``shuffle_pos`` (round 13 continuation): the deterministic global
+    TRAINING-ORDER SHUFFLE — each row's 1-based position under the
+    md5-keyed order (functions/sampling.global_order_index), i.e. the
+    reproducible permutation a run shards its training data by, with
+    none of ``rand()``'s layout dependence.  Distributed prefix count
+    over percentile ranges (the pack_sequences machinery generalized —
+    no single-task global window), re-derived by the oracle as
+    ``ROW_NUMBER() OVER (ORDER BY md5key, doc_id)`` so the driver hash
+    covers the entire permutation."""
     docs = load_table(spark, sf_dir, "documents")
-    return pack_sequences(docs, budget=PACK_BUDGET).withColumn(
+    packed = pack_sequences(docs, budget=PACK_BUDGET).withColumn(
         "split", _split_column("doc_id", _DEFAULT_SPLITS)
     )
+    return _global_order_index(packed, "doc_id", salt=SHUFFLE_SALT)

@@ -1,0 +1,212 @@
+"""Data-mixture resampling, deterministic global training order, and the
+shared distributed prefix-sum they ride (functions/sampling.py — round 13
+continuation).  Not in the reference (its datagen `filecreation.c:8-28`
+is the nearest analogue); these are LLM-pipeline selection/ordering ops.
+
+Cross-engine value parity is covered by tests/test_oracle_parity.py via
+q82 (mix_keep), q86 (shuffle_pos), and q85's 'budget' section; this file
+pins the operator-level invariants: integer-exact rate math, proportion
+targets, permutation validity, and layout independence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from emulating_hadoop_with_mpi_spark.functions.sampling import (
+    SPLIT_DENOM,
+    global_order_index,
+    mixture_keep,
+    mixture_rates,
+    order_key,
+    ranged_running_total,
+    split_bucket,
+)
+
+
+def _docs(spark, sf_dir):
+    from emulating_hadoop_with_mpi_spark.sources.tables import load_table
+
+    return load_table(spark, sf_dir, "documents")
+
+
+def _tok_mass(spark, sf_dir):
+    from emulating_hadoop_with_mpi_spark.functions.text import tokens_col
+
+    return _docs(spark, sf_dir).select(
+        "lang", F.size(tokens_col()).cast("long").alias("w")
+    )
+
+
+def test_mixture_rates_match_integer_formula(spark, sf_dir):
+    """rate_s = min(10000, (10000 * ((B*w_s) div W)) div T_s) with
+    B = min_s (T_s*W) div w_s — recomputed in plain Python over the same
+    per-stratum masses."""
+    weights = {"en": 2, "es": 1, "de": 1, "fr": 1, "zh": 1}
+    df = _tok_mass(spark, sf_dir)
+    got = {
+        r["lang"]: r["mix_rate_bp"]
+        for r in mixture_rates(df, "lang", "w", weights).collect()
+    }
+    totals = {
+        r["lang"]: r["t"]
+        for r in df.groupBy("lang").agg(F.sum("w").alias("t")).collect()
+    }
+    W = sum(weights.values())
+    b = min(totals[s] * W // w for s, w in weights.items() if s in totals)
+    want = {
+        s: min(SPLIT_DENOM, SPLIT_DENOM * (b * weights[s] // W) // totals[s])
+        for s in weights
+        if s in totals
+    }
+    assert got == want
+    # the binding stratum keeps everything
+    assert SPLIT_DENOM in got.values()
+
+
+def test_mixture_kept_mass_approximates_targets(spark, sf_dir):
+    """Kept token mass per stratum lands near its target share of the
+    derived budget (md5 buckets are uniform; tolerance covers the
+    finite-sample noise at sf0.001+)."""
+    weights = {"en": 2, "es": 1, "de": 1, "fr": 1, "zh": 1}
+    df = _tok_mass(spark, sf_dir).withColumn(
+        "key", F.monotonically_increasing_id()
+    )
+    rates = mixture_rates(df, "lang", "w", weights)
+    kept = (
+        df.join(F.broadcast(rates), "lang", "left")
+        .withColumn("keep", mixture_keep("key", "mix_rate_bp"))
+        .filter("keep")
+        .groupBy("lang")
+        .agg(F.sum("w").alias("kept"))
+        .collect()
+    )
+    kept_mass = {r["lang"]: r["kept"] for r in kept}
+    total_kept = sum(kept_mass.values())
+    W = sum(weights.values())
+    for lang, w in weights.items():
+        share = kept_mass.get(lang, 0) / total_kept
+        target = w / W
+        assert abs(share - target) < 0.5 * target, (lang, share, target)
+
+
+def test_mixture_rates_excludes_unweighted_strata(spark):
+    df = spark.createDataFrame(
+        [("a", 100), ("b", 100), ("c", 100)], "lang string, w long"
+    )
+    rates = mixture_rates(df, "lang", "w", {"a": 1, "b": 1})
+    got = {r["lang"]: r["mix_rate_bp"] for r in rates.collect()}
+    assert set(got) == {"a", "b"}  # 'c' gets no row → COALESCE(…, 0) drops it
+    assert got == {"a": SPLIT_DENOM, "b": SPLIT_DENOM}
+    keep = df.join(F.broadcast(rates), "lang", "left").withColumn(
+        "k", mixture_keep("lang", "mix_rate_bp")
+    )
+    assert keep.filter((F.col("lang") == "c") & F.col("k")).count() == 0
+
+
+def test_mixture_rates_rejects_bad_weights(spark):
+    import pytest
+
+    df = spark.createDataFrame([("a", 1)], "lang string, w long")
+    with pytest.raises(ValueError):
+        mixture_rates(df, "lang", "w", {})
+    with pytest.raises(ValueError):
+        mixture_rates(df, "lang", "w", {"a": 0})
+    with pytest.raises(ValueError):
+        mixture_rates(df, "lang", "w", {"a": 0.5})  # type: ignore[dict-item]
+
+
+def test_global_order_index_is_a_permutation(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select("doc_id")
+    n = docs.count()
+    pos = global_order_index(docs, "doc_id")
+    got = pos.agg(
+        F.countDistinct("shuffle_pos").alias("d"),
+        F.min("shuffle_pos").alias("lo"),
+        F.max("shuffle_pos").alias("hi"),
+    ).collect()[0]
+    assert (got["d"], got["lo"], got["hi"]) == (n, 1, n)
+
+
+def test_global_order_index_layout_independent(spark, sf_dir):
+    """Identical permutation regardless of input partitioning — the
+    property rand()-based shuffles lack."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    a = global_order_index(docs.repartition(1), "doc_id", salt="s")
+    b = global_order_index(docs.repartition(16), "doc_id", salt="s")
+    assert a.join(b.withColumnRenamed("shuffle_pos", "p2"), "doc_id").filter(
+        "shuffle_pos != p2"
+    ).count() == 0
+
+
+def test_global_order_index_matches_single_window(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select("doc_id")
+    dist = global_order_index(docs, "doc_id", salt="x")
+    w = Window.orderBy(order_key("doc_id", salt="x"), "doc_id")
+    ref = docs.withColumn("ref_pos", F.row_number().over(w).cast("long"))
+    assert dist.join(ref, "doc_id").filter("shuffle_pos != ref_pos").count() == 0
+
+
+def test_order_salt_draws_independent_permutation(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select("doc_id")
+    a = global_order_index(docs, "doc_id", salt="s1")
+    b = global_order_index(docs, "doc_id", salt="s2").withColumnRenamed(
+        "shuffle_pos", "p2"
+    )
+    moved = a.join(b, "doc_id").filter("shuffle_pos != p2").count()
+    assert moved > docs.count() // 2  # different salts reorder most rows
+
+
+def test_ranged_running_total_matches_single_window(spark, sf_dir):
+    """The two-phase distributed prefix sum equals the sequential window
+    formulation on an arbitrary (double-keyed, tied) order."""
+    from emulating_hadoop_with_mpi_spark.functions.text import quality_scores
+
+    qs = (
+        quality_scores(_docs(spark, sf_dir).select("doc_id", "text"))
+        .select("doc_id", "n_tokens", "quality")
+        .filter("n_tokens > 0")
+    )
+    dist = ranged_running_total(
+        qs,
+        ord_col=-F.col("quality"),
+        tie_col="doc_id",
+        val_col=F.col("n_tokens"),
+        out_col="cum",
+        num_ranges=7,  # deliberately odd/small: boundary placement is immaterial
+    )
+    w = Window.orderBy(F.col("quality").desc(), "doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ref = qs.withColumn("ref_cum", F.sum("n_tokens").over(w).cast("long"))
+    assert dist.join(ref.select("doc_id", "ref_cum"), "doc_id").filter(
+        "cum != ref_cum"
+    ).count() == 0
+
+
+def test_mix_keep_agrees_with_manual_bucket(spark, sf_dir):
+    """q82's registered mix_keep equals the manual bucket-vs-rate check
+    row by row (a second, independent composition of the same pieces)."""
+    from emulating_hadoop_with_mpi_spark.functions.text import (
+        MIX_SALT,
+        MIX_WEIGHTS,
+        q82_lang_id,
+    )
+
+    got = q82_lang_id(spark, sf_dir).select("doc_id", "lang_label", "mix_keep")
+    df = _docs(spark, sf_dir).select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("w")
+    )
+    rates = mixture_rates(df, "lang", "w", MIX_WEIGHTS)
+    want = (
+        df.join(F.broadcast(rates), "lang", "left")
+        .select(
+            "doc_id",
+            (
+                split_bucket("doc_id", salt=MIX_SALT)
+                < F.coalesce(F.col("mix_rate_bp"), F.lit(0))
+            ).alias("want_keep"),
+        )
+    )
+    assert got.join(want, "doc_id").filter("mix_keep != want_keep").count() == 0
