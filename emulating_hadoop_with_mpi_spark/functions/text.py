@@ -519,7 +519,7 @@ _LM_CTES = _lm_ctes()
 
 # Data-mixture rate CTEs (q82's mix_keep section — functions/sampling.py
 # mixture_rates' integer arithmetic re-derived over the same per-language
-# token masses the Spark side aggregates).
+# n_chars masses the Spark side aggregates).
 _MIX_CTES = _mixture_oracle_ctes(
     "SELECT lang AS stratum, CAST(n_chars AS BIGINT) AS w FROM documents",
     MIX_WEIGHTS,
