@@ -134,6 +134,15 @@ def cmd_pipeline(args: argparse.Namespace) -> int:
         ),
         dsir_keep_frac=args.dsir_keep_frac,
         lm_keep_frac=args.lm_keep_frac,
+        mixture=(
+            {
+                part.split("=")[0]: int(part.split("=")[1])
+                for part in args.mixture.split(",")
+            }
+            if args.mixture
+            else None
+        ),
+        token_budget=args.token_budget,
     ).cache()
     write_curated_shards(
         curated,
@@ -226,6 +235,20 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="LM-perplexity selection: keep this fraction of docs with the "
         "LOWEST cross-entropy under the corpus bigram LM (CCNet filter)",
+    )
+    pl.add_argument(
+        "--mixture",
+        default=None,
+        help="data-mixture resampling: 'lang=weight,...' integer target "
+        "proportions by characters of surviving text (e.g. 'en=2,es=1'); "
+        "strata not listed are dropped",
+    )
+    pl.add_argument(
+        "--token-budget",
+        type=int,
+        default=None,
+        help="keep best-quality documents until this many tokens survive "
+        "(counted over post-span-cut text)",
     )
     pl.set_defaults(fn=cmd_pipeline)
 

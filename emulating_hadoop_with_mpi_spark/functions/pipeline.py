@@ -136,6 +136,10 @@ def curate_corpus(
     dsir_target=None,
     dsir_keep_frac: float = 0.5,
     lm_keep_frac: float | None = None,
+    mixture: dict[str, int] | None = None,
+    mixture_col: str = "lang",
+    mixture_salt: str = "mix",
+    token_budget: int | None = None,
 ) -> DataFrame:
     """Chunk-level curated table: (doc_id, chunk_idx, chunk_id, split,
     n_tokens, bin_id, bin_fill, chunk_text).
@@ -173,6 +177,18 @@ def curate_corpus(
       tokens), same broadcast percentile-threshold mechanism.  Docs
       with fewer than two tokens have no bigrams and are dropped by
       this stage;
+    - optional data-mixture resampling (``mixture``, round 13): thin
+      every stratum of ``mixture_col`` to the integer target proportions
+      in ``mixture`` (e.g. ``{"en": 2, "zh": 1}`` = 2:1 by characters of
+      surviving text) via functions/sampling.mixture_rates — rates are
+      derived AFTER dedup/selection so the shipped corpus hits the
+      proportions exactly in expectation; strata absent from ``mixture``
+      are dropped; deterministic in (doc_id, ``mixture_salt``);
+    - optional token-budget selection (``token_budget``, round 13): keep
+      best-quality documents (recomputed over the current, post-span-cut
+      text) until the running token total exceeds the budget — the
+      "train on the best N tokens" op, a distributed prefix sum over the
+      (quality DESC, doc_id) order;
     - optional PII redaction (``redact``, round 10): mask identifying
       spans AFTER all dedup stages and BEFORE chunking.  The order is a
       semantic pin, not a convenience: dedup and span cutting must see
@@ -268,6 +284,57 @@ def curate_corpus(
             .select("doc_id")
         )
         uniq = uniq.join(lm_keep, "doc_id", "left_semi")
+
+    # Data-mixture resampling AFTER every dedup/selection stage (rates
+    # derived from duplicate-inflated or about-to-be-filtered masses
+    # would miss the target proportions the shipped corpus must hit) and
+    # BEFORE redaction (pure selection — it neither needs nor rewrites
+    # text).  Mass = current text length, so span cutting is reflected.
+    if mixture is not None:
+        from emulating_hadoop_with_mpi_spark.functions.sampling import (
+            mixture_keep,
+            mixture_rates,
+        )
+
+        mass = uniq.select(
+            mixture_col, F.length("text").cast("long").alias("__w")
+        )
+        rates = mixture_rates(mass, mixture_col, "__w", mixture)
+        uniq = (
+            uniq.join(F.broadcast(rates), mixture_col, "left")
+            .filter(mixture_keep("doc_id", "mix_rate_bp", salt=mixture_salt))
+            .drop("mix_rate_bp")
+        )
+
+    # Token-budget quality selection LAST among the selection stages: the
+    # budget is a hard target on what ships, so it must see the
+    # post-dedup/post-mixture survivors (and their post-span-cut texts —
+    # quality and token counts are recomputed over the current text, not
+    # the original).  Best quality first until the running token total
+    # exceeds the budget (functions/sampling.ranged_running_total — the
+    # distributed prefix sum, no single-task global window).
+    if token_budget is not None:
+        from emulating_hadoop_with_mpi_spark.functions.sampling import (
+            ranged_running_total,
+        )
+
+        qtok = (
+            quality_scores(uniq.select("doc_id", "text"))
+            .select("doc_id", "n_tokens", "quality")
+            .filter(F.col("n_tokens") > 0)
+        )
+        sel = (
+            ranged_running_total(
+                qtok,
+                ord_col=-F.col("quality"),
+                tie_col="doc_id",
+                val_col=F.col("n_tokens"),
+                out_col="__cum",
+            )
+            .filter(F.col("__cum") <= token_budget)
+            .select("doc_id")
+        )
+        uniq = uniq.join(sel, "doc_id", "left_semi")
 
     # PII redaction LAST among the text-rewriting stages (order rationale
     # in the docstring): a map-only projection over the deduped corpus

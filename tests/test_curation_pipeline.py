@@ -444,3 +444,62 @@ def test_write_curated_shards_seeded_shuffle(spark, sf_dir, tmp_path):
                 seen.add(bin_id)
                 prev = bin_id
     curated.unpersist()
+
+
+def test_curate_corpus_mixture_stage(spark, sf_dir):
+    """mixture= thins each stratum to the target character proportions of
+    SURVIVING text: unweighted strata are dropped entirely, the binding
+    stratum keeps everything it had in the base run, and kept character
+    mass lands near the 2:1 target."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = curate_corpus(docs, min_quality=0.0)
+    mixed = curate_corpus(docs, min_quality=0.0, mixture={"en": 2, "de": 1})
+    langs = {r.doc_id: r.lang for r in docs.select("doc_id", "lang").collect()}
+    base_ids = {r.doc_id for r in base.select("doc_id").distinct().collect()}
+    mix_ids = {r.doc_id for r in mixed.select("doc_id").distinct().collect()}
+    assert mix_ids < base_ids  # strictly filtered, never added
+    assert all(langs[i] in ("en", "de") for i in mix_ids)  # others dropped
+    # binding stratum: de has far less mass than half of en's, so every
+    # base-run de doc must survive the mixture
+    base_de = {i for i in base_ids if langs[i] == "de"}
+    assert base_de <= mix_ids
+    # proportions: kept en mass ~ 2x kept de mass (wide tolerance — the
+    # md5-bucket draw is exact only in expectation at small corpora)
+    mass = {
+        r.lang: r.m
+        for r in docs.filter(F.col("doc_id").isin(list(mix_ids)))
+        .groupBy("lang")
+        .agg(F.sum(F.length("text")).alias("m"))
+        .collect()
+    }
+    ratio = mass["en"] / mass["de"]
+    assert 1.0 < ratio < 4.0, ratio
+
+
+def test_curate_corpus_token_budget_stage(spark, sf_dir):
+    """token_budget= keeps exactly the best-quality prefix of the
+    surviving docs: recompute the prefix with a plain window over the
+    same survivors and compare doc sets."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = curate_corpus(docs, min_quality=0.0)
+    base_ids = [r.doc_id for r in base.select("doc_id").distinct().collect()]
+    BUDGET = 2_000
+    sel = curate_corpus(docs, min_quality=0.0, token_budget=BUDGET)
+    sel_ids = {r.doc_id for r in sel.select("doc_id").distinct().collect()}
+    w = Window.orderBy(F.col("quality").desc(), "doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    expect = {
+        r.doc_id
+        for r in quality_scores(
+            docs.filter(F.col("doc_id").isin(base_ids)).select("doc_id", "text")
+        )
+        .filter(F.col("n_tokens") > 0)
+        .withColumn("cum", F.sum("n_tokens").over(w))
+        .filter(F.col("cum") <= BUDGET)
+        .collect()
+    }
+    assert sel_ids == expect
+    assert 0 < len(sel_ids) < len(base_ids)
