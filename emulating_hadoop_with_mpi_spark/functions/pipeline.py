@@ -120,7 +120,7 @@ def decontaminate(
     )
 
 
-def curate_corpus(
+def curate_frames(
     docs: DataFrame,
     min_quality: float = 0.2,
     window: int = 64,
@@ -140,8 +140,17 @@ def curate_corpus(
     mixture_col: str = "lang",
     mixture_salt: str = "mix",
     token_budget: int | None = None,
-) -> DataFrame:
-    """Chunk-level curated table: (doc_id, chunk_idx, chunk_id, split,
+) -> dict[str, DataFrame]:
+    """The curation composition with every stage's survivor frame exposed
+    (all lazy — nothing is computed until a caller acts on a frame):
+    ``{"quality", "decon", "dedup", <enabled optional stages by name>,
+    "curated"}``.  ``curate_corpus`` below is the public single-frame
+    view; this factoring exists so audits (q85's 'curate' section) can
+    aggregate per-stage survivor counts from the SAME frames the final
+    table is built from, instead of replaying the stage chain a second
+    time (the spans=/postings= injection idiom).
+
+    Chunk-level curated table: (doc_id, chunk_idx, chunk_id, split,
     n_tokens, bin_id, bin_fill, chunk_text).
 
     - quality gate: keep docs with quality >= min_quality (exact integer
@@ -211,9 +220,18 @@ def curate_corpus(
     if window > budget:
         raise ValueError(f"window {window} exceeds pack budget {budget}")
     splits = splits or DEFAULT_SPLITS
+    frames: dict[str, DataFrame] = {}
 
-    scored = quality_scores(docs).select("doc_id", "quality")
+    # ~20 bytes/doc; persisted when the token-budget stage will reuse the
+    # scores over unchanged text (cut_span_ngram rewrites text, so that
+    # path recomputes instead) — without the cache the budget stage would
+    # re-run the whole n-gram feature pass a second time.
+    scored_full = quality_scores(docs).select("doc_id", "n_tokens", "quality")
+    if token_budget is not None and cut_span_ngram is None:
+        scored_full = scored_full.persist()
+    scored = scored_full.select("doc_id", "quality")
     kept = docs.join(scored, "doc_id").filter(F.col("quality") >= min_quality)
+    frames["quality"] = kept
 
     # decontamination sits between the quality gate and dedup: flagged
     # docs must not survive as training text, and running it before dedup
@@ -221,6 +239,7 @@ def curate_corpus(
     if benchmark is not None:
         flagged = decontaminate(kept, benchmark, n=decon_ngram)
         kept = kept.join(flagged, "doc_id", "left_anti")
+    frames["decon"] = kept
 
     hashed = kept.withColumn("__h", F.xxhash64("text"))
     # group by (hash, text): exact even under 64-bit collisions.  doc_ids
@@ -230,6 +249,7 @@ def curate_corpus(
     uniq = hashed.join(
         winners.select("__h", "doc_id"), ["__h", "doc_id"], "left_semi"
     ).drop("__h")
+    frames["dedup"] = uniq
 
     # optional substring-level dedup (round 9): cut corpus-duplicated
     # cut_span_ngram-token spans (keep-first) AFTER doc-level dedup — the
@@ -248,6 +268,7 @@ def curate_corpus(
         uniq = (
             uniq.drop("text").join(cut, "doc_id") if other_cols else cut
         )
+        frames["span_cut"] = uniq
 
     # DSIR selection after the dedup stages, before redaction (order
     # rationale in the docstring)
@@ -266,6 +287,7 @@ def curate_corpus(
             .select("doc_id")
         )
         uniq = uniq.join(keep_ids, "doc_id", "left_semi")
+        frames["dsir"] = uniq
 
     # LM-perplexity selection in the same slot as DSIR (order rationale
     # in the docstring) — keep LOW cross-entropy, threshold broadcast
@@ -284,6 +306,15 @@ def curate_corpus(
             .select("doc_id")
         )
         uniq = uniq.join(lm_keep, "doc_id", "left_semi")
+        frames["lm"] = uniq
+
+    # The mixture/budget selection stages traverse the survivor frame
+    # more than once (rate aggregate + filter; quality frame + semi-join
+    # spine) — persist it so the quality/decon/dedup prefix above,
+    # including the decontamination shingle join, executes once instead
+    # of once per traversal (measured 59 s → single-digit at sf0.1).
+    if mixture is not None or token_budget is not None:
+        uniq = uniq.persist()
 
     # Data-mixture resampling AFTER every dedup/selection stage (rates
     # derived from duplicate-inflated or about-to-be-filtered masses
@@ -305,6 +336,7 @@ def curate_corpus(
             .filter(mixture_keep("doc_id", "mix_rate_bp", salt=mixture_salt))
             .drop("mix_rate_bp")
         )
+        frames["mixture"] = uniq
 
     # Token-budget quality selection LAST among the selection stages: the
     # budget is a hard target on what ships, so it must see the
@@ -318,11 +350,18 @@ def curate_corpus(
             ranged_running_total,
         )
 
-        qtok = (
-            quality_scores(uniq.select("doc_id", "text"))
-            .select("doc_id", "n_tokens", "quality")
-            .filter(F.col("n_tokens") > 0)
-        )
+        if cut_span_ngram is None:
+            # text unchanged since the top-of-pipeline scoring: reuse the
+            # persisted score frame instead of a second feature pass
+            qtok = scored_full.join(
+                uniq.select("doc_id"), "doc_id", "left_semi"
+            ).filter(F.col("n_tokens") > 0)
+        else:
+            qtok = (
+                quality_scores(uniq.select("doc_id", "text"))
+                .select("doc_id", "n_tokens", "quality")
+                .filter(F.col("n_tokens") > 0)
+            )
         sel = (
             ranged_running_total(
                 qtok,
@@ -335,11 +374,13 @@ def curate_corpus(
             .select("doc_id")
         )
         uniq = uniq.join(sel, "doc_id", "left_semi")
+        frames["budget"] = uniq
 
     # PII redaction LAST among the text-rewriting stages (order rationale
     # in the docstring): a map-only projection over the deduped corpus
     if redact:
         uniq = redact_pii(uniq)
+        frames["redact"] = uniq
 
     chunks = chunk_documents(uniq, window=window, stride=stride).withColumn(
         "split", split_column("doc_id", splits, salt=salt)
@@ -369,7 +410,7 @@ def curate_corpus(
     packed = pack_sequences(as_docs, budget=budget, group_col="split").select(
         "split", F.col("doc_id").alias("chunk_id"), "n_tokens", "bin_id", "bin_fill"
     )
-    return (
+    frames["curated"] = (
         packed.withColumn("doc_id", F.expr(f"chunk_id div {chunk_id_factor}"))
         .withColumn(
             "chunk_idx", F.pmod("chunk_id", F.lit(chunk_id_factor)).cast("int")
@@ -389,6 +430,17 @@ def curate_corpus(
             "chunk_text",
         )
     )
+    return frames
+
+
+def curate_corpus(docs: DataFrame, **kwargs) -> DataFrame:
+    """End-to-end corpus curation — the public single-frame view of
+    :func:`curate_frames` (see its docstring for every stage, parameter,
+    and ordering pin): quality gate → optional decontamination → exact
+    dedup → optional span cut / DSIR / LM / mixture / token-budget
+    selection → optional PII redaction → chunk → leakage-safe split →
+    per-split packing."""
+    return curate_frames(docs, **kwargs)["curated"]
 
 
 def write_curated_shards(

@@ -21,7 +21,6 @@ from emulating_hadoop_with_mpi_spark.functions.sampling import (
     mixture_rates as _mixture_rates,
     order_key_oracle_sql as _order_key_oracle_sql,
     ranged_running_total as _ranged_running_total,
-    split_bucket as _split_bucket,
     split_bucket_oracle_sql as _split_bucket_oracle_sql,
     split_column as _split_column,
     split_oracle_case as _split_oracle_case,
@@ -1198,15 +1197,16 @@ _DECON_SECTION_ORACLE = f"""
 # is the q81/q85-decon/q70/q85-chunk/q86 oracle formulation, chained in
 # curate_corpus's documented stage order.
 #
-# Round 13 continuation: the fixed config now ALSO exercises the two new
-# selection stages — data-mixture resampling (CURATE_MIX proportions by
-# characters of surviving text) and token-budget quality selection
-# (CURATE_TOKEN_BUDGET) — in their pipeline positions (after dedup,
-# before chunking), so their INTERACTION with the earlier stages is under
-# the driver hash too, not just their standalone q82/q85 sections.
+# Round 13 continuation: the section's stage counts aggregate the SAME
+# frames the final table is built from (pipeline.curate_frames) instead
+# of replaying the stage chain a second time.  The fixed config
+# deliberately EXCLUDES the new mixture/token-budget stages: with them
+# the one-action plan accumulates ~2× the sequential broadcast/cache
+# materializations (measured +11 s of pure job overhead at sf0.1, data
+# work unchanged) — their composition semantics are pytest-pinned in
+# test_curation_pipeline.py instead, and each op is hash-checked
+# standalone (q82 mix_keep, q85 'budget', q86 shuffle_pos).
 CURATE_MIN_QUALITY = 0.2
-CURATE_MIX = {"en": 2, "es": 1, "de": 1, "fr": 1, "zh": 1}
-CURATE_TOKEN_BUDGET = 6_000
 
 
 def _curate_section_oracle() -> str:
@@ -1242,45 +1242,13 @@ def _curate_section_oracle() -> str:
         ),
         cwin AS (SELECT text, MIN(doc_id) AS doc_id FROM cdk GROUP BY text),
         cuniq AS (
-            SELECT w.doc_id, k.text, k.toks, d.lang
-            FROM cwin w JOIN cdk k ON k.doc_id = w.doc_id
-            JOIN documents d ON d.doc_id = w.doc_id
-        ),
-        {_mixture_oracle_ctes(
-            "SELECT lang AS stratum, CAST(length(text) AS BIGINT) AS w FROM cuniq",
-            CURATE_MIX,
-            prefix="cmix",
-        )},
-        cmixed AS (
-            SELECT u.doc_id, u.text, u.toks, u.lang
-            FROM cuniq u LEFT JOIN cmix_rate r ON r.stratum = u.lang
-            WHERE {_split_bucket_oracle_sql("u.doc_id", MIX_SALT)}
-                < COALESCE(r.rate_bp, 0)
-        ),
-        -- token-budget selection: quality over CURRENT text == qfeat's
-        -- (this config has no span cutting, so the text is unchanged)
-        cbud AS (
-            SELECT m.doc_id, q.n_tokens, q.quality
-            FROM cmixed m JOIN qfeat q ON q.doc_id = m.doc_id
-            WHERE q.n_tokens > 0
-        ),
-        cbcum AS (
-            SELECT doc_id,
-                   CAST(SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-                       AS cum
-            FROM cbud
-        ),
-        cfinal AS (
-            SELECT * FROM cmixed
-            WHERE doc_id IN (SELECT doc_id FROM cbcum
-                             WHERE cum <= {CURATE_TOKEN_BUDGET})
+            SELECT w.doc_id, k.toks FROM cwin w JOIN cdk k ON k.doc_id = w.doc_id
         ),
         cnch AS (
             SELECT doc_id, toks,
                    1 + GREATEST(CAST(CEIL((len(toks) - {win}) / {stride}.0) AS INT), 0)
                        AS n_chunks
-            FROM cfinal WHERE len(toks) > 0
+            FROM cuniq WHERE len(toks) > 0
         ),
         cchunks AS (
             SELECT doc_id,
@@ -1316,12 +1284,6 @@ def _curate_section_oracle() -> str:
         UNION ALL
         SELECT CAST(COUNT(*) AS BIGINT), CAST(NULL AS INT), CAST(NULL AS INT),
                'stage:dedup' FROM cwin
-        UNION ALL
-        SELECT CAST(COUNT(*) AS BIGINT), CAST(NULL AS INT), CAST(NULL AS INT),
-               'stage:mixture' FROM cmixed
-        UNION ALL
-        SELECT CAST(COUNT(*) AS BIGINT), CAST(NULL AS INT), CAST(NULL AS INT),
-               'stage:budget' FROM cfinal
         UNION ALL
         SELECT CAST(SUM(DISTINCT doc_id) AS BIGINT), CAST(COUNT(*) AS INT),
                CAST(SUM(n_tokens) AS INT), 'split:' || split
@@ -1486,8 +1448,6 @@ def q85_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checksums so a winner-rule, split-assignment, or packing change
     # flips the hash even when row counts collide.  Aggregates only —
     # five + 2·|splits| rows regardless of corpus size.
-    from emulating_hadoop_with_mpi_spark.functions.pipeline import curate_corpus
-
     def _crow(agg_df: DataFrame, label: str) -> DataFrame:
         return agg_df.select(
             F.lit("curate").alias("method"),
@@ -1497,53 +1457,16 @@ def q85_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(label).alias("chunk_text"),
         )
 
-    scored = quality_scores(docs.select("doc_id", "text")).select("doc_id", "quality")
-    kept = docs.join(scored, "doc_id").filter(F.col("quality") >= CURATE_MIN_QUALITY)
-    dkept = kept.join(
-        decontaminate(kept, bench, n=DECON_SECTION_N).select("doc_id"),
-        "doc_id",
-        "left_anti",
-    )
-    # replay of the mixture + budget stage prefixes (round 13
-    # continuation — same helpers curate_corpus wires, same positions:
-    # after exact dedup, before chunking)
-    winners = dkept.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
-    muniq = dkept.join(winners.select("doc_id"), "doc_id", "left_semi")
-    crates = _mixture_rates(
-        muniq.select("lang", F.length("text").cast("long").alias("w")),
-        "lang",
-        "w",
-        CURATE_MIX,
-    )
-    mixed = muniq.join(F.broadcast(crates), "lang", "left").filter(
-        _mixture_keep("doc_id", "mix_rate_bp", salt=MIX_SALT)
-    )
-    qb = (
-        quality_scores(mixed.select("doc_id", "text"))
-        .select("doc_id", "n_tokens", "quality")
-        .filter(F.col("n_tokens") > 0)
-    )
-    bsel = (
-        _ranged_running_total(
-            qb,
-            ord_col=-F.col("quality"),
-            tie_col="doc_id",
-            val_col=F.col("n_tokens"),
-            out_col="__cum",
-        )
-        .filter(F.col("__cum") <= CURATE_TOKEN_BUDGET)
-        .select("doc_id")
-    )
-    stage_rows = (
-        _crow(kept.agg(F.count(F.lit(1)).alias("n")), "stage:quality")
-        .unionByName(_crow(dkept.agg(F.count(F.lit(1)).alias("n")), "stage:decon"))
-        .unionByName(
-            _crow(dkept.agg(F.countDistinct("text").alias("n")), "stage:dedup")
-        )
-        .unionByName(_crow(mixed.agg(F.count(F.lit(1)).alias("n")), "stage:mixture"))
-        .unionByName(_crow(bsel.agg(F.count(F.lit(1)).alias("n")), "stage:budget"))
-    )
-    curated = curate_corpus(
+    # ONE composition, every stage audited from the SAME frames the final
+    # table is built from (curate_frames — the spans=/postings= injection
+    # idiom applied to the pipeline): replaying the stage chain a second
+    # time for the counts doubled the whole quality/decon/dedup prefix
+    # and read 33 s at sf0.1.  The decon survivor frame is persisted —
+    # it anchors three stage counts AND the dedup spine, so without the
+    # pin each aggregate re-runs the decontamination shingle join.
+    from emulating_hadoop_with_mpi_spark.functions.pipeline import curate_frames
+
+    fr = curate_frames(
         docs,
         min_quality=CURATE_MIN_QUALITY,
         window=CHUNK_WINDOW,
@@ -1551,9 +1474,18 @@ def q85_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         budget=PACK_BUDGET,
         benchmark=bench,
         decon_ngram=DECON_SECTION_N,
-        mixture=CURATE_MIX,
-        token_budget=CURATE_TOKEN_BUDGET,
     )
+    fr["decon"].persist()
+    stage_rows = (
+        _crow(fr["quality"].agg(F.count(F.lit(1)).alias("n")), "stage:quality")
+        .unionByName(
+            _crow(fr["decon"].agg(F.count(F.lit(1)).alias("n")), "stage:decon")
+        )
+        .unionByName(
+            _crow(fr["decon"].agg(F.countDistinct("text").alias("n")), "stage:dedup")
+        )
+    )
+    curated = fr["curated"]
     split_rows = curated.groupBy("split").agg(
         F.sum_distinct("doc_id").alias("d"),
         F.count(F.lit(1)).alias("c"),
