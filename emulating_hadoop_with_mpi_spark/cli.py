@@ -96,6 +96,32 @@ def cmd_check(args: argparse.Namespace) -> int:
     return 1
 
 
+def _parse_mixture(spec: str) -> dict[str, int]:
+    """argparse type for --mixture 'lang=weight,...': tolerant of spaces,
+    loud on malformed entries (ArgumentTypeError → clean usage error,
+    not a traceback)."""
+    out: dict[str, int] = {}
+    for part in spec.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        key, sep, val = part.partition("=")
+        key = key.strip()
+        if not sep or not key:
+            raise argparse.ArgumentTypeError(
+                f"bad mixture entry {part!r}: expected 'stratum=integer_weight'"
+            )
+        try:
+            out[key] = int(val.strip())
+        except ValueError:
+            raise argparse.ArgumentTypeError(
+                f"bad mixture weight in {part!r}: weights are integers"
+            ) from None
+    if not out:
+        raise argparse.ArgumentTypeError("empty mixture spec")
+    return out
+
+
 def cmd_pipeline(args: argparse.Namespace) -> int:
     """Curate a documents table end-to-end (quality gate -> dedup ->
     chunk -> pack -> split -> shards) and print a one-line JSON summary."""
@@ -134,14 +160,7 @@ def cmd_pipeline(args: argparse.Namespace) -> int:
         ),
         dsir_keep_frac=args.dsir_keep_frac,
         lm_keep_frac=args.lm_keep_frac,
-        mixture=(
-            {
-                part.split("=")[0]: int(part.split("=")[1])
-                for part in args.mixture.split(",")
-            }
-            if args.mixture
-            else None
-        ),
+        mixture=args.mixture,
         token_budget=args.token_budget,
     ).cache()
     write_curated_shards(
@@ -238,10 +257,12 @@ def main(argv: list[str] | None = None) -> int:
     )
     pl.add_argument(
         "--mixture",
+        type=_parse_mixture,
         default=None,
         help="data-mixture resampling: 'lang=weight,...' integer target "
         "proportions by characters of surviving text (e.g. 'en=2,es=1'); "
-        "strata not listed are dropped",
+        "strata not listed are dropped; weights naming absent strata fail "
+        "loudly at rate derivation",
     )
     pl.add_argument(
         "--token-budget",

@@ -142,7 +142,8 @@ def curate_frames(
     token_budget: int | None = None,
 ) -> dict[str, DataFrame]:
     """The curation composition with every stage's survivor frame exposed
-    (all lazy — nothing is computed until a caller acts on a frame):
+    (lazy, except the ``mixture`` stage's rate derivation — one eager
+    |strata|-row driver aggregate that also validates the weights):
     ``{"quality", "decon", "dedup", <enabled optional stages by name>,
     "curated"}``.  ``curate_corpus`` below is the public single-frame
     view; this factoring exists so audits (q85's 'curate' section) can
@@ -323,18 +324,20 @@ def curate_frames(
     # text).  Mass = current text length, so span cutting is reflected.
     if mixture is not None:
         from emulating_hadoop_with_mpi_spark.functions.sampling import (
-            mixture_keep,
-            mixture_rates,
+            mixture_keep_case,
+            mixture_rate_values,
         )
 
+        # EAGER (one |strata|-row driver aggregate) and LOUD: weights
+        # naming absent strata raise here instead of silently dropping
+        # the corpus; the derived rates become plan literals, so the
+        # keep itself is a map-only CASE — no broadcast join.
         mass = uniq.select(
             mixture_col, F.length("text").cast("long").alias("__w")
         )
-        rates = mixture_rates(mass, mixture_col, "__w", mixture)
-        uniq = (
-            uniq.join(F.broadcast(rates), mixture_col, "left")
-            .filter(mixture_keep("doc_id", "mix_rate_bp", salt=mixture_salt))
-            .drop("mix_rate_bp")
+        rates = mixture_rate_values(mass, mixture_col, "__w", mixture)
+        uniq = uniq.filter(
+            mixture_keep_case("doc_id", mixture_col, rates, salt=mixture_salt)
         )
         frames["mixture"] = uniq
 

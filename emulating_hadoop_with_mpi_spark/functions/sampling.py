@@ -37,15 +37,7 @@ def split_bucket(key_col: str | Column, salt: str = "") -> Column:
     reproducible OUTSIDE Spark byte-for-byte — the driver's DuckDB
     oracle re-derives it per row (q86's ``split`` column), and any
     engine with md5 can re-audit which documents were test-set."""
-    key = F.col(key_col) if isinstance(key_col, str) else key_col
-    return F.pmod(
-        F.conv(
-            F.substring(F.md5(F.concat(key.cast("string"), F.lit(salt))), 1, 15),
-            16,
-            10,
-        ).cast("long"),
-        F.lit(SPLIT_DENOM),
-    )
+    return F.pmod(order_key(key_col, salt=salt), F.lit(SPLIT_DENOM))
 
 
 def split_column(key_col: str | Column, splits: dict[str, float], salt: str = "") -> Column:
@@ -82,14 +74,9 @@ def split_oracle_case(key_sql: str, splits: dict[str, float], salt: str = "") ->
     total = sum(splits.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"split fractions must sum to 1 (got {total})")
-    if "'" in salt:
-        raise ValueError("salt must not contain single quotes")
     if any("'" in name for name in splits):
         raise ValueError("split names must not contain single quotes")
-    bucket = (
-        f"(CAST('0x' || substring(md5(CAST({key_sql} AS VARCHAR) || '{salt}'), 1, 15)"
-        f" AS BIGINT) % {SPLIT_DENOM})"
-    )
+    bucket = split_bucket_oracle_sql(key_sql, salt=salt)
     names = list(splits)
     if len(names) == 1:
         return f"'{names[0]}'"
@@ -158,74 +145,108 @@ def stratified_keep(
     return (bucket < thr).alias("sample_keep")
 
 
-def mixture_rates(
+def mixture_rate_values(
     df: DataFrame,
     strata_col: str,
     weight_col: str,
     weights: dict[str, int],
-) -> DataFrame:
+    strict: bool = True,
+) -> dict[str, int]:
     """Data-mixture resampling rates (the DoReMi/Pile-style "mix domains
-    to target proportions" op): given per-row weights (token counts) and
-    integer target proportions ``weights`` (e.g. ``{"en": 2, "zh": 1}``
-    = two parts English per part Chinese BY TOKENS), derive the
+    to target proportions" op): given per-row weights (token or character
+    counts) and integer target proportions ``weights`` (e.g. ``{"en": 2,
+    "zh": 1}`` = two parts English per part Chinese BY MASS), derive the
     per-stratum keep rate (basis points) that downsamples every stratum
     to the largest achievable corpus with those proportions — the
     binding stratum (smallest weight-mass relative to its target share)
     keeps ~everything, all others are thinned to match.
 
-    ALL arithmetic is 64-bit integer (sums, ``div``, basis points) so the
-    rates are bit-reproducible in any engine — the DuckDB oracle twin
-    (:func:`mixture_oracle_ctes`) re-derives them exactly.  With
-    W = Σ weights and T_s = Σ weight over stratum s:
+    ALL arithmetic is 64-bit integer (sums, floor div, basis points) so
+    the rates are bit-reproducible in any engine — the DuckDB oracle twin
+    (:func:`mixture_oracle_ctes`) re-derives them exactly, which is what
+    keeps the math under q82's cross-engine hash even though this side
+    computes in Python.  With W = Σ weights and T_s = Σ weight over
+    stratum s:
 
         B       = min_s (T_s · W) div w_s     (achievable total mass)
         rate_s  = min(10000, (10000 · ((B · w_s) div W)) div T_s)
 
-    Strata absent from ``weights`` get no row (rate 0 via the consumer's
-    COALESCE) — the mixture defines exactly which domains survive.
-    Headroom: T_s ≤ ~9·10^14 tokens keeps every intermediate below
-    2^63 for W ≤ 10^4 (a 100 TB corpus is ~10^13 tokens).
-
-    One aggregate exchange over ``df`` plus a fixed-size (|strata|-row)
-    window — nothing corpus-scale crosses the driver.  Returns
-    (strata_col, mix_rate_bp) for a broadcast join-back.
+    EAGER and LOUD: runs ONE tiny aggregate (|strata| rows — the bounded
+    driver-collect class the classifier/CC/BPE ops already use) and, with
+    ``strict`` (the default), raises if any weighted stratum is absent or
+    has zero mass — a typo'd mixture must fail, not silently drop the
+    corpus (``strict=False`` restores ignore-the-absent for exploratory
+    use).  The returned dict becomes plan literals via
+    :func:`mixture_keep_case` — a map-only CASE, no broadcast join.
+    Headroom: T_s ≤ ~9·10^14 keeps every intermediate below 2^63 for
+    W ≤ 10^4 (a 100 TB corpus is ~10^13 tokens).
     """
-    from pyspark.sql import Window
-
     if not weights:
         raise ValueError("weights must be non-empty")
     for name, w in weights.items():
         if not isinstance(w, int) or w <= 0:
             raise ValueError(f"weight for {name!r} must be a positive int (got {w})")
     total_w = sum(weights.values())
-    spark = df.sparkSession
-    wdf = spark.createDataFrame(
-        [(k, int(v)) for k, v in weights.items()],
-        f"{strata_col} string, __wgt long",
-    )
-    totals = df.groupBy(strata_col).agg(
-        F.sum(F.col(weight_col)).cast("long").alias("__t")
-    )
-    joined = totals.join(F.broadcast(wdf), strata_col)
-    # min over the tiny (|strata|-row) frame via an unpartitioned window —
-    # fixed-size, not data-scale (the pack_sequences offsets precedent);
-    # avoids a second traversal of the corpus aggregate.
-    w_all = Window.partitionBy(F.lit(1)).rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    return joined.withColumn(
-        "__b", F.min(F.expr(f"(__t * {total_w}) div __wgt")).over(w_all)
-    ).select(
-        strata_col,
-        F.when(F.col("__t") <= 0, F.lit(0))
-        .otherwise(
-            F.least(
-                F.lit(SPLIT_DENOM),
-                F.expr(f"({SPLIT_DENOM} * ((__b * __wgt) div {total_w})) div __t"),
-            )
+    totals = {
+        r[0]: int(r[1] or 0)
+        for r in df.groupBy(strata_col)
+        .agg(F.sum(F.col(weight_col)).cast("long").alias("__t"))
+        .collect()
+    }
+    bad = sorted(s for s in weights if totals.get(s, 0) <= 0)
+    if bad and strict:
+        raise ValueError(
+            f"mixture strata with no mass in the data: {bad} "
+            f"(present: {sorted(k for k, v in totals.items() if v > 0)}); "
+            "fix the weights or pass strict=False to ignore them"
         )
-        .cast("long")
-        .alias("mix_rate_bp"),
+    live = {s: w for s, w in weights.items() if totals.get(s, 0) > 0}
+    if not live:
+        raise ValueError("no weighted stratum has any mass in the data")
+    b = min(totals[s] * total_w // w for s, w in live.items())
+    return {
+        s: min(SPLIT_DENOM, SPLIT_DENOM * (b * w // total_w) // totals[s])
+        for s, w in live.items()
+    }
+
+
+def mixture_keep_case(
+    key_col: str | Column,
+    strata_col: str | Column,
+    rates: dict[str, int],
+    salt: str = "",
+) -> Column:
+    """Map-only keep decision from :func:`mixture_rate_values` output as
+    plan literals: a row survives iff its md5 bucket falls under its
+    stratum's rate; strata outside the mixture get rate 0 (dropped).
+    Zero joins, zero shuffles — the classifier-weights-as-literals idiom."""
+    strata = F.col(strata_col) if isinstance(strata_col, str) else strata_col
+    thr: Column | None = None
+    for name, rate in rates.items():
+        lim = F.lit(int(rate))
+        thr = F.when(strata == name, lim) if thr is None else thr.when(strata == name, lim)
+    thr = F.lit(0) if thr is None else thr.otherwise(F.lit(0))
+    return (split_bucket(key_col, salt=salt) < thr).alias("mix_keep")
+
+
+def mixture_rates(
+    df: DataFrame,
+    strata_col: str,
+    weight_col: str,
+    weights: dict[str, int],
+    strict: bool = False,
+) -> DataFrame:
+    """Frame view of :func:`mixture_rate_values` — (strata_col,
+    mix_rate_bp) rows for callers that prefer a broadcast join-back over
+    plan literals.  Eager (the rates are computed driver-side; see
+    mixture_rate_values for the math, determinism, and strictness
+    contract).  Defaults to ``strict=False`` for backward compatibility:
+    absent strata are ignored (no row → the consumer's COALESCE(…, 0))."""
+    rates = mixture_rate_values(df, strata_col, weight_col, weights, strict=strict)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(k, int(v)) for k, v in rates.items()],
+        f"{strata_col} string, mix_rate_bp long",
     )
 
 
@@ -281,12 +302,7 @@ def split_bucket_oracle_sql(key_sql: str, salt: str = "") -> str:
     """DuckDB twin of :func:`split_bucket` (the bare basis-point bucket)
     for oracles that compare it against a data-derived threshold —
     q82's mix_keep does."""
-    if "'" in salt:
-        raise ValueError("salt must not contain single quotes")
-    return (
-        f"(CAST('0x' || substring(md5(CAST({key_sql} AS VARCHAR) || '{salt}'), 1, 15)"
-        f" AS BIGINT) % {SPLIT_DENOM})"
-    )
+    return f"({order_key_oracle_sql(key_sql, salt=salt)} % {SPLIT_DENOM})"
 
 
 def order_key(key_col: str | Column, salt: str = "") -> Column:
@@ -412,12 +428,9 @@ def stratified_keep_oracle_case(
     salt: str = "",
 ) -> str:
     """The DuckDB twin of :func:`stratified_keep` for driver oracles."""
-    if "'" in salt or any("'" in name for name in fractions):
-        raise ValueError("salt and strata names must not contain single quotes")
-    bucket = (
-        f"(CAST('0x' || substring(md5(CAST({key_sql} AS VARCHAR) || '{salt}'), 1, 15)"
-        f" AS BIGINT) % {SPLIT_DENOM})"
-    )
+    if any("'" in name for name in fractions):
+        raise ValueError("strata names must not contain single quotes")
+    bucket = split_bucket_oracle_sql(key_sql, salt=salt)
     if not fractions:
         return f"({bucket} < {int(round(default * SPLIT_DENOM))})"
     whens = " ".join(

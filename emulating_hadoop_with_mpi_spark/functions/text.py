@@ -16,9 +16,9 @@ from pyspark.sql import functions as F
 from emulating_hadoop_with_mpi_spark.functions.sampling import (
     DEFAULT_SPLITS as _DEFAULT_SPLITS,
     global_order_index as _global_order_index,
-    mixture_keep as _mixture_keep,
+    mixture_keep_case as _mixture_keep_case,
     mixture_oracle_ctes as _mixture_oracle_ctes,
-    mixture_rates as _mixture_rates,
+    mixture_rate_values as _mixture_rate_values,
     order_key_oracle_sql as _order_key_oracle_sql,
     ranged_running_total as _ranged_running_total,
     split_bucket_oracle_sql as _split_bucket_oracle_sql,
@@ -655,17 +655,18 @@ def q82_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "lang", Q82_SAMPLE_FRACTIONS
         ).alias("sample_keep"),
     )
-    # Data-mixture rates (seventh signal, round 13 continuation): one
-    # per-language mass aggregate over (lang, n_chars) — two pruned
-    # columns, zero text reads — then a |strata|-row broadcast join-back:
-    # the thinning a 2:1:1:1:1 by-character mixture implies,
-    # integer-exact in any engine.
-    mix_rates = _mixture_rates(
+    # Data-mixture rates (seventh signal, round 13 continuation): ONE
+    # eager per-language mass aggregate over (lang, n_chars) — two pruned
+    # columns, zero text reads, |strata| rows to the driver (the bounded
+    # classifier/CC collect class) — then the rates ride as plan
+    # literals in a map-only CASE: the thinning a 2:1:1:1:1 by-character
+    # mixture implies, integer-exact in any engine, no broadcast join.
+    mix_rates = _mixture_rate_values(
         docs.select("lang", F.col("n_chars").cast("long").alias("w")),
         "lang",
         "w",
         MIX_WEIGHTS,
-    ).withColumnRenamed("lang", "lang_label")
+    )
     s_en, s_es, s_de, s_fr = (F.col(c) for c in ("s_en", "s_es", "s_de", "s_fr"))
     pred = (
         F.when((s_en == 0) & (s_es == 0) & (s_de == 0) & (s_fr == 0), "und")
@@ -703,8 +704,10 @@ def q82_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(clf, "doc_id")
         .join(lm, "doc_id", "left")
         .withColumn("lm_xent", F.coalesce(F.col("lm_xent"), F.lit(0.0)))
-        .join(F.broadcast(mix_rates), "lang_label", "left")
-        .withColumn("mix_keep", _mixture_keep("doc_id", "mix_rate_bp", salt=MIX_SALT))
+        .withColumn(
+            "mix_keep",
+            _mixture_keep_case("doc_id", "lang_label", mix_rates, salt=MIX_SALT),
+        )
         .select(
             "doc_id", "lang_label", "s_en", "s_es", "s_de", "s_fr",
             "lang_pred", "dsir_en", "clf_quality", "lm_xent", "n_bpe_enc",

@@ -18,6 +18,8 @@ from emulating_hadoop_with_mpi_spark.functions.sampling import (
     SPLIT_DENOM,
     global_order_index,
     mixture_keep,
+    mixture_keep_case,
+    mixture_rate_values,
     mixture_rates,
     order_key,
     ranged_running_total,
@@ -115,6 +117,55 @@ def test_mixture_rates_rejects_bad_weights(spark):
         mixture_rates(df, "lang", "w", {"a": 0})
     with pytest.raises(ValueError):
         mixture_rates(df, "lang", "w", {"a": 0.5})  # type: ignore[dict-item]
+
+
+def test_mixture_rate_values_strict_raises_on_absent_strata(spark):
+    """A typo'd mixture must fail loudly, never silently drop the corpus
+    (code-review r13 finding)."""
+    import pytest
+
+    df = spark.createDataFrame([("a", 100), ("b", 50)], "lang string, w long")
+    with pytest.raises(ValueError, match="no mass in the data"):
+        mixture_rate_values(df, "lang", "w", {"a": 1, "typo": 1})
+    # non-strict restores ignore-the-absent
+    got = mixture_rate_values(df, "lang", "w", {"a": 1, "typo": 1}, strict=False)
+    assert got == {"a": SPLIT_DENOM}
+
+
+def test_mixture_keep_case_equals_frame_join(spark, sf_dir):
+    """The plan-literal CASE application (q82/curate's path) selects the
+    identical rows as the frame broadcast-join application."""
+    from pyspark.sql import functions as F2
+
+    weights = {"en": 2, "es": 1, "de": 1, "fr": 1, "zh": 1}
+    df = _docs(spark, sf_dir).select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("w")
+    )
+    rates_frame = mixture_rates(df, "lang", "w", weights)
+    via_join = (
+        df.join(F2.broadcast(rates_frame), "lang", "left")
+        .withColumn("k", mixture_keep("doc_id", "mix_rate_bp", salt="s"))
+        .select("doc_id", "k")
+    )
+    rates = mixture_rate_values(df, "lang", "w", weights)
+    via_case = df.select(
+        "doc_id", mixture_keep_case("doc_id", "lang", rates, salt="s").alias("k2")
+    )
+    assert via_join.join(via_case, "doc_id").filter("k != k2").count() == 0
+
+
+def test_cli_mixture_spec_parsing():
+    import argparse
+
+    import pytest
+
+    from emulating_hadoop_with_mpi_spark.cli import _parse_mixture
+
+    assert _parse_mixture("en=2, es=1") == {"en": 2, "es": 1}
+    assert _parse_mixture("en = 2,") == {"en": 2}
+    for bad in ("en", "en=2.5", "=3", ""):
+        with pytest.raises(argparse.ArgumentTypeError):
+            _parse_mixture(bad)
 
 
 def test_global_order_index_is_a_permutation(spark, sf_dir):
