@@ -1192,6 +1192,10 @@ def main() -> None:
         # always present (VERDICT r12 item 1): [] is the green signal; a
         # non-empty list means open BENCH_DETAIL's "gates" for the basis
         "gates_failed": gates_failed,
+        # [] with gates_run=0 means the decade datasets were ABSENT (fresh
+        # clone without localdata/ — see NOTES round 13) and NO gate ran:
+        # an artifact must show gates_run=9 to claim a green gate set
+        "gates_run": len(gates),
     }
     if gates_indeterminate:
         out["gates_indeterminate"] = gates_indeterminate
