@@ -261,3 +261,79 @@ def test_mix_keep_agrees_with_manual_bucket(spark, sf_dir):
         )
     )
     assert got.join(want, "doc_id").filter("mix_keep != want_keep").count() == 0
+
+
+# --- property tests (the test_properties.py idiom: few examples, no deadline,
+# tiny driver-built frames — shapes and adversarial values, not bulk) ---
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=-(2**31), max_value=2**31),  # order key w/ ties
+            st.integers(min_value=0, max_value=1000),  # value
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    num_ranges=st.integers(min_value=1, max_value=9),
+)
+def test_ranged_running_total_property(spark, rows, num_ranges):
+    """Distributed prefix sum == the sequential formulation for ANY order
+    keys (duplicates included — the tie-on-a-range-boundary case) and any
+    range count, on adversarial tiny frames."""
+    from pyspark.sql import Window
+
+    data = [(i, o, v) for i, (o, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id long, o long, v long")
+    dist = ranged_running_total(
+        df, ord_col=F.col("o"), tie_col="id", val_col=F.col("v"),
+        out_col="cum", num_ranges=num_ranges,
+    )
+    w = Window.orderBy("o", "id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ref = df.withColumn("ref", F.sum("v").over(w).cast("long"))
+    assert dist.join(ref.select("id", "ref"), "id").filter("cum != ref").count() == 0
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    masses=st.dictionaries(
+        st.sampled_from(["a", "b", "c", "d"]),
+        st.integers(min_value=1, max_value=10**12),
+        min_size=1,
+        max_size=4,
+    ),
+    weights=st.dictionaries(
+        st.sampled_from(["a", "b", "c", "d"]),
+        st.integers(min_value=1, max_value=50),
+        min_size=1,
+        max_size=4,
+    ),
+)
+def test_mixture_rate_invariants(spark, masses, weights):
+    """For any masses/weights: rates are in [0, 10000]; expected kept
+    masses (T_s·rate_s) do not exceed target shares of the achievable
+    budget; the binding stratum's rate is 10000."""
+    live = {s: w for s, w in weights.items() if s in masses}
+    if not live:
+        return
+    df = spark.createDataFrame(
+        [(s, int(m)) for s, m in masses.items()], "lang string, w long"
+    )
+    rates = mixture_rate_values(df, "lang", "w", weights, strict=False)
+    assert set(rates) == set(live)
+    assert all(0 <= r <= SPLIT_DENOM for r in rates.values())
+    W = sum(weights.values())
+    b = min(masses[s] * W // w for s, w in live.items())
+    binding = min(live, key=lambda s: masses[s] * W // live[s])
+    # expected kept mass never exceeds the stratum's target share of B
+    for s, r in rates.items():
+        assert masses[s] * r // SPLIT_DENOM <= b * live[s] // W + masses[s] // SPLIT_DENOM + 1
+    if masses[binding] >= SPLIT_DENOM:  # rounding floor only bites tiny strata
+        assert rates[binding] >= SPLIT_DENOM - SPLIT_DENOM // min(
+            masses[binding], SPLIT_DENOM
+        )
