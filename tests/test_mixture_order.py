@@ -296,6 +296,10 @@ def test_ranged_running_total_property(spark, rows, num_ranges):
     )
     w = Window.orderBy("o", "id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ref = df.withColumn("ref", F.sum("v").over(w).cast("long"))
+    # Row-preservation first: an empty distributed result would make the
+    # join-based mismatch count pass vacuously (ADVICE r13 — it masked
+    # the num_ranges=1 empty-frame bug).
+    assert dist.count() == df.count()
     assert dist.join(ref.select("id", "ref"), "id").filter("cum != ref").count() == 0
 
 
@@ -337,3 +341,101 @@ def test_mixture_rate_invariants(spark, masses, weights):
         assert rates[binding] >= SPLIT_DENOM - SPLIT_DENOM // min(
             masses[binding], SPLIT_DENOM
         )
+
+
+# --- round 14: ADVICE r13 fixes pinned ---
+
+
+def test_ranged_running_total_single_range(spark):
+    """num_ranges=1 (the degenerate legal value) preserves every row and
+    matches the sequential window — pre-fix it returned an EMPTY frame
+    (empty percentile list -> NULL bounds -> NULL __rng -> inner-join
+    dropped everything: silent total data loss)."""
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 11, i % 5) for i in range(40)], "id long, o long, v long"
+    )
+    dist = ranged_running_total(
+        df, ord_col=F.col("o"), tie_col="id", val_col=F.col("v"),
+        out_col="cum", num_ranges=1,
+    )
+    assert dist.count() == 40
+    w = Window.orderBy("o", "id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ref = df.withColumn("ref", F.sum("v").over(w).cast("long"))
+    assert dist.join(ref.select("id", "ref"), "id").filter("cum != ref").count() == 0
+
+
+def test_ranged_running_total_rejects_bad_num_ranges(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, 1, 1)], "id long, o long, v long")
+    for bad in (0, -3):
+        with pytest.raises(ValueError):
+            ranged_running_total(
+                df, ord_col=F.col("o"), tie_col="id", val_col=F.col("v"),
+                out_col="cum", num_ranges=bad,
+            )
+
+
+def test_ranged_cache_is_bounded(spark):
+    """Repeated ranged_running_total / global_order_index calls must not
+    accumulate persisted frames (VERDICT r13 item 4): the latest call
+    releases the previous call's staged cache, and unpersist_ranged_cache
+    drops the last one."""
+    from emulating_hadoop_with_mpi_spark.functions.sampling import (
+        unpersist_ranged_cache,
+    )
+
+    jsc = spark.sparkContext._jsc
+    unpersist_ranged_cache()
+    base = jsc.getPersistentRDDs().size()
+    df = spark.createDataFrame(
+        [(i, i % 7, 1) for i in range(30)], "id long, o long, v long"
+    )
+    for salt in ("a", "b", "c"):
+        global_order_index(df, "id", salt=salt, num_ranges=4).count()
+        assert jsc.getPersistentRDDs().size() <= base + 1
+    unpersist_ranged_cache()
+    assert jsc.getPersistentRDDs().size() <= base
+
+
+def test_cli_mixture_rejects_nonpositive_weights():
+    """ADVICE r13: '-1' parses as an int, so the old check let it through
+    and the pipeline died later with a raw ValueError traceback."""
+    import argparse
+
+    import pytest
+
+    from emulating_hadoop_with_mpi_spark.cli import _parse_mixture
+
+    for bad in ("en=0", "en=-1", "en=2,es=-3"):
+        with pytest.raises(argparse.ArgumentTypeError):
+            _parse_mixture(bad)
+
+
+def test_mixture_oracle_ignores_zero_mass_strata(spark):
+    """DuckDB oracle CTEs == mixture_rate_values(strict=False) when a
+    weighted stratum has rows but ZERO total mass — pre-fix the t=0 row
+    survived the oracle's join, forcing b=0 and zeroing every rate while
+    the Python side kept nonzero rates."""
+    import duckdb
+
+    from emulating_hadoop_with_mpi_spark.functions.sampling import (
+        mixture_oracle_ctes,
+    )
+
+    rows = [("en", 600), ("en", 400), ("es", 500), ("zz", 0), ("zz", 0)]
+    weights = {"en": 2, "es": 1, "zz": 1}
+    df = spark.createDataFrame(rows, "stratum string, w long")
+    want = mixture_rate_values(df, "stratum", "w", weights, strict=False)
+    base_sql = "SELECT * FROM (VALUES " + ", ".join(
+        f"('{s}', CAST({w} AS BIGINT))" for s, w in rows
+    ) + ") AS t(stratum, w)"
+    sql = (
+        "WITH " + mixture_oracle_ctes(base_sql, weights, prefix="mx")
+        + " SELECT stratum, rate_bp FROM mx_rate ORDER BY stratum"
+    )
+    got = {s: int(r) for s, r in duckdb.sql(sql).fetchall()}
+    assert got == want
+    assert want and all(v > 0 for v in want.values())
