@@ -1142,7 +1142,9 @@ def simhash64_from_120(sims120: DataFrame) -> DataFrame:
     )
 
 
-def simhash120_neardup_pairs(docs: DataFrame) -> DataFrame:
+def simhash120_neardup_pairs(
+    docs: DataFrame, sims: DataFrame | None = None
+) -> DataFrame:
     """q74's contract at 120-bit sketch width — the corpus-scale
     configuration (see SIMHASH120_BLOCKS): same Hamming ≤ 9 bound, same
     block machinery, 24-bit pigeonhole blocks, so random block collisions
@@ -1151,11 +1153,17 @@ def simhash120_neardup_pairs(docs: DataFrame) -> DataFrame:
     Hamming in tests/test_pipeline_ops.py).  Registered on the driver
     surface since round 9 as q74's 'sim120' method branch.
 
+    ``sims=`` (round 14 — the q73 ``combined=``/``cands=`` idiom) injects
+    an already-built ``simhash120_df`` frame so the bench's stage legs
+    time the sketch build and the pigeonhole pairs join separately while
+    still exercising THIS registered plan, not a parallel formulation.
+
     Cache contract: the persist()ed sketch frame stays resident after
     materialization (the result is lazy — the builder cannot release it);
     callers issuing repeated passes should spark.catalog.clearCache()
     between them, as the bench does per entry."""
-    sims = simhash120_df(docs).persist()
+    if sims is None:
+        sims = simhash120_df(docs).persist()
     return _pigeonhole_pairs(
         sims, SIMHASH120_BLOCKS, _block_value_words, simhash120_hamming
     ).orderBy("doc_a", "doc_b")
