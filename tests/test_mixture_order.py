@@ -380,10 +380,13 @@ def test_ranged_running_total_rejects_bad_num_ranges(spark):
 
 def test_ranged_cache_is_bounded(spark):
     """Repeated ranged_running_total / global_order_index calls must not
-    accumulate persisted frames (VERDICT r13 item 4): the latest call
-    releases the previous call's staged cache, and unpersist_ranged_cache
-    drops the last one."""
+    accumulate persisted frames (VERDICT r13 item 4): distinct staged
+    plans evict the oldest entry beyond the registry capacity,
+    identical re-invocations reuse the registered frame instead of
+    re-persisting, and unpersist_ranged_cache drops everything."""
     from emulating_hadoop_with_mpi_spark.functions.sampling import (
+        _RANGED_CACHE,
+        _RANGED_CACHE_CAP,
         unpersist_ranged_cache,
     )
 
@@ -393,9 +396,13 @@ def test_ranged_cache_is_bounded(spark):
     df = spark.createDataFrame(
         [(i, i % 7, 1) for i in range(30)], "id long, o long, v long"
     )
-    for salt in ("a", "b", "c"):
+    for salt in ("a", "b", "c", "d", "a2"):
         global_order_index(df, "id", salt=salt, num_ranges=4).count()
-        assert jsc.getPersistentRDDs().size() <= base + 1
+        assert jsc.getPersistentRDDs().size() <= base + _RANGED_CACHE_CAP
+    # identical plan -> cache HIT: no new registry entry, warm frame reused
+    n_before = len(_RANGED_CACHE)
+    global_order_index(df, "id", salt="a2", num_ranges=4).count()
+    assert len(_RANGED_CACHE) == n_before
     unpersist_ranged_cache()
     assert jsc.getPersistentRDDs().size() <= base
 
