@@ -38,6 +38,17 @@ from emulating_hadoop_with_mpi_spark.functions.text import (
 # no extra action) instead of silently colliding with the next doc_id.
 CHUNK_ID_FACTOR = 1 << 20
 
+# Bounded plan-keyed registry for the extended curation path's survivor
+# anchors (functions/framecache.py; capacity 2 = the post-decon +
+# post-dedup pair of ONE corpus/config) — these are full-text frames, the
+# heaviest members of the per-call persist class, so a resident process
+# curating repeatedly must reuse-or-evict rather than accumulate.
+from emulating_hadoop_with_mpi_spark.functions.framecache import (  # noqa: E402
+    PlanKeyedFrameCache as _PlanKeyedFrameCache,
+)
+
+_CURATE_CACHE = _PlanKeyedFrameCache(capacity=2)
+
 DECON_NGRAM = 8  # benchmark-overlap n-gram width (token n-grams)
 
 # eval-set size boundary above which decontaminate stops broadcasting the
@@ -324,8 +335,8 @@ def curate_frames(
     # most expensive prefix stage — re-runs once more for q85's
     # stage-count branches at collect time.
     if mixture is not None or token_budget is not None:
-        frames["decon"].persist()
-        uniq = uniq.persist()
+        frames["decon"] = _CURATE_CACHE.lookup(frames["decon"])
+        uniq = _CURATE_CACHE.lookup(uniq)
 
     # Data-mixture resampling AFTER every dedup/selection stage (rates
     # derived from duplicate-inflated or about-to-be-filtered masses

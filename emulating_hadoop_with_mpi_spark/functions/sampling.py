@@ -332,48 +332,16 @@ def order_key_oracle_sql(key_sql: str, salt: str = "") -> str:
 
 # Bounded plan-keyed cache registry for ranged_running_total's staged
 # frames (round 14, VERDICT r13 item 4 — repeated pipeline invocations
-# must not accumulate executor storage).  A call whose staged plan
-# matches a registered frame REUSES that frame (same analyzed plan =
-# same cache entry — evicting it would just force a pointless rebuild of
-# identical data, and Spark's cache manager would de-duplicate the
-# re-persist onto the same entry anyway); a new plan registers and the
-# oldest entry beyond the capacity is released.  Capacity 2: a pipeline
-# interleaves at most two ranged consumers (the training-order shuffle
-# and the token-budget selection), so both stay warm while storage stays
-# bounded at two compact staged frames.  A registered frame that was
-# never materialized by its caller recomputes its lineage after
-# eviction — callers that need more than two alive must persist their
-# results themselves.
-_RANGED_CACHE: list[DataFrame] = []
-_RANGED_CACHE_CAP = 2
+# must not accumulate executor storage; see functions/framecache.py for
+# the reuse/eviction contract).  Capacity 2: a pipeline interleaves at
+# most two ranged consumers (the training-order shuffle and the
+# token-budget selection), so both stay warm while storage stays bounded
+# at two compact staged frames.
+from emulating_hadoop_with_mpi_spark.functions.framecache import (  # noqa: E402
+    PlanKeyedFrameCache,
+)
 
-
-def _same_plan(a: DataFrame, b: DataFrame) -> bool:
-    try:
-        return bool(
-            a._jdf.queryExecution()
-            .analyzed()
-            .sameResult(b._jdf.queryExecution().analyzed())
-        )
-    except Exception:
-        return False
-
-
-def _ranged_cache_lookup(staged0: DataFrame) -> DataFrame:
-    """Return the registered twin of ``staged0`` (cache hit), or persist
-    and register it, evicting the oldest entry beyond the capacity."""
-    for frame in _RANGED_CACHE:
-        if _same_plan(frame, staged0):
-            return frame
-    staged = staged0.persist()
-    _RANGED_CACHE.append(staged)
-    while len(_RANGED_CACHE) > _RANGED_CACHE_CAP:
-        old = _RANGED_CACHE.pop(0)
-        try:
-            old.unpersist(False)
-        except Exception:
-            pass  # session already stopped — nothing to release
-    return staged
+_RANGED_CACHE = PlanKeyedFrameCache(capacity=2)
 
 
 def unpersist_ranged_cache() -> None:
@@ -381,12 +349,7 @@ def unpersist_ranged_cache() -> None:
     :func:`ranged_running_total` calls (no-op if none) — for pipelines
     that want the executor storage back immediately after materializing
     their results."""
-    while _RANGED_CACHE:
-        frame = _RANGED_CACHE.pop()
-        try:
-            frame.unpersist(False)
-        except Exception:
-            pass  # session already stopped — nothing to release
+    _RANGED_CACHE.release_all()
 
 
 def ranged_running_total(
@@ -435,7 +398,7 @@ def ranged_running_total(
 
     if num_ranges < 1:
         raise ValueError(f"num_ranges must be >= 1 (got {num_ranges})")
-    staged = _ranged_cache_lookup(
+    staged = _RANGED_CACHE.lookup(
         df.withColumn("__ord", ord_col).withColumn("__val", val_col.cast("long"))
     )
     if num_ranges == 1:

@@ -966,6 +966,20 @@ def chunk_documents(
 
 PACK_NUM_RANGES = 1024  # prefix-sum range partitions (count-balanced)
 
+# Bounded plan-keyed registry for pack_sequences' per-doc token counts
+# (functions/framecache.py; capacity 2 = the grouped + ungrouped pair a
+# pipeline might interleave) — a resident process packing many corpora
+# must not accumulate a counts cache per call.
+from emulating_hadoop_with_mpi_spark.functions.framecache import (  # noqa: E402
+    PlanKeyedFrameCache as _PlanKeyedFrameCache,
+)
+
+_PACK_CACHE = _PlanKeyedFrameCache(capacity=2)
+
+# Same registry class for q85's shared quality-score projection (one
+# compact frame per corpus; capacity 2 covers an interleaved SF pair).
+_QSCORE_CACHE = _PlanKeyedFrameCache(capacity=2)
+
 
 def pack_sequences(
     docs: DataFrame, budget: int = 256, group_col: str | None = None
@@ -1023,11 +1037,13 @@ def pack_sequences(
     # persist: the boundary agg, the in-range window, and the range-total
     # agg each traverse these rows; without a materialization point the
     # tokenize pass (the dominant cost) would run once per traversal.
-    # 16 bytes/doc — trivially cacheable at any corpus size.
-    counted = (
+    # 16 bytes/doc — trivially cacheable at any corpus size.  Routed
+    # through the bounded plan-keyed registry (round 14): identical
+    # re-invocations reuse the warm counts, storage stays bounded across
+    # arbitrarily many packing calls in one session.
+    counted = _PACK_CACHE.lookup(
         docs.select(*g, "doc_id", F.size(tokens_col()).cast("long").alias("n_tokens"))
         .filter(F.col("n_tokens") > 0)
-        .persist()
     )
     probs = [i / PACK_NUM_RANGES for i in range(1, PACK_NUM_RANGES)]
     bounds = counted.agg(
@@ -1517,8 +1533,8 @@ def q85_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     # built EXACTLY like curate_frames' internal scored frame so Spark's
     # cache manager substitutes the in-memory relation into every
     # consumer plan (plan-equality cache matching; ~20 B/doc).
-    qs_base = (
-        quality_scores(docs).select("doc_id", "n_tokens", "quality").persist()
+    qs_base = _QSCORE_CACHE.lookup(
+        quality_scores(docs).select("doc_id", "n_tokens", "quality")
     )
     qs = qs_base.filter(F.col("n_tokens") > 0)
     brows = (
@@ -1544,9 +1560,9 @@ def q85_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     # idiom applied to the pipeline): replaying the stage chain a second
     # time for the counts doubled the whole quality/decon/dedup prefix
     # and read 33 s at sf0.1.  Round 14: the config includes the
-    # mixture/token-budget stages (see the CURATE_* constants above);
-    # curate_frames persists the decon anchor itself now — the persist
-    # below is a harmless no-op kept for the lean-config reading.
+    # mixture/token-budget stages (see the CURATE_* constants above),
+    # and curate_frames registers the decon/dedup anchors in its bounded
+    # plan-keyed cache itself.
     from emulating_hadoop_with_mpi_spark.functions.pipeline import curate_frames
 
     fr = curate_frames(
@@ -1561,7 +1577,6 @@ def q85_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         mixture_salt=CURATE_MIX_SALT,
         token_budget=CURATE_TOKEN_BUDGET,
     )
-    fr["decon"].persist()
     stage_rows = (
         _crow(fr["quality"].agg(F.count(F.lit(1)).alias("n")), "stage:quality")
         .unionByName(

@@ -386,7 +386,6 @@ def test_ranged_cache_is_bounded(spark):
     re-persisting, and unpersist_ranged_cache drops everything."""
     from emulating_hadoop_with_mpi_spark.functions.sampling import (
         _RANGED_CACHE,
-        _RANGED_CACHE_CAP,
         unpersist_ranged_cache,
     )
 
@@ -398,7 +397,7 @@ def test_ranged_cache_is_bounded(spark):
     )
     for salt in ("a", "b", "c", "d", "a2"):
         global_order_index(df, "id", salt=salt, num_ranges=4).count()
-        assert jsc.getPersistentRDDs().size() <= base + _RANGED_CACHE_CAP
+        assert jsc.getPersistentRDDs().size() <= base + _RANGED_CACHE.capacity
     # identical plan -> cache HIT: no new registry entry, warm frame reused
     n_before = len(_RANGED_CACHE)
     global_order_index(df, "id", salt="a2", num_ranges=4).count()
