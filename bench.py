@@ -1136,12 +1136,12 @@ def main() -> None:
     # VERDICT r12 What's-wrong 3): primary = stage-leg sum (signature
     # groupBy + band join + bounded verify, the same frames the
     # registered path builds, injected).  Calibration: calm registered
-    # min-of-2 read 35.0-36.5 across r11, 33.1 in r13; the r13 calm
-    # STAGE SUM read 24.77 (signatures 16.4 + band join 5.3 + verify
-    # 3.1 — and the signature leg's other sample striped to 32.7, so
-    # the min-of-2 sum is doing real work), giving the 60 s ceiling
-    # ~2.4× headroom first-round; tighten toward ~45 once a second
-    # round confirms the band.  The backstop sits at ~2× worst calm
+    # min-of-2 read 35.0-36.5 across r11, 33.1 in r13; stage sums read
+    # 24.77 (r13 calm — with one signature sample striping to 32.7, so
+    # the min-of-2 sum is doing real work) and 25.47 (r14, hsf-1.2
+    # box), confirming the band — ceiling tightened 60 → 45 per the
+    # r13 plan (~1.8× over calm; a 2× regression of the signature
+    # exchange still fails).  The backstop sits at ~2× worst calm
     # (75 s), above the worst observed stripe sample (91.3 was a single
     # leg; its same-run pair read 59.5, so the min-of-2 registered leg
     # has never exceeded 59.5).
@@ -1150,7 +1150,7 @@ def main() -> None:
         "sf10_q73_stage2_band_join",
         "sf10_q73_stage3_verify",
     ]
-    _stagesum_gate("sf10_q73_stagesum_max_60s", q73_stage_keys, 60.0, "sf10_q73")
+    _stagesum_gate("sf10_q73_stagesum_max_45s", q73_stage_keys, 45.0, "sf10_q73")
     # sim120 joins the stage-sum protocol (round 14, VERDICT r13 item 1):
     # its old absolute 35 s ceiling had ~9 % raw headroom in the official
     # r13 artifact (32.05 raw, 39.2 probe-normalized) — the exact
