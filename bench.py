@@ -520,7 +520,15 @@ def main() -> None:
             lambda: registry["q86_pack_sequences"].fn(spark, sf1_dir),
             extras,
         )
-        if "q86_pack_sequences" in extras and "sf1_q86_pack_sequences" in extras:
+        # every slope division guards its denominator (ADVICE r14): a 0.0
+        # min-of-N base (clock quantization on a pathologically fast leg)
+        # must skip the ratio, not ZeroDivisionError outside run_entry's
+        # try and kill the rest of the run
+        if (
+            "q86_pack_sequences" in extras
+            and "sf1_q86_pack_sequences" in extras
+            and extras["q86_pack_sequences"]
+        ):
             extras["slope_q86_pack_sequences"] = round(
                 extras["sf1_q86_pack_sequences"] / extras["q86_pack_sequences"], 2
             )
@@ -529,7 +537,11 @@ def main() -> None:
             lambda: duplicate_spans(sf1_docs, n=10),
             extras,
         )
-        if "duplicate_spans_n10" in extras and "sf1_duplicate_spans_n10" in extras:
+        if (
+            "duplicate_spans_n10" in extras
+            and "sf1_duplicate_spans_n10" in extras
+            and extras["duplicate_spans_n10"]
+        ):
             extras["slope_duplicate_spans_n10"] = round(
                 extras["sf1_duplicate_spans_n10"] / extras["duplicate_spans_n10"], 2
             )
@@ -541,7 +553,7 @@ def main() -> None:
             ),
             extras,
         )
-        if "dsir_scores" in extras and "sf1_dsir_scores" in extras:
+        if "dsir_scores" in extras and "sf1_dsir_scores" in extras and extras["dsir_scores"]:
             extras["slope_dsir_scores"] = round(
                 extras["sf1_dsir_scores"] / extras["dsir_scores"], 2
             )
@@ -552,7 +564,11 @@ def main() -> None:
             ),
             extras,
         )
-        if "clf_train_score" in extras and "sf1_clf_train_score" in extras:
+        if (
+            "clf_train_score" in extras
+            and "sf1_clf_train_score" in extras
+            and extras["clf_train_score"]
+        ):
             extras["slope_clf_train_score"] = round(
                 extras["sf1_clf_train_score"] / extras["clf_train_score"], 2
             )
@@ -561,7 +577,7 @@ def main() -> None:
             lambda: bigram_lm_xent(sf1_docs.select("doc_id", "text")),
             extras,
         )
-        if "lm_xent" in extras and "sf1_lm_xent" in extras:
+        if "lm_xent" in extras and "sf1_lm_xent" in extras and extras["lm_xent"]:
             extras["slope_lm_xent"] = round(
                 extras["sf1_lm_xent"] / extras["lm_xent"], 2
             )
@@ -577,7 +593,11 @@ def main() -> None:
             extras,
             reps=1,
         )
-        if "bpe_train_encode_48" in extras and "sf1_bpe_train_encode_48" in extras:
+        if (
+            "bpe_train_encode_48" in extras
+            and "sf1_bpe_train_encode_48" in extras
+            and extras["bpe_train_encode_48"]
+        ):
             extras["slope_bpe_train_encode_48"] = round(
                 extras["sf1_bpe_train_encode_48"] / extras["bpe_train_encode_48"], 2
             )
@@ -1125,7 +1145,14 @@ def main() -> None:
         "sf10_q70_stage2_span_exchanges",
         "sf10_q70_stage3_flag_and_cut",
     ]
-    _stagesum_gate("sf10_q70_stagesum_max_18s", q70_stage_keys, 18.0, "sf10_q70")
+    # Ceiling recalibrated 18 → 25 on the two-round driver-artifact band
+    # (VERDICT r14 nit 1, same confirm-and-set procedure as q73's 60→45):
+    # normalized stage sums read 15.12 (r13 official) and 14.14 (r14
+    # official) against the old 18 s — 21 % headroom, the tightest in the
+    # gate set and the exact failed-green profile the absolute ceilings
+    # hit twice.  25 s ≈ 1.7× the confirmed calm band while the 2×
+    # regression class (the span-exchange design breaking) still fails.
+    _stagesum_gate("sf10_q70_stagesum_max_25s", q70_stage_keys, 25.0, "sf10_q70")
     if "sf10_q70_dedup_exact" in extras:
         t = extras["sf10_q70_dedup_exact"]
         gates["sf10_q70_registered_backstop_max_24s"] = _gate(

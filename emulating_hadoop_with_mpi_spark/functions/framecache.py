@@ -54,16 +54,22 @@ def _is_cached(df: DataFrame) -> bool:
 
 class PlanKeyedFrameCache:
     """At most ``capacity`` persisted frames; lookups reuse (and revive)
-    plan-identical entries, new plans evict the oldest entry beyond the
-    capacity.  A registered frame that a caller never materialized simply
-    recomputes its lineage after eviction — callers needing more than
-    ``capacity`` alive at once must persist their results themselves."""
+    plan-identical entries, new plans evict the least-recently-USED entry
+    beyond the capacity (a hit refreshes recency — ADVICE r14: with 3+
+    alternating plans, insertion-order FIFO could evict the hot frame
+    while a cold one stayed).  A registered frame that a caller never
+    materialized simply recomputes its lineage after eviction — callers
+    needing more than ``capacity`` alive at once must persist their
+    results themselves."""
 
     def __init__(self, capacity: int = 2) -> None:
         if capacity < 1:
             raise ValueError(f"capacity must be >= 1 (got {capacity})")
         self.capacity = capacity
         self._frames: list[DataFrame] = []
+        # per-entry caller-owned metadata (e.g. ranged_running_total's
+        # collected percentile bounds) — lives and dies with its frame
+        self._meta: dict[int, dict] = {}
 
     def __len__(self) -> int:
         return len(self._frames)
@@ -71,31 +77,45 @@ class PlanKeyedFrameCache:
     def lookup(self, df: DataFrame) -> DataFrame:
         """Return the registered (persisted, live) twin of ``df``, or
         persist and register ``df`` itself."""
-        for frame in self._frames:
+        return self.lookup_entry(df)[0]
+
+    def lookup_entry(self, df: DataFrame) -> tuple[DataFrame, dict]:
+        """``lookup`` plus the entry's mutable metadata dict, so a caller
+        can fold derived scalars (percentile bounds, counts) into the
+        entry and skip re-deriving them on a warm hit.  The dict is
+        evicted with its frame; on the degrade-lazily paths (session gone
+        mid-call) a throwaway dict is returned."""
+        for i, frame in enumerate(self._frames):
             if _same_plan(frame, df):
                 if not _is_cached(frame):
                     try:
                         frame.persist()
                     except Exception:
-                        return df  # session gone mid-call — degrade lazily
-                return frame
+                        return df, {}  # session gone mid-call — degrade lazily
+                # LRU refresh: the just-reused frame moves to the end so
+                # capacity eviction hits the coldest entry, not this one
+                self._frames.append(self._frames.pop(i))
+                return frame, self._meta[id(frame)]
         try:
             df.persist()
         except Exception:
-            return df
+            return df, {}
         self._frames.append(df)
+        self._meta[id(df)] = {}
         while len(self._frames) > self.capacity:
             old = self._frames.pop(0)
+            self._meta.pop(id(old), None)
             try:
                 old.unpersist(False)
             except Exception:
                 pass  # session already stopped — nothing to release
-        return df
+        return df, self._meta[id(df)]
 
     def release_all(self) -> None:
         """Unpersist and forget every registered frame (no-op if none)."""
         while self._frames:
             frame = self._frames.pop()
+            self._meta.pop(id(frame), None)
             try:
                 frame.unpersist(False)
             except Exception:

@@ -385,32 +385,47 @@ def ranged_running_total(
     percentile list, whose NULL bounds would NULL ``__rng`` and silently
     drop every row at the range join.
 
+    EAGER at call time (ADVICE r14 — callers constructing frames
+    speculatively pay this): merely BUILDING the returned frame runs the
+    percentile-bounds aggregate over the input (a full input scan) and
+    registers the staged frame in the bounded persist registry; the
+    result itself stays lazy.  On a registry hit the collected bounds
+    are reused from the entry's metadata, so a warm re-invocation is
+    METADATA-ONLY — no aggregate, no scan (safe because the output is
+    invariant to boundary placement; any cached split of the same data
+    is as good as a fresh one).
+
     Storage contract: the staged frame is persisted (two consumers —
     range totals and the windowed pass — would otherwise each recompute
     the input lineage; the boundary agg doubles as the eager cache
     fill) through the bounded plan-keyed registry above — identical
-    re-invocations reuse the warm frame, new plans evict the oldest
-    entry beyond capacity 2, so storage stays bounded no matter how many
-    times a pipeline invokes shuffle/budget selection.  Call
-    :func:`unpersist_ranged_cache` for an explicit early release.
+    re-invocations reuse the warm frame, new plans evict the
+    least-recently-used entry beyond capacity 2, so storage stays
+    bounded no matter how many times a pipeline invokes shuffle/budget
+    selection.  Call :func:`unpersist_ranged_cache` for an explicit
+    early release.
     """
     from pyspark.sql import Window
 
     if num_ranges < 1:
         raise ValueError(f"num_ranges must be >= 1 (got {num_ranges})")
-    staged = _RANGED_CACHE.lookup(
+    staged, meta = _RANGED_CACHE.lookup_entry(
         df.withColumn("__ord", ord_col).withColumn("__val", val_col.cast("long"))
     )
     if num_ranges == 1:
         staged = staged.withColumn("__rng", F.lit(0).cast("long"))
     else:
-        probs = [i / num_ranges for i in range(1, num_ranges)]
-        row = staged.agg(
-            F.percentile_approx(
-                "__ord", F.array(*[F.lit(p) for p in probs]), 10000
-            ).alias("__bounds")
-        ).collect()[0]
-        bounds = [b for b in (row["__bounds"] or []) if b is not None]
+        bounds_key = f"bounds:{num_ranges}"
+        bounds = meta.get(bounds_key)
+        if bounds is None:
+            probs = [i / num_ranges for i in range(1, num_ranges)]
+            row = staged.agg(
+                F.percentile_approx(
+                    "__ord", F.array(*[F.lit(p) for p in probs]), 10000
+                ).alias("__bounds")
+            ).collect()[0]
+            bounds = [b for b in (row["__bounds"] or []) if b is not None]
+            meta[bounds_key] = bounds
         if bounds:
             arr = F.array(*[F.lit(b) for b in bounds])
             staged = staged.withColumn(
@@ -451,7 +466,12 @@ def global_order_index(
     ``rand()``'s layout dependence.  position = distributed prefix COUNT
     (``ranged_running_total`` with value 1), so re-runs, repartitions,
     and other engines (``ROW_NUMBER() OVER (ORDER BY md5key, key)`` —
-    q86's oracle re-derives it) produce the identical permutation."""
+    q86's oracle re-derives it) produce the identical permutation.
+
+    EAGER at call time like ``ranged_running_total`` (which it wraps —
+    ADVICE r14): building the frame runs the percentile-bounds scan and
+    registers a persisted staged frame in the bounded registry; warm
+    plan-identical re-invocations are metadata-only."""
     return ranged_running_total(
         df,
         ord_col=order_key(key_col, salt=salt),

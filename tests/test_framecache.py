@@ -62,3 +62,80 @@ def test_hit_revives_externally_cleared_cache(spark):
 def test_rejects_nonpositive_capacity(spark):
     with pytest.raises(ValueError):
         PlanKeyedFrameCache(capacity=0)
+
+
+def test_same_plan_liveness_canary(spark):
+    """_same_plan rests on private JVM APIs (_jdf.queryExecution()
+    .analyzed().sameResult — framecache.py); its failure mode is a
+    SILENT degrade to per-call persists (the except returns False), so a
+    Spark version bump that breaks the API must fail HERE loudly, not
+    ship an unbounded-storage regression disguised as green (VERDICT r14
+    nit 2)."""
+    from emulating_hadoop_with_mpi_spark.functions.framecache import _same_plan
+
+    a = _frame(spark, "canary")
+    assert _same_plan(a, _frame(spark, "canary"))  # identical plan -> True
+    assert not _same_plan(a, _frame(spark, "other"))  # different data -> False
+
+
+def test_lru_hit_refreshes_recency(spark):
+    """A lookup hit must move the entry to the recent end (ADVICE r14):
+    with capacity 2 and plans A, B, A, C — the A-hit refreshes A, so C
+    evicts B (the coldest), never the just-reused A."""
+    cache = PlanKeyedFrameCache(capacity=2)
+    a = cache.lookup(_frame(spark, "a"))
+    cache.lookup(_frame(spark, "b"))
+    assert cache.lookup(_frame(spark, "a")) is a  # hit refreshes recency
+    cache.lookup(_frame(spark, "c"))  # evicts b, NOT a
+    assert cache.lookup(_frame(spark, "a")) is a  # a survived the eviction
+    assert len(cache) == 2
+    cache.release_all()
+
+
+def test_entry_metadata_survives_hits_and_dies_with_eviction(spark):
+    """lookup_entry's metadata dict is stable across hits (the
+    bounds-folding contract ranged_running_total relies on) and is
+    dropped with its frame at eviction."""
+    cache = PlanKeyedFrameCache(capacity=1)
+    _, meta = cache.lookup_entry(_frame(spark, "m"))
+    meta["bounds:64"] = [1, 2, 3]
+    _, again = cache.lookup_entry(_frame(spark, "m"))
+    assert again is meta and again["bounds:64"] == [1, 2, 3]
+    cache.lookup(_frame(spark, "evictor"))  # capacity 1: evicts "m"
+    _, fresh = cache.lookup_entry(_frame(spark, "m"))
+    assert "bounds:64" not in fresh  # re-registered entry starts clean
+    cache.release_all()
+
+
+def test_ranged_running_total_warm_hit_skips_bounds_aggregate(spark):
+    """VERDICT r14 item 5: a plan-identical re-invocation of
+    ranged_running_total must reuse the folded bounds — zero new jobs at
+    build time (the percentile aggregate ran once, on the cold call)."""
+    from emulating_hadoop_with_mpi_spark.functions.sampling import (
+        _RANGED_CACHE,
+        ranged_running_total,
+    )
+
+    _RANGED_CACHE.release_all()
+    df = _frame(spark, "rrt").select(F.col("id").alias("doc_id"))
+
+    def build():
+        return ranged_running_total(
+            df,
+            ord_col=F.col("doc_id") * 7 % 13,
+            tie_col="doc_id",
+            val_col=F.lit(1),
+            out_col="cum",
+            num_ranges=4,
+        )
+
+    cold = build()
+    tracker = spark.sparkContext.statusTracker()
+    n0 = max(tracker.getJobIdsForGroup(None) or [-1])
+    warm = build()  # plan-identical: bounds from entry metadata, no job
+    n1 = max(tracker.getJobIdsForGroup(None) or [-1])
+    assert n1 == n0, f"warm build ran {n1 - n0} job(s); expected 0"
+    assert sorted(r.cum for r in warm.collect()) == sorted(
+        r.cum for r in cold.collect()
+    )
+    _RANGED_CACHE.release_all()
