@@ -128,44 +128,61 @@ def dsir_scores(
     )
 
 
-def dsir_oracle_ctes(target_sql: str, buckets: int = DSIR_BUCKETS) -> str:
+def dsir_oracle_ctes(
+    target_sql: str,
+    buckets: int = DSIR_BUCKETS,
+    source_sql: str | None = None,
+    prefix: str = "dsir",
+    materialize: bool = False,
+) -> str:
     """DuckDB CTE block re-deriving dsir_scores for the oracle (appended
-    inside a WITH list): produces relation ``dsir_sc(doc_id, dsir)``.
-    ``target_sql`` is the boolean SQL predicate selecting target docs."""
+    inside a WITH list): produces relation ``{prefix}_sc(doc_id, dsir)``.
+    ``target_sql`` is the boolean SQL predicate selecting target docs
+    (over the default documents source).  ``source_sql`` overrides the
+    whole source relation — it must yield (doc_id, is_target, toks) and
+    then ``target_sql`` is ignored (q85's curate section scores the
+    SPAN-CUT texts of the survivor set, not raw documents).  ``prefix``
+    namespaces the CTEs so two instances can share one WITH list.
+    ``materialize`` marks the bucket-count CTE ``AS MATERIALIZED`` —
+    needed when the source is an expensive CTE chain, since DuckDB 1.0
+    inlines each of the count CTE's two references separately."""
     from emulating_hadoop_with_mpi_spark.functions.text import _SQL_TOKENS
 
+    p = prefix
+    mat = "MATERIALIZED " if materialize else ""
+    source_sql = source_sql or (
+        f"SELECT doc_id, ({target_sql}) AS is_target, {_SQL_TOKENS} AS toks"
+        " FROM documents"
+    )
     return f"""
-    dsir_tok AS (
-        SELECT doc_id, ({target_sql}) AS is_target, {_SQL_TOKENS} AS toks
-        FROM documents
-    ),
-    dsir_pb AS (
+    {p}_tok AS ({source_sql}),
+    {p}_pb AS {mat}(
         SELECT doc_id, is_target,
                CAST('0x' || substring(md5(g), 1, 15) AS BIGINT) % {buckets} AS b,
                COUNT(*) AS c
         FROM (
             SELECT t.doc_id, t.is_target,
                    t.toks[s.i] || ' ' || t.toks[s.i + 1] AS g
-            FROM dsir_tok t CROSS JOIN LATERAL (
+            FROM {p}_tok t CROSS JOIN LATERAL (
                 SELECT unnest(generate_series(1, len(t.toks) - 1)) AS i
             ) s
         ) GROUP BY doc_id, is_target, b
     ),
-    dsir_stats AS (
+    {p}_stats AS (
         SELECT b, CAST(SUM(c) AS BIGINT) AS r_b,
                CAST(SUM(CASE WHEN is_target THEN c ELSE 0 END) AS BIGINT) AS t_b
-        FROM dsir_pb GROUP BY b
+        FROM {p}_pb GROUP BY b
     ),
-    dsir_tot AS (
+    {p}_tot AS (
         SELECT CAST(SUM(r_b) AS BIGINT) AS R, CAST(SUM(t_b) AS BIGINT) AS T
-        FROM dsir_stats
+        FROM {p}_stats
     ),
-    dsir_w AS (
+    {p}_w AS (
         SELECT b, LN( (CAST(t_b + 1 AS DOUBLE) / CAST(T + {buckets} AS DOUBLE))
                     / (CAST(r_b + 1 AS DOUBLE) / CAST(R + {buckets} AS DOUBLE)) ) AS w
-        FROM dsir_stats, dsir_tot
+        FROM {p}_stats, {p}_tot
     ),
-    dsir_sc AS (
+    {p}_sc AS (
         SELECT doc_id, ROUND(SUM(c * w), 6) AS dsir
-        FROM dsir_pb JOIN dsir_w USING (b) GROUP BY doc_id
+        FROM {p}_pb JOIN {p}_w USING (b) GROUP BY doc_id
     )"""

@@ -60,13 +60,32 @@ class PlanKeyedFrameCache:
     while a cold one stayed).  A registered frame that a caller never
     materialized simply recomputes its lineage after eviction — callers
     needing more than ``capacity`` alive at once must persist their
-    results themselves."""
+    results themselves.
 
-    def __init__(self, capacity: int = 2) -> None:
+    ``truncate=True`` (round 15) returns an eagerly ``localCheckpoint``ed
+    twin instead of a persisted one: the delivered frame's logical plan
+    is a LogicalRDD LEAF, so a multi-stage pipeline that keeps building
+    on its anchors gets CONSTANT plan size per stage instead of the
+    exponential prefix duplication that made the composed curate plan
+    un-analyzable (measured: q85's extended composition went minutes of
+    driver-side Catalyst time → seconds; same mechanism as the CC /
+    BPE loops, operators/graph.py:144).  The tradeoffs, deliberately:
+    registration MATERIALIZES the frame (a job at lookup time — the
+    curate anchors are materialized moments later by the selection
+    stages' eager actions anyway), and an EVICTED truncated frame
+    cannot recompute (lineage is cut) — a caller re-collecting a frame
+    from ``capacity`` registrations ago fails loudly instead of
+    silently recomputing; size the capacity for the live window."""
+
+    def __init__(self, capacity: int = 2, truncate: bool = False) -> None:
         if capacity < 1:
             raise ValueError(f"capacity must be >= 1 (got {capacity})")
         self.capacity = capacity
-        self._frames: list[DataFrame] = []
+        self.truncate = truncate
+        self._frames: list[DataFrame] = []  # match keys (raw input plans)
+        # id(key) -> delivered frame (the checkpointed twin in truncate
+        # mode; the key itself in persist mode)
+        self._value: dict[int, DataFrame] = {}
         # per-entry caller-owned metadata (e.g. ranged_running_total's
         # collected percentile bounds) — lives and dies with its frame
         self._meta: dict[int, dict] = {}
@@ -75,8 +94,8 @@ class PlanKeyedFrameCache:
         return len(self._frames)
 
     def lookup(self, df: DataFrame) -> DataFrame:
-        """Return the registered (persisted, live) twin of ``df``, or
-        persist and register ``df`` itself."""
+        """Return the registered (persisted/checkpointed, live) twin of
+        ``df``, or register ``df`` itself."""
         return self.lookup_entry(df)[0]
 
     def lookup_entry(self, df: DataFrame) -> tuple[DataFrame, dict]:
@@ -87,36 +106,49 @@ class PlanKeyedFrameCache:
         mid-call) a throwaway dict is returned."""
         for i, frame in enumerate(self._frames):
             if _same_plan(frame, df):
-                if not _is_cached(frame):
+                value = self._value[id(frame)]
+                if not self.truncate and not _is_cached(value):
+                    # checkpoint blocks survive catalog.clearCache(), so
+                    # only the persist mode needs the revive
                     try:
-                        frame.persist()
+                        value.persist()
                     except Exception:
                         return df, {}  # session gone mid-call — degrade lazily
                 # LRU refresh: the just-reused frame moves to the end so
                 # capacity eviction hits the coldest entry, not this one
                 self._frames.append(self._frames.pop(i))
-                return frame, self._meta[id(frame)]
+                return value, self._meta[id(frame)]
         try:
-            df.persist()
+            if self.truncate:
+                value = df.localCheckpoint()  # eager: materializes here
+            else:
+                df.persist()
+                value = df
         except Exception:
             return df, {}
         self._frames.append(df)
+        self._value[id(df)] = value
         self._meta[id(df)] = {}
         while len(self._frames) > self.capacity:
-            old = self._frames.pop(0)
-            self._meta.pop(id(old), None)
-            try:
-                old.unpersist(False)
-            except Exception:
-                pass  # session already stopped — nothing to release
-        return df, self._meta[id(df)]
+            self._release(self._frames.pop(0))
+        return value, self._meta[id(df)]
+
+    def _release(self, key: DataFrame) -> None:
+        value = self._value.pop(id(key), key)
+        self._meta.pop(id(key), None)
+        try:
+            if self.truncate:
+                from emulating_hadoop_with_mpi_spark.operators.graph import (
+                    _unpersist_checkpoint,
+                )
+
+                _unpersist_checkpoint(value)
+            else:
+                value.unpersist(False)
+        except Exception:
+            pass  # session already stopped — nothing to release
 
     def release_all(self) -> None:
         """Unpersist and forget every registered frame (no-op if none)."""
         while self._frames:
-            frame = self._frames.pop()
-            self._meta.pop(id(frame), None)
-            try:
-                frame.unpersist(False)
-            except Exception:
-                pass
+            self._release(self._frames.pop())

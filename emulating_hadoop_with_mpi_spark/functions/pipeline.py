@@ -28,7 +28,7 @@ from emulating_hadoop_with_mpi_spark.functions.text import (
     PII_SSN_RE,
     chunk_documents,
     pack_sequences,
-    quality_scores,
+    quality_gate_scores,
 )
 
 # chunk_id = doc_id * FACTOR + chunk_idx: keeps one sortable key through
@@ -39,15 +39,32 @@ from emulating_hadoop_with_mpi_spark.functions.text import (
 CHUNK_ID_FACTOR = 1 << 20
 
 # Bounded plan-keyed registry for the extended curation path's survivor
-# anchors (functions/framecache.py; capacity 2 = the post-decon +
-# post-dedup pair of ONE corpus/config) — these are full-text frames, the
-# heaviest members of the per-call persist class, so a resident process
-# curating repeatedly must reuse-or-evict rather than accumulate.
+# anchors (functions/framecache.py) in TRUNCATE mode (round 15): each
+# anchor is delivered as an eagerly localCheckpoint()ed twin, so every
+# selection stage builds on a LogicalRDD leaf — without the truncation
+# the composed plan duplicated the whole quality/decon/dedup/span prefix
+# 2-3× PER STAGE and Catalyst analysis alone took minutes (measured at
+# sf0.001!).  Capacity 6 = two invocations' worth of the (post-decon,
+# pre-selection, post-selection) anchor triple, so an interleaved
+# base-vs-variant comparison keeps both live; a truncated anchor evicted
+# beyond that window cannot recompute (lineage is cut) — fails loudly,
+# never silently.  These are full-text frames, the heaviest members of
+# the per-call persist class, so a resident process curating repeatedly
+# must reuse-or-evict rather than accumulate.
 from emulating_hadoop_with_mpi_spark.functions.framecache import (  # noqa: E402
     PlanKeyedFrameCache as _PlanKeyedFrameCache,
 )
 
-_CURATE_CACHE = _PlanKeyedFrameCache(capacity=2)
+_CURATE_CACHE = _PlanKeyedFrameCache(capacity=6, truncate=True)
+
+
+def release_curate_cache() -> None:
+    """Release every survivor anchor registered by
+    :func:`curate_frames` invocations (no-op if none) — for hosts that
+    want the block storage back immediately after materializing their
+    results (the bench's curate legs call this per rep so min-of-N
+    times the COLD composition, not a checkpoint re-read)."""
+    _CURATE_CACHE.release_all()
 
 DECON_NGRAM = 8  # benchmark-overlap n-gram width (token n-grams)
 
@@ -131,6 +148,45 @@ def decontaminate(
     )
 
 
+def _rank_keep_ids(
+    scores: DataFrame, ord_col, keep_frac: float, what: str
+) -> DataFrame:
+    """doc_ids of the exact top-``⌈keep_frac·N⌉`` rows of ``scores``
+    under the total order (``ord_col`` ASC, doc_id) — the shared keep
+    rule of the DSIR and LM selection stages (round 15; pass a negated
+    score for keep-highest).  N = |scores| — docs absent from ``scores``
+    (too short to have features) are dropped by construction.
+
+    Scale shape: rank = distributed prefix COUNT over percentile ranges
+    (functions/sampling.ranged_running_total — no single-task global
+    window; EAGER bounds scan at call time, see its docstring), N = a
+    1-row aggregate broadcast back; keep arithmetic is 64-bit integer
+    basis points, so the selected set is engine-exact (the q85 curate
+    oracle replays it as a ROW_NUMBER window)."""
+    from emulating_hadoop_with_mpi_spark.functions.sampling import (
+        SPLIT_DENOM,
+        ranged_running_total,
+    )
+
+    kf_bp = int(round(keep_frac * SPLIT_DENOM))
+    if not 0 < kf_bp <= SPLIT_DENOM:
+        raise ValueError(
+            f"{what} must be in (0, 1] at basis-point resolution (got {keep_frac})"
+        )
+    n1 = scores.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    return (
+        ranged_running_total(
+            scores, ord_col=ord_col, tie_col="doc_id", val_col=F.lit(1), out_col="__rk"
+        )
+        .crossJoin(F.broadcast(n1))
+        .filter(
+            F.col("__rk")
+            <= F.expr(f"(__n * {kf_bp} + {SPLIT_DENOM - 1}) div {SPLIT_DENOM}")
+        )
+        .select("doc_id")
+    )
+
+
 def curate_frames(
     docs: DataFrame,
     min_quality: float = 0.2,
@@ -153,12 +209,15 @@ def curate_frames(
     token_budget: int | None = None,
 ) -> dict[str, DataFrame]:
     """The curation composition with every stage's survivor frame exposed
-    (lazy, except the ``mixture`` stage's rate derivation — one eager
-    |strata|-row driver aggregate that also validates the weights — and
-    the ``token_budget`` stage's prefix-sum range boundaries; when either
-    is enabled the post-decon and post-dedup survivor frames are
-    persisted for the session so those eager actions and the final
-    composition share one prefix execution):
+    (lazy, except the SELECTION stages' plan-construction actions: the
+    ``mixture`` rate derivation — one eager |strata|-row driver aggregate
+    that also validates the weights — and the ``dsir``/``lm_keep_frac``/
+    ``token_budget`` stages' prefix-sum range boundaries; when any
+    selection stage is enabled the post-decon and pre-selection survivor
+    frames — plus the post-selection frame when mixture/budget follow
+    DSIR/LM — are persisted for the session through the bounded registry
+    so those eager actions and the final composition share one prefix
+    execution):
     ``{"quality", "decon", "dedup", <enabled optional stages by name>,
     "curated"}``.  ``curate_corpus`` below is the public single-frame
     view; this factoring exists so audits (q85's 'curate' section) can
@@ -180,7 +239,9 @@ def curate_frames(
     - optional span cutting (``cut_span_ngram``): corpus-duplicated
       n-token spans are cut keep-first AFTER exact dedup
       (functions/dedup.remove_duplicate_spans) — shared boilerplate
-      survives exactly once corpus-wide;
+      survives exactly once corpus-wide.  n_tokens/quality are RE-SCORED
+      over the cut text in the same pass (round 15), so every downstream
+      frame carries scores of the text it actually holds;
     - optional DSIR selection (``dsir_target``, round 10): keep the
       ``dsir_keep_frac`` fraction of documents scoring highest against
       the target subset selected by the ``dsir_target`` boolean Column
@@ -189,19 +250,22 @@ def curate_frames(
       span cutting (duplicate-inflated corpora bias the raw-distribution
       stats the score divides by — dedup-then-select is the standard
       order) and BEFORE redaction (selection must see original tokens,
-      not mask tags).  The keep threshold is a percentile_approx over
-      the score distribution, broadcast back as a 1-row frame — no
-      driver-side collect, no global sort.  Docs with fewer than two
-      tokens have no features and are dropped by this stage;
+      not mask tags).  The keep rule (round 15) is the EXACT
+      top-⌈frac·N⌉ by (dsir DESC, doc_id): rank = distributed prefix
+      count over percentile ranges (no global sort, no single-task
+      window), N broadcast as a 1-row frame, integer basis-point
+      arithmetic — engine-exact, replayable by q85's curate oracle.
+      Docs with fewer than two tokens have no features and are dropped
+      by this stage;
     - optional LM-perplexity selection (``lm_keep_frac``, round 10):
       keep the fraction of documents with LOWEST cross-entropy under
       the corpus bigram LM (functions/lm.py — the CCNet filter; low
       perplexity = fluent/typical text).  Same slot and same rationale
       as DSIR (after dedup: duplicate-inflated corpora bias the LM the
       score is taken under; before redaction: the LM must see original
-      tokens), same broadcast percentile-threshold mechanism.  Docs
-      with fewer than two tokens have no bigrams and are dropped by
-      this stage;
+      tokens), same exact top-⌈frac·N⌉ rank rule (lowest lm_xent first).
+      Docs with fewer than two tokens have no bigrams and are dropped
+      by this stage;
     - optional data-mixture resampling (``mixture``, round 13): thin
       every stratum of ``mixture_col`` to the integer target proportions
       in ``mixture`` (e.g. ``{"en": 2, "zh": 1}`` = 2:1 by characters of
@@ -245,7 +309,10 @@ def curate_frames(
     # already-persisted survivor frame instead of a second feature pass
     # plus a score-frame join.  ~8 extra bytes/row on frames that carry
     # full document text anyway.
-    scored = quality_scores(docs).select("doc_id", "n_tokens", "quality")
+    # quality_gate_scores = the (n_tokens, quality) subset of
+    # quality_scores — bit-identical values, a fraction of the
+    # expression-tree construction cost (round 15)
+    scored = quality_gate_scores(docs).select("doc_id", "n_tokens", "quality")
     kept = docs.join(scored, "doc_id").filter(F.col("quality") >= min_quality)
     frames["quality"] = kept
 
@@ -272,70 +339,104 @@ def curate_frames(
     # exact-dup copies are gone, so only genuine cross-document
     # boilerplate (license headers, navigation chrome) is cut, and each
     # surviving doc keeps one copy corpus-wide (Lee et al. treatment).
+    # The cut REWRITES text, so n_tokens/quality are RE-SCORED over the
+    # cut text in the same pass that carries it (keep_text — one feature
+    # pass, no self-join): every downstream frame exposes scores of the
+    # text it actually holds (ADVICE r14 — the stale pre-cut values are
+    # gone), and the token-budget stage stays a zero-join projection.
     if cut_span_ngram is not None:
         from emulating_hadoop_with_mpi_spark.functions.dedup import (
             remove_duplicate_spans,
         )
 
-        other_cols = [c for c in uniq.columns if c not in ("doc_id", "text")]
-        cut = remove_duplicate_spans(
-            uniq.select("doc_id", "text"), n=cut_span_ngram
-        )
+        cut_scored = quality_gate_scores(
+            remove_duplicate_spans(uniq.select("doc_id", "text"), n=cut_span_ngram),
+            keep_text=True,
+        ).select("doc_id", "text", "n_tokens", "quality")
+        other_cols = [
+            c
+            for c in uniq.columns
+            if c not in ("doc_id", "text", "n_tokens", "quality")
+        ]
         uniq = (
-            uniq.drop("text").join(cut, "doc_id") if other_cols else cut
+            uniq.select("doc_id", *other_cols).join(cut_scored, "doc_id")
+            if other_cols
+            else cut_scored
         )
         frames["span_cut"] = uniq
 
+    # The selection stages below traverse the survivor frame repeatedly
+    # (DSIR/LM rank bounds, mixture rate aggregate, budget prefix sum —
+    # each an EAGER action at plan-construction time) — persist the
+    # pre-selection anchor AND the post-decon anchor first, so the
+    # quality/decon/dedup/span prefix executes once instead of once per
+    # eager action plus once per audit branch (measured 59 s → single-
+    # digit at sf0.1 for the mixture/budget pair in r14; the span/DSIR
+    # stages joined the same discipline in r15).
+    any_selection = (
+        dsir_target is not None
+        or lm_keep_frac is not None
+        or mixture is not None
+        or token_budget is not None
+    )
+    if any_selection:
+        frames["decon"] = _CURATE_CACHE.lookup(frames["decon"])
+        uniq = _CURATE_CACHE.lookup(uniq)
+        if cut_span_ngram is not None:
+            frames["span_cut"] = uniq
+        else:
+            frames["dedup"] = uniq
+
     # DSIR selection after the dedup stages, before redaction (order
-    # rationale in the docstring)
+    # rationale in the docstring).  Round 15: the keep rule changed from
+    # a percentile_approx threshold to the EXACT top-⌈frac·N⌉ by (dsir
+    # DESC, doc_id) — rank via the same distributed prefix machinery as
+    # the budget stage (ranged_running_total with value 1: no global
+    # single-task window), kept-count arithmetic in integer basis points
+    # so the selected SET is bit-reproducible in any engine (q85's
+    # curate oracle replays it as ROW_NUMBER() OVER (ORDER BY dsir DESC,
+    # doc_id) ≤ (N·bp + 9999) // 10000).  percentile_approx's sketch
+    # rank semantics were Spark-internal — correct, but not replayable.
     if dsir_target is not None:
         from emulating_hadoop_with_mpi_spark.functions.dsir import dsir_scores
 
-        sc = dsir_scores(uniq, is_target=dsir_target)
-        thr = sc.agg(
-            F.expr(
-                f"percentile_approx(dsir, {1.0 - dsir_keep_frac}, 10000)"
-            ).alias("thr")
+        uniq = uniq.join(
+            _rank_keep_ids(
+                dsir_scores(uniq, is_target=dsir_target),
+                ord_col=-F.col("dsir"),
+                keep_frac=dsir_keep_frac,
+                what="dsir_keep_frac",
+            ),
+            "doc_id",
+            "left_semi",
         )
-        keep_ids = (
-            sc.crossJoin(F.broadcast(thr))
-            .filter(F.col("dsir") >= F.col("thr"))
-            .select("doc_id")
-        )
-        uniq = uniq.join(keep_ids, "doc_id", "left_semi")
         frames["dsir"] = uniq
 
     # LM-perplexity selection in the same slot as DSIR (order rationale
-    # in the docstring) — keep LOW cross-entropy, threshold broadcast
+    # in the docstring) — keep the ⌈frac·N⌉ LOWEST cross-entropy docs,
+    # same exact rank rule as the DSIR stage (round 15)
     if lm_keep_frac is not None:
         from emulating_hadoop_with_mpi_spark.functions.lm import bigram_lm_xent
 
-        xent = bigram_lm_xent(uniq.select("doc_id", "text"))
-        lm_thr = xent.agg(
-            F.expr(
-                f"percentile_approx(lm_xent, {lm_keep_frac}, 10000)"
-            ).alias("thr")
+        uniq = uniq.join(
+            _rank_keep_ids(
+                bigram_lm_xent(uniq.select("doc_id", "text")),
+                ord_col=F.col("lm_xent"),
+                keep_frac=lm_keep_frac,
+                what="lm_keep_frac",
+            ),
+            "doc_id",
+            "left_semi",
         )
-        lm_keep = (
-            xent.crossJoin(F.broadcast(lm_thr))
-            .filter(F.col("lm_xent") <= F.col("thr"))
-            .select("doc_id")
-        )
-        uniq = uniq.join(lm_keep, "doc_id", "left_semi")
         frames["lm"] = uniq
 
-    # The mixture/budget selection stages traverse the survivor frame
-    # more than once (rate aggregate + filter; budget projection +
-    # semi-join spine) — persist it so the quality/decon/dedup prefix
-    # above executes once instead of once per traversal (measured 59 s →
-    # single-digit at sf0.1).  The post-decon frame is persisted too:
-    # the selection stages' EAGER actions (rate aggregate, prefix-sum
-    # bounds) fire before any caller-side audit persist can catch the
-    # prefix, and without the pin the decontamination shingle join — the
-    # most expensive prefix stage — re-runs once more for q85's
-    # stage-count branches at collect time.
-    if mixture is not None or token_budget is not None:
-        frames["decon"] = _CURATE_CACHE.lookup(frames["decon"])
+    # Third anchor: the post-selection survivor frame, persisted before
+    # the mixture/budget stages' own eager actions (rate aggregate,
+    # prefix-sum bounds) re-traverse it — without this pin each would
+    # re-run the DSIR/LM semi-join lineage.
+    if (dsir_target is not None or lm_keep_frac is not None) and (
+        mixture is not None or token_budget is not None
+    ):
         uniq = _CURATE_CACHE.lookup(uniq)
 
     # Data-mixture resampling AFTER every dedup/selection stage (rates
@@ -374,19 +475,13 @@ def curate_frames(
             ranged_running_total,
         )
 
-        if cut_span_ngram is None:
-            # text unchanged since the top-of-pipeline scoring: the score
-            # columns ride the (persisted) survivor frame, so the budget
-            # input is a zero-join compact projection of it
-            qtok = uniq.select("doc_id", "n_tokens", "quality").filter(
-                F.col("n_tokens") > 0
-            )
-        else:
-            qtok = (
-                quality_scores(uniq.select("doc_id", "text"))
-                .select("doc_id", "n_tokens", "quality")
-                .filter(F.col("n_tokens") > 0)
-            )
+        # the score columns always reflect the CURRENT text (the span-cut
+        # stage re-scores in-pass; every later stage is pure selection),
+        # so the budget input is a zero-join compact projection of the
+        # persisted survivor frame on every path — no second feature pass
+        qtok = uniq.select("doc_id", "n_tokens", "quality").filter(
+            F.col("n_tokens") > 0
+        )
         sel = (
             ranged_running_total(
                 qtok,

@@ -291,52 +291,71 @@ def _ratio(num: Column, den: Column) -> Column:
 
 # Shared quality-feature CTE block (q81's oracle AND q82's classifier
 # section train on the same features): produces relation
-# ``qfeat(doc_id, n_chars, n_tokens, ratios…, quality)``.
-_QFEAT_CTES = f"""tok AS (SELECT doc_id, text, {_SQL_TOKENS} AS toks FROM documents),
-    words AS (
+# ``{prefix}qfeat(doc_id, n_chars, n_tokens, ratios…, quality)``.
+# Parameterized (round 15) so one oracle can carry TWO feature passes —
+# q85's curate section re-scores the span-cut texts with prefix "rq".
+def _qfeat_ctes_from(
+    tok_sql: str | None = None, prefix: str = "", materialize: bool = False
+) -> str:
+    """Quality-feature CTE chain over an arbitrary (doc_id, text, toks)
+    relation.  ``tok_sql`` defaults to the documents table (the q81/q82
+    shared block); ``prefix`` namespaces every CTE so two instances can
+    coexist in one WITH list.  ``materialize`` marks the tok and qfeat
+    CTEs ``AS MATERIALIZED`` — REQUIRED when ``tok_sql`` is itself an
+    expensive CTE chain (q85's span-cut texts): DuckDB 1.0 inlines CTEs
+    per reference, so without the hint the feature chain's 4-5 self-
+    references re-expand the whole upstream pipeline multiplicatively
+    (measured: the curate oracle went >120 s → 0.8 s at sf0.001 with
+    the hints).  The default documents instance stays unhinted — its
+    tok is a plain scan and the r1-r14 hashes are proven on that form."""
+    p = prefix
+    mat = "MATERIALIZED " if materialize else ""
+    tok_sql = tok_sql or f"SELECT doc_id, text, {_SQL_TOKENS} AS toks FROM documents"
+    return f"""{p}tok AS {mat}({tok_sql}),
+    {p}words AS (
         SELECT doc_id, MAX(c) AS max_word FROM (
             SELECT doc_id, w, COUNT(*) AS c
-            FROM (SELECT doc_id, unnest(toks) AS w FROM tok)
+            FROM (SELECT doc_id, unnest(toks) AS w FROM {p}tok)
             GROUP BY doc_id, w
         ) GROUP BY doc_id
     ),
-    g2 AS (
+    {p}g2 AS (
         SELECT doc_id, MAX(c) AS top2, CAST(SUM(c) AS BIGINT) AS n2 FROM (
             SELECT doc_id, gram, COUNT(*) AS c FROM (
                 SELECT t.doc_id, t.toks[s.i] || ' ' || t.toks[s.i + 1] AS gram
-                FROM tok t CROSS JOIN LATERAL (
+                FROM {p}tok t CROSS JOIN LATERAL (
                     SELECT unnest(generate_series(1, len(t.toks) - 1)) AS i
                 ) s
             ) GROUP BY doc_id, gram
         ) GROUP BY doc_id
     ),
-    g3 AS (
+    {p}g3 AS (
         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n3,
                CAST(COUNT(DISTINCT gram) AS BIGINT) AS d3 FROM (
             SELECT t.doc_id,
                    t.toks[s.i] || ' ' || t.toks[s.i + 1] || ' ' || t.toks[s.i + 2] AS gram
-            FROM tok t CROSS JOIN LATERAL (
+            FROM {p}tok t CROSS JOIN LATERAL (
                 SELECT unnest(generate_series(1, len(t.toks) - 2)) AS i
             ) s
         ) GROUP BY doc_id
     ),
-    feats AS (
-        SELECT tok.doc_id,
+    {p}feats AS (
+        SELECT {p}tok.doc_id,
                CAST(length(text) AS BIGINT) AS n_chars,
                CAST(len(toks) AS BIGINT) AS n_tokens,
                CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS n_alpha,
                CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit,
                CAST(len(list_filter(toks,
                         x -> list_contains({list(ALL_STOPWORDS)!r}, x))) AS BIGINT) AS n_stop,
-               COALESCE(words.max_word, 0) AS max_word,
-               COALESCE(g2.top2, 0) AS top2, COALESCE(g2.n2, 0) AS n2,
-               COALESCE(g3.n3, 0) AS n3, COALESCE(g3.d3, 0) AS d3
-        FROM tok
-        LEFT JOIN words ON words.doc_id = tok.doc_id
-        LEFT JOIN g2 ON g2.doc_id = tok.doc_id
-        LEFT JOIN g3 ON g3.doc_id = tok.doc_id
+               COALESCE({p}words.max_word, 0) AS max_word,
+               COALESCE({p}g2.top2, 0) AS top2, COALESCE({p}g2.n2, 0) AS n2,
+               COALESCE({p}g3.n3, 0) AS n3, COALESCE({p}g3.d3, 0) AS d3
+        FROM {p}tok
+        LEFT JOIN {p}words ON {p}words.doc_id = {p}tok.doc_id
+        LEFT JOIN {p}g2 ON {p}g2.doc_id = {p}tok.doc_id
+        LEFT JOIN {p}g3 ON {p}g3.doc_id = {p}tok.doc_id
     ),
-    qfeat AS (
+    {p}qfeat AS {mat}(
         SELECT doc_id, n_chars, n_tokens,
                {_sql_ratio("n_alpha", "n_chars")} AS alpha_ratio,
                {_sql_ratio("n_digit", "n_chars")} AS digit_ratio,
@@ -352,8 +371,11 @@ _QFEAT_CTES = f"""tok AS (SELECT doc_id, text, {_SQL_TOKENS} AS toks FROM docume
                                       THEN 200000 * n_chars * n_tokens ELSE 0 END)
                               // (n_chars * n_tokens) AS DOUBLE) / 1000000
                END AS quality
-        FROM feats
+        FROM {p}feats
     )"""
+
+
+_QFEAT_CTES = _qfeat_ctes_from()
 
 
 @query(
@@ -391,10 +413,13 @@ def q81_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_scores(docs.select("doc_id", "text").orderBy("doc_id"))
 
 
-def quality_scores(docs: DataFrame) -> DataFrame:
+def quality_scores(docs: DataFrame, keep_text: bool = False) -> DataFrame:
     """(doc_id, counts, ratios, repetition fractions, quality) for any
     documents frame — the reusable core of q81 (also the gate stage of
-    functions/pipeline.curate_corpus)."""
+    functions/pipeline.curate_corpus).  ``keep_text`` appends the input
+    ``text`` column to the output, so a caller that needs the scored
+    text (the span-cut re-scoring in curate_frames) gets scores AND text
+    in ONE feature pass instead of a self-join."""
     # Generate (explode of a 1-element array) is a CollapseProject
     # barrier: the token array AND its xxhash64 fingerprint array are
     # materialized once per row, so the dozen references below read
@@ -431,6 +456,7 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     )
     feats = staged0.select(
         "doc_id",
+        *(["text"] if keep_text else []),
         F.length("text").cast("bigint").alias("n_chars"),
         F.size("toks").cast("bigint").alias("n_tokens"),
         F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).cast("bigint").alias("n_alpha"),
@@ -463,6 +489,7 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     )
     return staged.select(
         "doc_id",
+        *(["text"] if keep_text else []),
         "n_chars",
         "n_tokens",
         alpha_r.alias("alpha_ratio"),
@@ -471,6 +498,51 @@ def quality_scores(docs: DataFrame) -> DataFrame:
         max_word_r.alias("max_word_frac"),
         top2_r.alias("top_bigram_frac"),
         dup3_r.alias("dup_trigram_frac"),
+        quality.alias("quality"),
+    )
+
+
+def quality_gate_scores(docs: DataFrame, keep_text: bool = False) -> DataFrame:
+    """(doc_id[, text], n_tokens, quality): the gate/budget SUBSET of
+    :func:`quality_scores` — bit-identical integer-exact ``quality`` and
+    token count (same formula, same inputs), none of the repetition
+    features.  Exists for plan-construction cost (round 15): the
+    curation pipeline builds this expression tree twice per invocation
+    (top-of-pipeline gate + span-cut re-score) and consumes ONLY these
+    columns; Catalyst prunes the unused feature columns at optimization
+    anyway, but the full forest still costs py4j construction and
+    analysis per build (~1 s/call).  ``keep_text`` as in
+    quality_scores."""
+    staged0 = docs.select(
+        "doc_id",
+        "text",
+        # explode-of-1-array barrier: materialize the token array once
+        # (see quality_scores' CollapseProject note)
+        F.explode(F.array(tokens_col())).alias("toks"),
+    )
+    feats = staged0.select(
+        "doc_id",
+        *(["text"] if keep_text else []),
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).cast("bigint").alias("n_alpha"),
+        F.size(F.filter("toks", lambda x: x.isin(*ALL_STOPWORDS))).cast("bigint").alias("n_stop"),
+    )
+    staged = feats.withColumn(
+        "q_num",
+        500000 * F.col("n_alpha") * F.col("n_tokens")
+        + 300000 * F.col("n_stop") * F.col("n_chars")
+        + F.when(
+            F.col("n_tokens") >= 20, 200000 * F.col("n_chars") * F.col("n_tokens")
+        ).otherwise(F.lit(0)),
+    ).withColumn("q_den", F.col("n_chars") * F.col("n_tokens"))
+    quality = F.when(F.col("q_den") == 0, F.lit(0.0)).otherwise(
+        F.expr("CAST(q_num div q_den AS DOUBLE)") / 1000000
+    )
+    return staged.select(
+        "doc_id",
+        *(["text"] if keep_text else []),
+        "n_tokens",
         quality.alias("quality"),
     )
 
@@ -1234,16 +1306,47 @@ _DECON_SECTION_ORACLE = f"""
 CURATE_MIN_QUALITY = 0.2
 CURATE_MIXTURE = {"en": 2, "es": 1, "de": 1, "fr": 1, "zh": 1}
 CURATE_MIX_SALT = "curate"
-CURATE_TOKEN_BUDGET = 12_288
+# Round 15 (VERDICT r14 top_next): the config now also includes span
+# cutting (CURATE_SPAN_N-token corpus-duplicated spans cut keep-first
+# after exact dedup — probed non-vacuous at every SF: 41-405 survivor
+# docs carry duplicated 20-token spans) and DSIR selection (keep the
+# exact top-⌈CURATE_DSIR_KEEP·N⌉ against the lang='en' target — probed:
+# every mixture stratum keeps healthy mass at 0.5 at sf0.001-sf1, so
+# the strict mixture validation cannot trip).  The token budget drops
+# 12_288 → 2_048: the added selection stages shrink the post-mixture
+# corpus below the old budget (~3.9k tokens at sf0.01), which would
+# leave the budget stage non-BINDING — hash coverage of a selection
+# that selects everything is vacuous.
+CURATE_SPAN_N = 20
+CURATE_DSIR_KEEP = 0.5
+CURATE_TOKEN_BUDGET = 2_048
 
 
 def _curate_section_oracle() -> str:
     win, stride, budget = CHUNK_WINDOW, CHUNK_STRIDE, PACK_BUDGET
     n = DECON_SECTION_N
+    span = CURATE_SPAN_N
+    kf_bp = int(round(CURATE_DSIR_KEEP * 10_000))
+    # The span-cut/DSIR/re-score chain references its upstream CTEs many
+    # times; the AS MATERIALIZED hints below are what keep DuckDB 1.0
+    # (which inlines CTEs per reference) from re-expanding the whole
+    # pipeline multiplicatively — measured >120 s → 0.8 s at sf0.001.
+    rqfeat = _qfeat_ctes_from(
+        "SELECT doc_id, text, toks FROM cspancut", prefix="rq", materialize=True
+    )
+    cdsir = _dsir_ctes(
+        "",
+        prefix="cdsir",
+        source_sql=(
+            "SELECT c.doc_id, (d.lang = 'en') AS is_target, c.toks "
+            "FROM cspancut c JOIN documents d USING (doc_id)"
+        ),
+        materialize=True,
+    )
     return f"""
     SELECT 'curate' AS method, doc_id, chunk_idx, n_tokens, chunk_text FROM (
         WITH {_QFEAT_CTES},
-        ckept AS (
+        ckept AS MATERIALIZED (
             SELECT t.doc_id, t.text, t.toks
             FROM tok t JOIN qfeat q ON q.doc_id = t.doc_id
             WHERE q.quality >= {CURATE_MIN_QUALITY}
@@ -1269,31 +1372,116 @@ def _curate_section_oracle() -> str:
             WHERE doc_id NOT IN (SELECT doc_id FROM cflag)
         ),
         cwin AS (SELECT text, MIN(doc_id) AS doc_id FROM cdk GROUP BY text),
-        cuniq AS (
+        cuniq AS MATERIALIZED (
             SELECT w.doc_id, k.text, k.toks
             FROM cwin w JOIN cdk k ON k.doc_id = w.doc_id
         ),
+        -- span cutting over the post-dedup survivors (the Spark side's
+        -- remove_duplicate_spans on the same slot): every {span}-token
+        -- window occurring >= 2 times corpus-wide is cut keep-first
+        -- (rank 1 by (doc_id, pos) per span survives); a token goes iff
+        -- covered by a flagged start's [pos, pos + {span}) interval.
+        csp AS MATERIALIZED (
+            SELECT doc_id, pos,
+                   array_to_string(
+                       toks[CAST(pos AS INT):CAST(pos + {span - 1} AS INT)], ' '
+                   ) AS span
+            FROM (SELECT doc_id, toks,
+                         unnest(generate_series(1, len(toks) - {span - 1})) AS pos
+                  FROM cuniq)
+        ),
+        cdup AS (SELECT span FROM csp GROUP BY span HAVING COUNT(*) >= 2),
+        cocc AS MATERIALIZED (
+            SELECT csp.doc_id, csp.pos,
+                   ROW_NUMBER() OVER (PARTITION BY csp.span
+                                      ORDER BY csp.doc_id, csp.pos) AS rk
+            FROM csp JOIN cdup USING (span)
+        ),
+        ccutpos AS (
+            SELECT DISTINCT doc_id, pos + ofs AS i
+            FROM (SELECT doc_id, pos FROM cocc WHERE rk > 1), range(0, {span}) r(ofs)
+        ),
+        chascut AS (SELECT DISTINCT doc_id FROM cocc WHERE rk > 1),
+        -- rebuild: kept positions of the CASE-PRESERVED raw tokens give
+        -- the cut text (single-space joined); kept positions of the
+        -- lowercased toks give its token array (positions align — the
+        -- same invariant remove_duplicate_spans documents).  Docs
+        -- without cuts keep their ORIGINAL text byte-for-byte.
+        craw AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(trim(text), '\\s+'),
+                               x -> x != '') AS rawtoks
+            FROM cuniq
+        ),
+        ckeeppos AS (
+            SELECT e.doc_id, e.i
+            FROM (SELECT u.doc_id, s.i
+                  FROM cuniq u CROSS JOIN LATERAL (
+                      SELECT unnest(generate_series(1, len(u.toks))) AS i) s) e
+            LEFT JOIN ccutpos c ON c.doc_id = e.doc_id AND c.i = e.i
+            WHERE c.i IS NULL
+        ),
+        ccutdoc AS (
+            SELECT k.doc_id,
+                   list(u.toks[CAST(k.i AS INT)] ORDER BY k.i) AS toks,
+                   array_to_string(
+                       list(r.rawtoks[CAST(k.i AS INT)] ORDER BY k.i), ' '
+                   ) AS text
+            FROM ckeeppos k
+            JOIN cuniq u ON u.doc_id = k.doc_id
+            JOIN craw r ON r.doc_id = k.doc_id
+            GROUP BY k.doc_id
+        ),
+        cspancut AS MATERIALIZED (
+            SELECT u.doc_id,
+                   CASE WHEN h.doc_id IS NOT NULL
+                        THEN COALESCE(d.text, '') ELSE u.text END AS text,
+                   CASE WHEN h.doc_id IS NOT NULL
+                        THEN COALESCE(d.toks, CAST([] AS VARCHAR[]))
+                        ELSE u.toks END AS toks
+            FROM cuniq u
+            LEFT JOIN chascut h ON h.doc_id = u.doc_id
+            LEFT JOIN ccutdoc d ON d.doc_id = u.doc_id
+        ),
+        -- re-score quality/token counts over the CUT texts (rqqfeat) —
+        -- what the Spark side's in-pass re-scoring carries on the
+        -- survivor frames — and DSIR-score the cut corpus against the
+        -- lang='en' target
+        {rqfeat},
+        {cdsir},
+        cdsel AS (
+            SELECT doc_id FROM (
+                SELECT doc_id,
+                       ROW_NUMBER() OVER (ORDER BY dsir DESC, doc_id) AS rk,
+                       COUNT(*) OVER () AS n
+                FROM cdsir_sc
+            ) WHERE rk <= (n * {kf_bp} + 9999) // 10000
+        ),
+        cds AS MATERIALIZED (
+            SELECT s.doc_id, s.text, s.toks
+            FROM cspancut s JOIN cdsel USING (doc_id)
+        ),
         {_mixture_oracle_ctes(
             "SELECT d.lang AS stratum, CAST(length(u.text) AS BIGINT) AS w "
-            "FROM cuniq u JOIN documents d ON d.doc_id = u.doc_id",
+            "FROM cds u JOIN documents d ON d.doc_id = u.doc_id",
             CURATE_MIXTURE,
             prefix="cmx",
         )},
-        cmix AS (
+        cmix AS MATERIALIZED (
             SELECT u.doc_id, u.toks
-            FROM cuniq u
+            FROM cds u
             JOIN documents d ON d.doc_id = u.doc_id
             LEFT JOIN cmx_rate r ON r.stratum = d.lang
             WHERE {_split_bucket_oracle_sql("u.doc_id", salt=CURATE_MIX_SALT)}
                   < COALESCE(r.rate_bp, 0)
         ),
-        cbud AS (
+        cbud AS MATERIALIZED (
             SELECT doc_id, toks FROM (
                 SELECT u.doc_id, u.toks,
                        CAST(SUM(q.n_tokens) OVER (ORDER BY q.quality DESC, u.doc_id
                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                         AS BIGINT) AS cum
-                FROM cmix u JOIN qfeat q ON q.doc_id = u.doc_id
+                FROM cmix u JOIN rqqfeat q ON q.doc_id = u.doc_id
                 WHERE q.n_tokens > 0
             ) WHERE cum <= {CURATE_TOKEN_BUDGET}
         ),
@@ -1312,7 +1500,7 @@ def _curate_section_oracle() -> str:
             FROM (SELECT doc_id, toks,
                          unnest(generate_series(0, n_chunks - 1)) AS i FROM cnch)
         ),
-        cbinned AS (
+        cbinned AS MATERIALIZED (
             SELECT *,
                    (CAST(SUM(n_tokens) OVER (PARTITION BY split
                         ORDER BY doc_id, chunk_idx
@@ -1337,6 +1525,16 @@ def _curate_section_oracle() -> str:
         UNION ALL
         SELECT CAST(COUNT(*) AS BIGINT), CAST(NULL AS INT), CAST(NULL AS INT),
                'stage:dedup' FROM cwin
+        UNION ALL
+        -- stage:span carries the TOTAL post-cut token count, not a doc
+        -- count (span cutting rewrites text, never drops docs — a count
+        -- row would be vacuously equal to stage:dedup); this pins the
+        -- rewrite itself under the hash
+        SELECT CAST(SUM(n_tokens) AS BIGINT), CAST(NULL AS INT), CAST(NULL AS INT),
+               'stage:span' FROM rqqfeat
+        UNION ALL
+        SELECT CAST(COUNT(*) AS BIGINT), CAST(NULL AS INT), CAST(NULL AS INT),
+               'stage:dsir' FROM cds
         UNION ALL
         SELECT CAST(COUNT(*) AS BIGINT), CAST(NULL AS INT), CAST(NULL AS INT),
                'stage:mixture' FROM cmix
@@ -1442,19 +1640,24 @@ def q85_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
       tie-break, and boundary-safe replace semantics are all under the
       cross-engine check now, not just the frozen-artifact encode
       (q82's n_bpe_enc).
-    - 'curate' (round 13, VERDICT r12 item 4; extended round 14, VERDICT
-      r13 item 2): the END-TO-END curation pipeline
+    - 'curate' (round 13, VERDICT r12 item 4; extended round 14 with
+      mixture/budget, round 15 with span-cut/DSIR — VERDICT r13 item 2
+      / r14 top_next): the END-TO-END curation pipeline
       (functions/pipeline.curate_corpus — quality gate →
-      decontamination → exact dedup → data-mixture resampling
-      (CURATE_MIXTURE by characters, salt CURATE_MIX_SALT) →
-      token-budget selection (best quality first to
-      CURATE_TOKEN_BUDGET) → chunk → leakage-safe split → per-split
-      packing) under one chained-CTE oracle: per-stage survivor counts
-      plus per-split chunk/bin aggregates with SUM(DISTINCT
-      doc_id)/SUM(bin_id) membership checksums over the composed
-      output.  This pins the stage INTERACTION (order, survivor flow)
-      of the FULL selection chain — including the mixture/budget ×
-      composition interaction that round 13 left to pytest.
+      decontamination → exact dedup → duplicated-span cutting
+      (CURATE_SPAN_N-token spans, keep-first, with in-pass re-scoring
+      of the cut text) → DSIR selection (exact top-CURATE_DSIR_KEEP
+      fraction against the lang='en' target) → data-mixture resampling
+      (CURATE_MIXTURE by characters of the CUT text, salt
+      CURATE_MIX_SALT) → token-budget selection (best post-cut quality
+      first to CURATE_TOKEN_BUDGET) → chunk → leakage-safe split →
+      per-split packing) under one chained-CTE oracle: per-stage
+      survivor counts (stage:span carries the post-cut token total —
+      the cut rewrites text rather than dropping docs) plus per-split
+      chunk/bin aggregates with SUM(DISTINCT doc_id)/SUM(bin_id)
+      membership checksums over the composed output.  This pins the
+      stage INTERACTION (order, survivor flow, text-rewrite
+      propagation) of the FULL selection chain cross-engine.
     - 'budget' (round 13 continuation): token-budget quality selection —
       one row per document kept by "best quality first until
       {TOKEN_BUDGET_SECTION} tokens" (chunk_idx = the running token
@@ -1528,13 +1731,14 @@ def q85_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     # warm under sampling.py's capacity-2 plan-keyed cache registry.
     #
     # ONE quality pass for the whole query (round 14): this section and
-    # the curate composition's gate/budget stages all consume
-    # quality_scores(docs) — persist the shared compact projection once,
-    # built EXACTLY like curate_frames' internal scored frame so Spark's
+    # the curate composition's gate stage both consume
+    # quality_gate_scores(docs) (the lean (n_tokens, quality) twin —
+    # round 15) — persist the shared compact projection once, built
+    # EXACTLY like curate_frames' internal scored frame so Spark's
     # cache manager substitutes the in-memory relation into every
     # consumer plan (plan-equality cache matching; ~20 B/doc).
     qs_base = _QSCORE_CACHE.lookup(
-        quality_scores(docs).select("doc_id", "n_tokens", "quality")
+        quality_gate_scores(docs).select("doc_id", "n_tokens", "quality")
     )
     qs = qs_base.filter(F.col("n_tokens") > 0)
     brows = (
@@ -1573,6 +1777,9 @@ def q85_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         budget=PACK_BUDGET,
         benchmark=bench,
         decon_ngram=DECON_SECTION_N,
+        cut_span_ngram=CURATE_SPAN_N,
+        dsir_target=F.col("lang") == "en",
+        dsir_keep_frac=CURATE_DSIR_KEEP,
         mixture=CURATE_MIXTURE,
         mixture_salt=CURATE_MIX_SALT,
         token_budget=CURATE_TOKEN_BUDGET,
@@ -1584,6 +1791,15 @@ def q85_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(
             _crow(fr["decon"].agg(F.countDistinct("text").alias("n")), "stage:dedup")
+        )
+        .unionByName(
+            # total POST-CUT token count (docs aren't dropped by the cut,
+            # so a doc count would be vacuous — this pins the rewrite);
+            # n_tokens on the span_cut frame is the re-scored value
+            _crow(fr["span_cut"].agg(F.sum("n_tokens").alias("n")), "stage:span")
+        )
+        .unionByName(
+            _crow(fr["dsir"].agg(F.count(F.lit(1)).alias("n")), "stage:dsir")
         )
         .unionByName(
             _crow(fr["mixture"].agg(F.count(F.lit(1)).alias("n")), "stage:mixture")

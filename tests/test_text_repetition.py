@@ -72,3 +72,31 @@ def test_tokenize_runs_bounded_per_row(spark):
     df = spark.createDataFrame(DOCS, "doc_id long, lang string, text string")
     optimized = quality_scores(df)._jdf.queryExecution().optimizedPlan().toString()
     assert optimized.count("split(") <= 2, optimized
+
+
+def test_quality_gate_scores_matches_full_scorer(spark):
+    """quality_gate_scores is the (n_tokens, quality) SUBSET of
+    quality_scores — bit-identical values on every doc (the curation
+    pipeline's gate/budget stages consume the lean twin; a formula
+    drift between the two would silently change the curate hash)."""
+    from emulating_hadoop_with_mpi_spark.functions.text import quality_gate_scores
+
+    df = spark.createDataFrame(
+        DOCS + [(99, "xx", ""), (100, "xx", "   "), (101, "en", "one")],
+        "doc_id long, lang string, text string",
+    )
+    full = {
+        r.doc_id: (r.n_tokens, r.quality) for r in quality_scores(df).collect()
+    }
+    lean = {
+        r.doc_id: (r.n_tokens, r.quality)
+        for r in quality_gate_scores(df).collect()
+    }
+    assert lean == full
+    # keep_text passes the input text through unchanged
+    with_text = {r.doc_id: r.text for r in quality_gate_scores(df, keep_text=True).collect()}
+    assert with_text == {r.doc_id: r.text for r in df.collect()}
+    # and the lean plan stays Exchange-free like the full one
+    from emulating_hadoop_with_mpi_spark.plans.inspect import executed_plan
+
+    assert "Exchange" not in executed_plan(quality_gate_scores(df))
