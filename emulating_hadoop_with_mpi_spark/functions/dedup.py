@@ -416,6 +416,95 @@ PPJOIN_PARTITIONED_BYTES = 64 * 1024 * 1024
 from emulating_hadoop_with_mpi_spark.plans.inspect import plan_size_bytes as _plan_size_bytes
 
 
+def _ppjoin_partitioned(docs: DataFrame, plan: str) -> bool:
+    """Resolve the ppjoin physical regime from the corpus' own Catalyst
+    size estimate (the matmul_auto stats-dispatch pattern)."""
+    if plan == "auto":
+        size = _plan_size_bytes(docs)
+        return size is None or size > PPJOIN_PARTITIONED_BYTES
+    if plan in ("partitioned", "small"):
+        return plan == "partitioned"
+    raise ValueError(f"plan must be auto|partitioned|small, got {plan!r}")
+
+
+def ppjoin_ranked(
+    docs: DataFrame, ngram: int = 3, plan: str = "auto"
+) -> DataFrame:
+    """(doc_id, sh, df, n, rk): ppjoin_pairs' stage-1 frame — every
+    document's shingle hashes ranked by ascending global document
+    frequency (rarest first; one total order corpus-wide), with the
+    per-doc set size ``n``.  Factored out (round 15, the q73
+    minhash_combined precedent) so the bench can time the SHIPPED
+    stage-1 plan as its own min-of-2 interleaved leg and inject the
+    cached frame back via ``ppjoin_pairs(ranked=)``."""
+    from pyspark.sql import Window
+
+    _pin = (
+        (lambda f: f.hint("shuffle_hash"))
+        if _ppjoin_partitioned(docs, plan)
+        else (lambda f: f)
+    )
+    ds = shingles_df(docs, n=ngram).select("doc_id", F.xxhash64("shingle").alias("sh"))
+    df_counts = ds.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        ds.join(_pin(df_counts), "sh")
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("sh"))
+            ),
+        )
+    )
+
+
+def ppjoin_candidates(
+    ranked: DataFrame,
+    t_num: int = 1,
+    t_den: int = 2,
+    positional: bool = True,
+    partitioned: bool = True,
+) -> DataFrame:
+    """(doc_a, doc_b) distinct candidate pairs from the prefix self-join —
+    ppjoin_pairs' stage 2 over a :func:`ppjoin_ranked` frame (the prefix
+    and positional filters are documented inline in ppjoin_pairs; this IS
+    the shipped plan, factored for stage-leg timing and injection via
+    ``ppjoin_pairs(cands=)``).  ``partitioned`` defaults scale-safe
+    (shuffle_hash pins); pass False only for the small regime."""
+    _pin = (lambda f: f.hint("shuffle_hash")) if partitioned else (lambda f: f)
+    # prefix = first n − ⌈t·n⌉ + 1 shingles in global rarity order
+    # (t = 1/2 ⟹ ⌊n/2⌋ + 1, the former hardcoded form)
+    prefix_len = F.col("n") - F.ceil(F.col("n") * t_num / t_den) + 1
+    prefix = ranked.filter(F.col("rk") <= prefix_len).select("doc_id", "sh", "rk", "n")
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    # PPJoin positional filter (Xiao et al., exactness-preserving): J ≥ t
+    # requires overlap ≥ α = ⌈t/(1+t)·(n_a+n_b)⌉, and a match at prefix
+    # positions (rk_a, rk_b) bounds the achievable overlap by
+    # 1 + min(n_a−rk_a, n_b−rk_b).  For a truly qualifying pair the bound
+    # holds at its FIRST common prefix shingle (smallest positions give the
+    # loosest bound ≥ the true overlap), so keeping pairs where ANY match
+    # passes loses nothing — pinned by the direct-join equality tests at
+    # t = 0.5 and 0.8.  The ⌈·⌉ never materializes: for integer ubound,
+    # ubound ≥ ⌈p/q⌉ ⟺ ubound·q ≥ p with p = t_num·(n_a+n_b),
+    # q = t_num+t_den — exact integer arithmetic, no division.
+    # The rk = 1 instance of this bound IS the classic length filter
+    # (min(n_a, n_b) ≥ α ⟺ t·n_a ≤ n_b ≤ n_a/t), so that comes free.
+    ubound = 1 + F.least(
+        F.col("a.n") - F.col("a.rk"), F.col("b.n") - F.col("b.rk")
+    )
+    cond = (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    if positional:
+        cond = cond & (
+            ubound * (t_num + t_den) >= (F.col("a.n") + F.col("b.n")) * t_num
+        )
+    return (
+        a.join(_pin(b), cond)
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
 def ppjoin_pairs(
     docs: DataFrame,
     ngram: int = 3,
@@ -424,6 +513,8 @@ def ppjoin_pairs(
     t_den: int = 2,
     positional: bool = True,
     plan: str = "auto",
+    ranked: DataFrame | None = None,
+    cands: DataFrame | None = None,
 ) -> DataFrame:
     """PPJoin-style prefix-filtered EXACT Jaccard pairs (J ≥ t_num/t_den,
     default 0.5) — the scale-safe exact sibling of q72's direct shingle
@@ -461,16 +552,14 @@ def ppjoin_pairs(
     2⁻⁶⁴ collision — MinHash makes the identical trade), and the verify
     sets are built only for docs that actually appear in a candidate pair
     (semi-join before collect_set), so verify cost tracks candidate
-    count, not corpus size."""
-    from pyspark.sql import Window
+    count, not corpus size.
 
-    if plan == "auto":
-        size = _plan_size_bytes(docs)
-        partitioned = size is None or size > PPJOIN_PARTITIONED_BYTES
-    elif plan in ("partitioned", "small"):
-        partitioned = plan == "partitioned"
-    else:
-        raise ValueError(f"plan must be auto|partitioned|small, got {plan!r}")
+    ``ranked=`` / ``cands=`` (round 15) inject pre-built — typically
+    cached — stage frames so the bench's interleaved stage legs time
+    exactly the shipped plan (the q73 combined=/cands= idiom); without
+    them the stages are built here via :func:`ppjoin_ranked` /
+    :func:`ppjoin_candidates`."""
+    partitioned = _ppjoin_partitioned(docs, plan)
 
     # In the partitioned regime every shingle-keyed join is pinned
     # shuffle_hash: df_counts and the prefix frame are AGGREGATE/FILTER
@@ -483,56 +572,18 @@ def ppjoin_pairs(
     # hints are omitted and the single-exchange broadcast plan wins
     # (measured ~2.5× at sf0.1); the auto boundary is the corpus' own
     # scan-size estimate.
-    _pin = (lambda f: f.hint("shuffle_hash")) if partitioned else (lambda f: f)
-
-    ds = shingles_df(docs, n=ngram).select("doc_id", F.xxhash64("shingle").alias("sh"))
-    df_counts = ds.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-    ranked = (
-        ds.join(_pin(df_counts), "sh")
-        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("sh"))
-            ),
+    if ranked is None:
+        ranked = ppjoin_ranked(docs, ngram=ngram, plan=plan)
+        # ranked feeds three consumers (prefix a/b + the verify sets);
+        # caching is opt-in so library callers own the lifetime (bench
+        # clears the cache between measurements; see exact_jaccard_pairs).
+        if persist:
+            ranked = ranked.cache()
+    if cands is None:
+        cands = ppjoin_candidates(
+            ranked, t_num=t_num, t_den=t_den,
+            positional=positional, partitioned=partitioned,
         )
-    )
-    # ranked feeds three consumers (prefix a/b + the verify sets); caching
-    # is opt-in so library callers own the lifetime (bench clears the
-    # cache between measurements; see exact_jaccard_pairs).
-    if persist:
-        ranked = ranked.cache()
-    # prefix = first n − ⌈t·n⌉ + 1 shingles in global rarity order
-    # (t = 1/2 ⟹ ⌊n/2⌋ + 1, the former hardcoded form)
-    prefix_len = F.col("n") - F.ceil(F.col("n") * t_num / t_den) + 1
-    prefix = ranked.filter(F.col("rk") <= prefix_len).select("doc_id", "sh", "rk", "n")
-    a = prefix.alias("a")
-    b = prefix.alias("b")
-    # PPJoin positional filter (Xiao et al., exactness-preserving): J ≥ t
-    # requires overlap ≥ α = ⌈t/(1+t)·(n_a+n_b)⌉, and a match at prefix
-    # positions (rk_a, rk_b) bounds the achievable overlap by
-    # 1 + min(n_a−rk_a, n_b−rk_b).  For a truly qualifying pair the bound
-    # holds at its FIRST common prefix shingle (smallest positions give the
-    # loosest bound ≥ the true overlap), so keeping pairs where ANY match
-    # passes loses nothing — pinned by the direct-join equality tests at
-    # t = 0.5 and 0.8.  The ⌈·⌉ never materializes: for integer ubound,
-    # ubound ≥ ⌈p/q⌉ ⟺ ubound·q ≥ p with p = t_num·(n_a+n_b),
-    # q = t_num+t_den — exact integer arithmetic, no division.
-    # The rk = 1 instance of this bound IS the classic length filter
-    # (min(n_a, n_b) ≥ α ⟺ t·n_a ≤ n_b ≤ n_a/t), so that comes free.
-    ubound = 1 + F.least(
-        F.col("a.n") - F.col("a.rk"), F.col("b.n") - F.col("b.rk")
-    )
-    cond = (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id"))
-    if positional:
-        cond = cond & (
-            ubound * (t_num + t_den) >= (F.col("a.n") + F.col("b.n")) * t_num
-        )
-    cands = (
-        a.join(_pin(b), cond)
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
     # verify sets ONLY for docs in some candidate pair — candidate count,
     # not corpus size, bounds the collect_set work
     cand_docs = (
