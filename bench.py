@@ -443,6 +443,7 @@ def main() -> None:
         CHUNK_STRIDE,
         CHUNK_WINDOW,
         CURATE_DSIR_KEEP,
+        CURATE_LM_KEEP,
         CURATE_MIN_QUALITY,
         CURATE_MIX_SALT,
         CURATE_MIXTURE,
@@ -475,6 +476,7 @@ def main() -> None:
             cut_span_ngram=CURATE_SPAN_N,
             dsir_target=F.col("lang") == "en",
             dsir_keep_frac=CURATE_DSIR_KEEP,
+            lm_keep_frac=CURATE_LM_KEEP,
             mixture=CURATE_MIXTURE,
             mixture_salt=CURATE_MIX_SALT,
             token_budget=CURATE_TOKEN_BUDGET,

@@ -127,17 +127,26 @@ def bigram_lm_xent(
     )
 
 
-def lm_oracle_ctes() -> str:
-    """DuckDB CTE block re-deriving bigram_lm_xent over ``documents``
-    for the driver oracle (appended inside a WITH list).  Produces
-    relation ``lm_sc(doc_id, lm_xent)``.  Arithmetic parenthesization
-    matches the Spark expressions term for term."""
+def lm_oracle_ctes(
+    source_sql: str | None = None, prefix: str = "lm", materialize: bool = False
+) -> str:
+    """DuckDB CTE block re-deriving bigram_lm_xent for the driver oracle
+    (appended inside a WITH list).  Produces relation
+    ``{prefix}_sc(doc_id, lm_xent)``.  ``source_sql`` overrides the
+    default documents source — it must yield (doc_id, toks) (q85's
+    curate section scores the SPAN-CUT survivor texts); ``prefix``
+    namespaces the CTEs so two instances share one WITH list;
+    ``materialize`` marks the profile CTE ``AS MATERIALIZED`` (needed
+    over expensive CTE-chain sources — DuckDB 1.0 inlines per
+    reference).  Arithmetic parenthesization matches the Spark
+    expressions term for term."""
     from emulating_hadoop_with_mpi_spark.functions.text import _SQL_TOKENS
 
-    return f"""lm_tok AS (
-        SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
-    ),
-    lm_prof AS (
+    p = prefix
+    mat = "MATERIALIZED " if materialize else ""
+    source_sql = source_sql or f"SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents"
+    return f"""{p}_tok AS ({source_sql}),
+    {p}_prof AS {mat}(
         SELECT doc_id,
                CAST('0x' || substring(md5(g12), 1, 15) AS BIGINT) AS h12,
                CAST('0x' || substring(md5(g1), 1, 15) AS BIGINT) AS h1,
@@ -146,25 +155,25 @@ def lm_oracle_ctes() -> str:
             SELECT t.doc_id,
                    t.toks[s.i] || ' ' || t.toks[s.i + 1] AS g12,
                    t.toks[s.i] AS g1
-            FROM lm_tok t CROSS JOIN LATERAL (
+            FROM {p}_tok t CROSS JOIN LATERAL (
                 SELECT unnest(generate_series(1, len(t.toks) - 1)) AS i
             ) s
             WHERE len(t.toks) >= 2
         ) GROUP BY doc_id, h12, h1
     ),
-    lm_big AS (
+    {p}_big AS (
         SELECT h12, CAST(SUM(c) AS BIGINT) AS c12, MIN(h1) AS h1
-        FROM lm_prof GROUP BY h12
+        FROM {p}_prof GROUP BY h12
     ),
-    lm_uni AS (
-        SELECT h1, CAST(SUM(c12) AS BIGINT) AS c1 FROM lm_big GROUP BY h1
+    {p}_uni AS (
+        SELECT h1, CAST(SUM(c12) AS BIGINT) AS c1 FROM {p}_big GROUP BY h1
     ),
-    lm_v AS (SELECT CAST(COUNT(*) AS BIGINT) AS V FROM lm_uni),
-    lm_w AS (
+    {p}_v AS (SELECT CAST(COUNT(*) AS BIGINT) AS V FROM {p}_uni),
+    {p}_w AS (
         SELECT h12, LN( CAST(c12 + 1 AS DOUBLE) / CAST(c1 + V AS DOUBLE) ) AS w
-        FROM lm_big JOIN lm_uni USING (h1), lm_v
+        FROM {p}_big JOIN {p}_uni USING (h1), {p}_v
     ),
-    lm_sc AS (
+    {p}_sc AS (
         SELECT doc_id, ROUND( -SUM(c * w) / SUM(c), 6 ) AS lm_xent
-        FROM lm_prof JOIN lm_w USING (h12) GROUP BY doc_id
+        FROM {p}_prof JOIN {p}_w USING (h12) GROUP BY doc_id
     )"""

@@ -333,16 +333,16 @@ def order_key_oracle_sql(key_sql: str, salt: str = "") -> str:
 # Bounded plan-keyed cache registry for ranged_running_total's staged
 # frames (round 14, VERDICT r13 item 4 — repeated pipeline invocations
 # must not accumulate executor storage; see functions/framecache.py for
-# the reuse/eviction contract).  Capacity 3 (round 15): one query can
-# interleave three ranged consumers — q85 runs the standalone
-# token-budget section, the DSIR rank selection, and the curate budget
-# stage in one invocation — so all three stay warm while storage stays
-# bounded at three compact staged frames.
+# the reuse/eviction contract).  Capacity 4 (round 15): one query can
+# interleave four ranged consumers — q85 runs the standalone
+# token-budget section, the DSIR and LM rank selections, and the curate
+# budget stage in one invocation — so all four stay warm while storage
+# stays bounded at four compact staged frames.
 from emulating_hadoop_with_mpi_spark.functions.framecache import (  # noqa: E402
     PlanKeyedFrameCache,
 )
 
-_RANGED_CACHE = PlanKeyedFrameCache(capacity=3)
+_RANGED_CACHE = PlanKeyedFrameCache(capacity=4)
 
 
 def unpersist_ranged_cache() -> None:

@@ -1309,17 +1309,21 @@ CURATE_MIX_SALT = "curate"
 # Round 15 (VERDICT r14 top_next): the config now also includes span
 # cutting (CURATE_SPAN_N-token corpus-duplicated spans cut keep-first
 # after exact dedup — probed non-vacuous at every SF: 41-405 survivor
-# docs carry duplicated 20-token spans) and DSIR selection (keep the
-# exact top-⌈CURATE_DSIR_KEEP·N⌉ against the lang='en' target — probed:
-# every mixture stratum keeps healthy mass at 0.5 at sf0.001-sf1, so
-# the strict mixture validation cannot trip).  The token budget drops
-# 12_288 → 2_048: the added selection stages shrink the post-mixture
-# corpus below the old budget (~3.9k tokens at sf0.01), which would
-# leave the budget stage non-BINDING — hash coverage of a selection
-# that selects everything is vacuous.
+# docs carry duplicated 20-token spans), DSIR selection (keep the
+# exact top-⌈CURATE_DSIR_KEEP·N⌉ against the lang='en' target), and
+# LM-perplexity selection (keep the exact lowest-xent
+# ⌈CURATE_LM_KEEP·N⌉ under the survivor-corpus bigram LM).  Both
+# selections were probed before wiring: every mixture stratum keeps
+# healthy mass through DSIR@0.5 then LM@0.5 at sf0.001-sf1 (min 8 docs
+# per stratum), so the strict mixture validation cannot trip.  The
+# token budget drops 12_288 → 1_024: the added selection stages shrink
+# the post-mixture corpus (probed 1 550 / 2 041 tokens at
+# sf0.001/sf0.01), and a non-BINDING budget is a vacuous hash check —
+# a selection that selects everything pins nothing.
 CURATE_SPAN_N = 20
 CURATE_DSIR_KEEP = 0.5
-CURATE_TOKEN_BUDGET = 2_048
+CURATE_LM_KEEP = 0.5
+CURATE_TOKEN_BUDGET = 1_024
 
 
 def _curate_section_oracle() -> str:
@@ -1327,6 +1331,7 @@ def _curate_section_oracle() -> str:
     n = DECON_SECTION_N
     span = CURATE_SPAN_N
     kf_bp = int(round(CURATE_DSIR_KEEP * 10_000))
+    lm_bp = int(round(CURATE_LM_KEEP * 10_000))
     # The span-cut/DSIR/re-score chain references its upstream CTEs many
     # times; the AS MATERIALIZED hints below are what keep DuckDB 1.0
     # (which inlines CTEs per reference) from re-expanding the whole
@@ -1341,6 +1346,11 @@ def _curate_section_oracle() -> str:
             "SELECT c.doc_id, (d.lang = 'en') AS is_target, c.toks "
             "FROM cspancut c JOIN documents d USING (doc_id)"
         ),
+        materialize=True,
+    )
+    clm = _lm_ctes(
+        source_sql="SELECT doc_id, toks FROM cds",
+        prefix="clm",
         materialize=True,
     )
     return f"""
@@ -1461,15 +1471,31 @@ def _curate_section_oracle() -> str:
             SELECT s.doc_id, s.text, s.toks
             FROM cspancut s JOIN cdsel USING (doc_id)
         ),
+        -- LM-perplexity selection in the same slot as DSIR (round 15):
+        -- train the add-one bigram LM on the post-DSIR cut corpus and
+        -- keep the exact lowest-xent ⌈{CURATE_LM_KEEP}·N⌉ (same rank
+        -- rule, ascending)
+        {clm},
+        clsel AS (
+            SELECT doc_id FROM (
+                SELECT doc_id,
+                       ROW_NUMBER() OVER (ORDER BY lm_xent ASC, doc_id) AS rk,
+                       COUNT(*) OVER () AS n
+                FROM clm_sc
+            ) WHERE rk <= (n * {lm_bp} + 9999) // 10000
+        ),
+        cls AS MATERIALIZED (
+            SELECT s.doc_id, s.text, s.toks FROM cds s JOIN clsel USING (doc_id)
+        ),
         {_mixture_oracle_ctes(
             "SELECT d.lang AS stratum, CAST(length(u.text) AS BIGINT) AS w "
-            "FROM cds u JOIN documents d ON d.doc_id = u.doc_id",
+            "FROM cls u JOIN documents d ON d.doc_id = u.doc_id",
             CURATE_MIXTURE,
             prefix="cmx",
         )},
         cmix AS MATERIALIZED (
             SELECT u.doc_id, u.toks
-            FROM cds u
+            FROM cls u
             JOIN documents d ON d.doc_id = u.doc_id
             LEFT JOIN cmx_rate r ON r.stratum = d.lang
             WHERE {_split_bucket_oracle_sql("u.doc_id", salt=CURATE_MIX_SALT)}
@@ -1535,6 +1561,9 @@ def _curate_section_oracle() -> str:
         UNION ALL
         SELECT CAST(COUNT(*) AS BIGINT), CAST(NULL AS INT), CAST(NULL AS INT),
                'stage:dsir' FROM cds
+        UNION ALL
+        SELECT CAST(COUNT(*) AS BIGINT), CAST(NULL AS INT), CAST(NULL AS INT),
+               'stage:lm' FROM cls
         UNION ALL
         SELECT CAST(COUNT(*) AS BIGINT), CAST(NULL AS INT), CAST(NULL AS INT),
                'stage:mixture' FROM cmix
@@ -1647,7 +1676,9 @@ def q85_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
       decontamination → exact dedup → duplicated-span cutting
       (CURATE_SPAN_N-token spans, keep-first, with in-pass re-scoring
       of the cut text) → DSIR selection (exact top-CURATE_DSIR_KEEP
-      fraction against the lang='en' target) → data-mixture resampling
+      fraction against the lang='en' target) → LM-perplexity selection
+      (exact lowest-xent CURATE_LM_KEEP fraction under the survivor
+      bigram LM) → data-mixture resampling
       (CURATE_MIXTURE by characters of the CUT text, salt
       CURATE_MIX_SALT) → token-budget selection (best post-cut quality
       first to CURATE_TOKEN_BUDGET) → chunk → leakage-safe split →
@@ -1780,6 +1811,7 @@ def q85_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         cut_span_ngram=CURATE_SPAN_N,
         dsir_target=F.col("lang") == "en",
         dsir_keep_frac=CURATE_DSIR_KEEP,
+        lm_keep_frac=CURATE_LM_KEEP,
         mixture=CURATE_MIXTURE,
         mixture_salt=CURATE_MIX_SALT,
         token_budget=CURATE_TOKEN_BUDGET,
@@ -1800,6 +1832,9 @@ def q85_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(
             _crow(fr["dsir"].agg(F.count(F.lit(1)).alias("n")), "stage:dsir")
+        )
+        .unionByName(
+            _crow(fr["lm"].agg(F.count(F.lit(1)).alias("n")), "stage:lm")
         )
         .unionByName(
             _crow(fr["mixture"].agg(F.count(F.lit(1)).alias("n")), "stage:mixture")
