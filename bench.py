@@ -152,6 +152,28 @@ def main() -> None:
             acc += i * i & 1023
         return round(time.perf_counter() - t0, 3)
 
+    # Host load per leg (round 15): the 1-core probe is blind to
+    # MULTI-CORE contention — the r15 ppjoin false-red read 70.6 s with a
+    # calm 0.137 probe while /proc/loadavg sat at 15-20 from co-tenants
+    # (32-thread shuffle legs degrade 2-3× in that state).  Recording the
+    # 1-minute loadavg next to each leg's probe makes that forensics a
+    # field in the artifact instead of a manual session-time check.
+    # NOTE: once OUR OWN Spark legs are running the value includes
+    # self-load — read it relative to the ~leg-parallelism baseline, and
+    # treat high values on the FIRST leg (before any self-load) as the
+    # unambiguous co-tenant signal.
+    def _host_load() -> float:
+        try:
+            with open("/proc/loadavg") as f:
+                return float(f.read().split()[0])
+        except Exception:
+            return -1.0
+
+    # max-merged across a label's repeats: the field is an alarm bell —
+    # a LOW max proves no sample ran contended, a high max says at least
+    # one did (the min-merged TIME may still have come from a calm pass).
+    loads: dict[str, float] = {}
+
     def run_timed(build, label: str | None = None, reps: int = 3) -> float:
         """min of three runs — steady-state, less single-JVM JIT/GC noise.
         All per-leg samples are recorded into the JSON so a ratchet reader
@@ -167,6 +189,8 @@ def main() -> None:
         if label is not None:
             p = _py_probe()
             probes[label] = min(probes.get(label, p), p)
+            load = _host_load()
+            loads[label] = max(loads.get(label, load), load)
         legs: list[float] = []
         for _ in range(reps):
             # Collect py4j plan-object garbage BEFORE each leg (round 15):
@@ -862,6 +886,8 @@ def main() -> None:
             semantics for manually-timed stages)."""
             p = _py_probe()
             probes[label] = min(probes.get(label, p), p)
+            load = _host_load()
+            loads[label] = max(loads.get(label, load), load)
             t0 = time.perf_counter()
             thunk()
             v = round(time.perf_counter() - t0, 3)
@@ -1394,6 +1420,7 @@ def main() -> None:
         "extras": extras,
         "samples": samples,
         "probes": probes,
+        "host_loads": loads,
         "errors": errors,
         "canary": canary,
         "gates": gates,
