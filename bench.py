@@ -48,6 +48,28 @@ CANARY_SPARK_ROWS = 1 << 30
 CANARY_PY_REF_SEC = 1.70
 CANARY_SPARK_REF_SEC = 0.30
 
+# Load-aware headline protocol (round 16, VERDICT r15 item 1): each
+# headline leg is bracketed by a tiny fixed 32-core Spark job (half the
+# canary's rows) — the only signal that actually sees CO-TENANT multi-core
+# contention on this sandbox.  Measured round 16: /proc/loadavg here is
+# NAMESPACE-LOCAL (read 0.4-2.7 while a 32-proc burn got ~half the box and
+# the spark canary ran 6× slow), so the r15 loadavg field can NOT detect
+# neighbors — only self-load.  A leg invocation counts as CALM when both
+# its bracketing probes are fast in BOTH senses:
+#   absolute — ≤ SPARK_PROBE_ABS_CALM_SEC (2× the calm-box reference), or
+#   relative — ≤ SPARK_PROBE_REL_FACTOR × the run's own probe floor
+#              (robust to a uniformly slower host SKU between rounds).
+# Legs with no calm invocation get bounded end-of-run retries; a headline
+# with legs that NEVER saw a calm window is annotated, not silently slow.
+SPARK_PROBE_ROWS = 1 << 29
+# Derived ref: half the 1<<30 canary's 0.30 s calm ref plus ~0.05 s fixed
+# job overhead.  Re-anchor from a calm artifact's probe_floor when one
+# exists (round 16's box never went calm: floor 1.06 s, 5× this ref).
+SPARK_PROBE_REF_SEC = 0.20
+SPARK_PROBE_ABS_CALM_SEC = 0.40
+SPARK_PROBE_REL_FACTOR = 1.6
+HEADLINE_RETRY_ROUNDS = 2
+
 HEADLINE = [
     # relational core
     "q01_pricing_summary",
@@ -172,9 +194,45 @@ def main() -> None:
     # max-merged across a label's repeats: the field is an alarm bell —
     # a LOW max proves no sample ran contended, a high max says at least
     # one did (the min-merged TIME may still have come from a calm pass).
+    # CAVEAT (round 16): this sandbox's /proc/loadavg is namespace-local —
+    # it records OUR self-load only and is blind to co-tenants (measured:
+    # loadavg 0.4-2.7 while a 32-proc burn got ~half the box).  Kept as a
+    # self-load record; co-tenant detection is the spark probe below.
     loads: dict[str, float] = {}
 
-    def run_timed(build, label: str | None = None, reps: int = 3) -> float:
+    # 32-core spark micro-probe — the co-tenant contention detector (see
+    # the SPARK_PROBE_* constants).  All values pool into one list so the
+    # run's floor (its calmest observed window) anchors the relative calm
+    # test; per-leg (before, after) pairs classify each invocation.
+    spark_probe_values: list[float] = []
+    spark_probe_pairs: dict[str, list[tuple[float, float]]] = {}
+
+    def _spark_probe() -> float:
+        t0 = time.perf_counter()
+        spark.range(SPARK_PROBE_ROWS).selectExpr(
+            "bit_xor(xxhash64(id)) AS s"
+        ).collect()
+        v = round(time.perf_counter() - t0, 3)
+        spark_probe_values.append(v)
+        return v
+
+    def _probe_calm_threshold() -> float:
+        floor = min(spark_probe_values) if spark_probe_values else 0.0
+        return max(SPARK_PROBE_ABS_CALM_SEC, SPARK_PROBE_REL_FACTOR * floor)
+
+    def _calm_legs() -> set[str]:
+        """Labels with ≥1 invocation whose bracketing probes BOTH read
+        calm — contention that starts mid-leg trips the after-probe."""
+        thr = _probe_calm_threshold()
+        return {
+            label
+            for label, pairs in spark_probe_pairs.items()
+            if any(max(b, a) <= thr for b, a in pairs)
+        }
+
+    def run_timed(
+        build, label: str | None = None, reps: int = 3, spark_probe: bool = False
+    ) -> float:
         """min of three runs — steady-state, less single-JVM JIT/GC noise.
         All per-leg samples are recorded into the JSON so a ratchet reader
         can tell noise (one bad leg) from regression (all legs slow).
@@ -191,6 +249,7 @@ def main() -> None:
             probes[label] = min(probes.get(label, p), p)
             load = _host_load()
             loads[label] = max(loads.get(label, load), load)
+        probe_before = _spark_probe() if spark_probe and label is not None else None
         legs: list[float] = []
         for _ in range(reps):
             # Collect py4j plan-object garbage BEFORE each leg (round 15):
@@ -206,25 +265,48 @@ def main() -> None:
         # queries that cache intermediates (q72/q73) must not carry memory
         # pressure into the next measurement
         spark.catalog.clearCache()
+        if probe_before is not None:
+            probe_after = _spark_probe()
+            spark_probe_pairs.setdefault(label, []).append(
+                (probe_before, probe_after)
+            )
         if label is not None:
             samples.setdefault(label, []).extend(legs)
         return min(legs)
 
-    def run_entry(label: str, build, sink: dict[str, float], reps: int = 3) -> None:
+    def run_entry(
+        label: str,
+        build,
+        sink: dict[str, float],
+        reps: int = 3,
+        spark_probe: bool = False,
+    ) -> None:
         """Failure-isolated: one broken query records an error entry and
         the rest of the bench still produces numbers.  Re-running a label
         keeps the min across invocations (sf10 min-of-2 protocol)."""
         try:
-            t = run_timed(build, label, reps=reps)
+            t = run_timed(build, label, reps=reps, spark_probe=spark_probe)
             sink[label] = min(sink.get(label, t), t)
         except Exception as e:  # noqa: BLE001 — harness must degrade per-entry
             spark.catalog.clearCache()
             errors[label] = f"{type(e).__name__}: {e}"[:500]
 
+    # JIT-warm the probe's exact codegen shape before any classification
+    # sample lands in the pool (the very first probe carries C2 compilation
+    # — measured 12.0 s vs 1.5 s steady on the same window).
+    for _ in range(2):
+        _spark_probe()
+    spark_probe_values.clear()
+
+    # Builders retained per headline label so the end-of-run load-aware
+    # retry pass can re-invoke any leg (run_entry min-merges).
+    headline_builders: dict = {}
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         q = registry[name]
-        run_entry(name, lambda: q.fn(spark, sf_dir), timings)
+        headline_builders[name] = (lambda q=q: q.fn(spark, sf_dir))
+        run_entry(name, headline_builders[name], timings, spark_probe=True)
 
     # flagship matrix-multiply at generated scale (the reference's own job;
     # 768^3 = 906M scalar products vs its 32^3 default)
@@ -237,7 +319,8 @@ def main() -> None:
     ):
         a = generate_matrix_df(spark, n, n, seed=1, num_partitions=int(cpus))
         b = generate_matrix_df(spark, n, n, seed=2, num_partitions=int(cpus))
-        run_entry(label, lambda: fn(a, b), timings)
+        headline_builders[label] = (lambda fn=fn, a=a, b=b: fn(a, b))
+        run_entry(label, headline_builders[label], timings, spark_probe=True)
 
     # matmul_auto with the Catalyst extension active (extras; VERDICT r6
     # item 8): the injected optimizer rule reads Catalyst's size stats and
@@ -508,7 +591,7 @@ def main() -> None:
 
     run_entry("curate_extended", lambda: _curate_extended(docs), extras)
 
-    total = round(sum(timings.values()), 3)
+    # (headline total is computed AFTER the load-aware retry pass below)
 
     # Skewed-key join legs (VERDICT r2 item 4): one hot key holding 80% of
     # a generated fact table, joined to a 1k-row dim with broadcast joins
@@ -1141,6 +1224,51 @@ def main() -> None:
         if num in extras and den in extras and extras[den]:
             extras[slope] = round(extras[num] / extras[den], 2)
 
+    # ---- Load-aware headline retry (round 16, VERDICT r15 item 1) ----
+    # Headline legs whose every invocation ran under a contended window
+    # (no calm (before, after) probe pair) get bounded non-consecutive
+    # retries here, at run end — r15's driver run was contended at start
+    # (spark canary 0.694) and calm at end (0.243), so the end of the run
+    # is a genuinely different sample.  Each retry round first waits (≤
+    # 3×40 s) for the probe to read calm — retrying INTO a contended
+    # window burns samples without information.  run_entry min-merges, so
+    # retries can only improve the headline.  Worst case added wall: 2
+    # rounds × (~26 legs × (1 rep + 2 probes) + 120 s wait) — bounded.
+    headline_order = list(timings)
+    for _attempt in range(HEADLINE_RETRY_ROUNDS):
+        pending = [
+            l for l in headline_order
+            if l not in _calm_legs() and l not in errors
+        ]
+        if not pending:
+            break
+        for _ in range(3):
+            if _spark_probe() <= _probe_calm_threshold():
+                break
+            time.sleep(40)
+        for l in pending:
+            run_entry(l, headline_builders[l], timings, reps=1, spark_probe=True)
+    total = round(sum(timings.values()), 3)
+
+    # Three-state headline annotation (the done-criterion of VERDICT r15
+    # item 1): "calm" only when every headline leg has a calm-bracketed
+    # sample AND the run's probe floor is within 2× the calm-box ref;
+    # "indeterminate" when some leg never saw a calm window (its min is
+    # an upper bound, not a measurement); "degraded_host" when the whole
+    # run's floor shows the box never reached reference-class multi-core
+    # throughput (per-leg retries cannot fix that — raw values are not
+    # comparable to calm-box rounds; read value_normalized + probe_floor).
+    headline_no_calm = sorted(
+        l for l in headline_order if l not in _calm_legs() and l not in errors
+    )
+    probe_floor = min(spark_probe_values) if spark_probe_values else None
+    if headline_no_calm:
+        headline_load = "indeterminate"
+    elif probe_floor is not None and probe_floor > 2 * SPARK_PROBE_REF_SEC:
+        headline_load = "degraded_host"
+    else:
+        headline_load = "calm"
+
     # Closing canary: drift DURING the run (start vs end) is itself signal —
     # NOTES r8's afternoon throttling would have shown as end/start > 1.2.
     canary_end = run_canary()
@@ -1375,11 +1503,13 @@ def main() -> None:
     # more than it could for q70/q73/sim120.  Primary gate = stage-leg
     # sum, min-of-2 across the interleaved passes.  Calibration: the
     # calm band of the registered leg is 27.6-35.2 (r11 35.2, r14 driver
-    # 27.6) and the stage sum should track it; first-round ceiling starts
-    # WIDE at 80 s per the q73 confirm-then-tighten procedure (under the
-    # r15 contention the ad-hoc stage reads summed ~97 — if the driver's
-    # round-end box is similarly contended this still fails, correctly
-    # flagging an unusable measurement window rather than bad code).
+    # 27.6) and the stage sum should track it.  TIGHTENED 80 → 45 in
+    # round 16 per the stated confirm-then-tighten procedure: the
+    # stage-sum band now has THREE samples — 22.9 (r15 local run 2,
+    # calm), 26.6 (r15 local run 3, calm), 27.3 normalized (r15 driver
+    # artifact, which passed even under its median-10 co-tenant load) —
+    # so 45 s carries ~1.6× headroom over the band's top while a genuine
+    # ~2× stage regression now reads red instead of green.
     # The old registered-leg ceiling survives as a catastrophic backstop
     # at 90 s (~2× the worst observed calm min-of-2, 44.1 in r12).
     ppjoin_stage_keys = [
@@ -1388,7 +1518,7 @@ def main() -> None:
         "sf10_ppjoin_stage3_verify",
     ]
     _stagesum_gate(
-        "sf10_ppjoin_stagesum_max_80s", ppjoin_stage_keys, 80.0, "sf10_ppjoin"
+        "sf10_ppjoin_stagesum_max_45s", ppjoin_stage_keys, 45.0, "sf10_ppjoin"
     )
     if "sf10_ppjoin_pairs" in extras:
         t = extras["sf10_ppjoin_pairs"]
@@ -1421,6 +1551,14 @@ def main() -> None:
         "samples": samples,
         "probes": probes,
         "host_loads": loads,
+        "spark_probe_pairs": {
+            k: [list(p) for p in v] for k, v in spark_probe_pairs.items()
+        },
+        "spark_probe_floor": probe_floor,
+        "spark_probe_ref_sec": SPARK_PROBE_REF_SEC,
+        "spark_probe_calm_threshold": round(_probe_calm_threshold(), 3),
+        "headline_load": headline_load,
+        "headline_no_calm_sample": headline_no_calm,
         "errors": errors,
         "canary": canary,
         "gates": gates,
@@ -1453,6 +1591,12 @@ def main() -> None:
         # always present (VERDICT r12 item 1): [] is the green signal; a
         # non-empty list means open BENCH_DETAIL's "gates" for the basis
         "gates_failed": gates_failed,
+        # round 16: "calm" | "indeterminate" (≥1 headline leg never got a
+        # calm-bracketed sample — count in headline_no_calm_n, legs in
+        # BENCH_DETAIL) | "degraded_host" (the box never reached
+        # reference-class multi-core throughput this run; probe_floor vs
+        # spark_probe_ref_sec in BENCH_DETAIL carries the evidence)
+        "headline_load": headline_load,
         # [] with gates_run=0 means the decade datasets were ABSENT (fresh
         # clone without localdata/ — see NOTES round 13) and NO gate ran:
         # an artifact must show gates_run=9 to claim a green gate set
@@ -1460,6 +1604,8 @@ def main() -> None:
     }
     if gates_indeterminate:
         out["gates_indeterminate"] = gates_indeterminate
+    if headline_no_calm:
+        out["headline_no_calm_n"] = len(headline_no_calm)
     if headline_errors:
         out["errors"] = headline_errors
     line = json.dumps(out)

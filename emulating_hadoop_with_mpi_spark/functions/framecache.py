@@ -113,7 +113,15 @@ class PlanKeyedFrameCache:
                     try:
                         value.persist()
                     except Exception:
-                        return df, {}  # session gone mid-call — degrade lazily
+                        # session gone mid-call — reclaim the dead slot
+                        # before degrading lazily (ADVICE r15: leaving it
+                        # at its recency position let a dead entry outlive
+                        # hot ones, and metadata written to the throwaway
+                        # dict was silently lost on the next hit)
+                        self._frames.pop(i)
+                        self._value.pop(id(frame), None)
+                        self._meta.pop(id(frame), None)
+                        return df, {}
                 # LRU refresh: the just-reused frame moves to the end so
                 # capacity eviction hits the coldest entry, not this one
                 self._frames.append(self._frames.pop(i))

@@ -55,7 +55,14 @@ from emulating_hadoop_with_mpi_spark.functions.framecache import (  # noqa: E402
     PlanKeyedFrameCache as _PlanKeyedFrameCache,
 )
 
-_CURATE_CACHE = _PlanKeyedFrameCache(capacity=6, truncate=True)
+# Capacity sizing (round 16): a full-chain curate_frames call registers
+# up to FIVE truncated anchors (decon twin, pre-selection twin, DSIR
+# scores, LM scores, post-selection twin) — capacity 10 keeps TWO
+# interleaved configurations' anchors live.  A host interleaving 3+
+# configurations while retaining earlier frames dicts must call
+# release_curate_cache() between configurations or accept loud failures
+# on stale audit collects (see curate_frames' docstring — ADVICE r15).
+_CURATE_CACHE = _PlanKeyedFrameCache(capacity=10, truncate=True)
 
 
 def release_curate_cache() -> None:
@@ -173,6 +180,15 @@ def _rank_keep_ids(
         raise ValueError(
             f"{what} must be in (0, 1] at basis-point resolution (got {keep_frac})"
         )
+    # Anchor the scores frame as a lineage-truncated twin BEFORE the
+    # eager traversals (round 16, VERDICT r15 item 3): the N aggregate
+    # below, the prefix machinery's percentile-bounds scan, and the
+    # final rank plan each re-executed the full scoring DAG — for the LM
+    # stage that DAG re-tokenizes the survivor corpus and references the
+    # bigram profile from four subtrees.  With the twin, scoring
+    # materializes exactly once per selection stage and every traversal
+    # reads a (doc_id, score) checkpoint.
+    scores = _CURATE_CACHE.lookup(scores)
     n1 = scores.agg(F.count(F.lit(1)).cast("long").alias("__n"))
     return (
         ranged_running_total(
@@ -224,6 +240,18 @@ def curate_frames(
     aggregate per-stage survivor counts from the SAME frames the final
     table is built from, instead of replaying the stage chain a second
     time (the spans=/postings= injection idiom).
+
+    EVICTION HAZARD (ADVICE r15): the anchors live in a module-level
+    bounded registry whose entries are LINEAGE-TRUNCATED — an anchor
+    evicted by later registrations (a full-chain call registers up to 5;
+    the capacity holds ~2 interleaved configurations) cannot recompute,
+    so a collect against a RETAINED frames dict from an older
+    configuration fails loudly after unrelated later calls.  Hosts
+    interleaving 3+ configurations while holding earlier frames dicts
+    must finish consuming each dict before the next configuration or pin
+    the frames themselves (``df.persist()`` + materialize) — the
+    registry deliberately trades silent recomputation for bounded
+    storage plus loud failure.
 
     Chunk-level curated table: (doc_id, chunk_idx, chunk_id, split,
     n_tokens, bin_id, bin_fill, chunk_text).
@@ -324,6 +352,22 @@ def curate_frames(
         kept = kept.join(flagged, "doc_id", "left_anti")
     frames["decon"] = kept
 
+    # When selection stages will traverse the survivors eagerly, anchor
+    # the quality→decon prefix FIRST and build dedup/span-cut ON TOP of
+    # the checkpointed twin (round 16, ADVICE r15): previously the decon
+    # twin did not substitute into uniq's independently-built lineage, so
+    # the prefix materialized twice per invocation — once for the decon
+    # twin, again inside the pre-selection twin.
+    any_selection = (
+        dsir_target is not None
+        or lm_keep_frac is not None
+        or mixture is not None
+        or token_budget is not None
+    )
+    if any_selection:
+        kept = _CURATE_CACHE.lookup(kept)
+        frames["decon"] = kept
+
     hashed = kept.withColumn("__h", F.xxhash64("text"))
     # group by (hash, text): exact even under 64-bit collisions.  doc_ids
     # are unique, so the semi-join back on (hash, winner doc_id) alone is
@@ -367,20 +411,13 @@ def curate_frames(
 
     # The selection stages below traverse the survivor frame repeatedly
     # (DSIR/LM rank bounds, mixture rate aggregate, budget prefix sum —
-    # each an EAGER action at plan-construction time) — persist the
-    # pre-selection anchor AND the post-decon anchor first, so the
-    # quality/decon/dedup/span prefix executes once instead of once per
-    # eager action plus once per audit branch (measured 59 s → single-
-    # digit at sf0.1 for the mixture/budget pair in r14; the span/DSIR
-    # stages joined the same discipline in r15).
-    any_selection = (
-        dsir_target is not None
-        or lm_keep_frac is not None
-        or mixture is not None
-        or token_budget is not None
-    )
+    # each an EAGER action at plan-construction time) — anchor the
+    # pre-selection survivor frame too (the decon anchor above already
+    # owns the quality/decon prefix), so the dedup/span stages execute
+    # once instead of once per eager action plus once per audit branch
+    # (measured 59 s → single-digit at sf0.1 for the mixture/budget pair
+    # in r14; the span/DSIR stages joined the same discipline in r15).
     if any_selection:
-        frames["decon"] = _CURATE_CACHE.lookup(frames["decon"])
         uniq = _CURATE_CACHE.lookup(uniq)
         if cut_span_ngram is not None:
             frames["span_cut"] = uniq
