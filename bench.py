@@ -545,7 +545,10 @@ def main() -> None:
     # bounds, anchor persists), which is exactly the job-count overhead
     # class that bit r13; the sf1 twin below gives this cost its first
     # measured decade point.
-    from emulating_hadoop_with_mpi_spark.functions.pipeline import curate_frames
+    from emulating_hadoop_with_mpi_spark.functions.pipeline import (
+        PII_PATTERNS_RE2,
+        curate_frames,
+    )
     from emulating_hadoop_with_mpi_spark.functions.text import (
         CHUNK_STRIDE,
         CHUNK_WINDOW,
@@ -587,6 +590,12 @@ def main() -> None:
             mixture=CURATE_MIXTURE,
             mixture_salt=CURATE_MIX_SALT,
             token_budget=CURATE_TOKEN_BUDGET,
+            # round 16: the shipped composition ends with RE2 redaction
+            # (q85 carries it under the driver hash); the timed extended
+            # leg runs the same chain — on the PII-free sf corpus the
+            # rewrite is a no-op, but the regex projection cost is real
+            redact=True,
+            redact_patterns=PII_PATTERNS_RE2,
         )["curated"]
 
     run_entry("curate_extended", lambda: _curate_extended(docs), extras)

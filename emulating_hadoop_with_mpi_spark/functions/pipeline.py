@@ -216,6 +216,7 @@ def curate_frames(
     decon_ngram: int = DECON_NGRAM,
     cut_span_ngram: int | None = None,
     redact: bool = False,
+    redact_patterns: list[tuple[str, str]] | None = None,
     dsir_target=None,
     dsir_keep_frac: float = 0.5,
     lm_keep_frac: float | None = None,
@@ -536,7 +537,10 @@ def curate_frames(
     # PII redaction LAST among the text-rewriting stages (order rationale
     # in the docstring): a map-only projection over the deduped corpus
     if redact:
-        uniq = redact_pii(uniq)
+        # redact_patterns restricts the chain (q85's composition passes
+        # PII_PATTERNS_RE2 so the driver's DuckDB oracle can replay the
+        # rewrite; the IPv4/phone patterns need lookarounds RE2 lacks)
+        uniq = redact_pii(uniq, patterns=redact_patterns)
         frames["redact"] = uniq
 
     chunks = chunk_documents(uniq, window=window, stride=stride).withColumn(

@@ -1325,6 +1325,69 @@ CURATE_DSIR_KEEP = 0.5
 CURATE_LM_KEEP = 0.5
 CURATE_TOKEN_BUDGET = 1_024
 
+# Round 16 (VERDICT r15 item 4): the composition now ENDS with PII
+# redaction (the RE2-expressible chain, so the oracle replays it), and
+# the q80 canary idea scales up to the whole pipeline: the synthetic
+# corpus carries no PII, so without planted input rows a redact stage
+# in the composition would rewrite nothing and hash vacuously.  These
+# three literal documents are UNIONED INTO THE INPUT (not the result —
+# unlike q80's output-side canary they must SURVIVE every selection
+# stage so the redact stage has PII to rewrite).  Their construction is
+# pinned by tests/test_curation_pipeline.py and was probed at sf0.001
+# AND sf0.01 before wiring (the r15 protocol):
+# - doc_ids are negative (no corpus collision), not ≡ 0 mod
+#   DECON_SECTION_MOD (identical benchmark-set membership under Spark's
+#   pmod and the oracle's C-style %), with md5 mixture buckets 57/352/
+#   429 — far under the ~1900-2100 bp 'en' keep rates at both SFs;
+# - quality 0.73-0.76 beats the corpus-wide post-cut max (~0.668), so
+#   the token-budget stage (quality DESC, doc_id) admits them first and
+#   the budget still BINDS (planted ~100 tokens ≪ 1024 ≪ survivor mass);
+# - each doc is a run of ONE non-corpus stopword broken by doc-unique
+#   corpus separators: the repeated bigrams are self-trained into the
+#   corpus LM/DSIR profiles (the planted docs are part of the training
+#   corpus), pushing lm_xent far below and dsir far above their keep
+#   medians at every SF — and no 20-token window repeats corpus-wide,
+#   so span cutting leaves the texts intact;
+# - the PII cluster sits at the tail: one email, one card, one SSN per
+#   doc; the two GROUPED cards collapse 4 tokens → 1 <CARD> tag under
+#   redaction, so the rewrite provably moves the chunk/bin token sums
+#   (disabling redact flips the hash), and stage:redact pins the
+#   rewrite counts directly.
+PLANTED_PII_DOCS: list[tuple[int, str, str]] = [
+    (
+        -143,
+        "nicht nicht nicht nicht nicht scan nicht nicht nicht nicht "
+        "nicht merge nicht nicht nicht nicht nicht sort nicht nicht "
+        "nicht nicht nicht the nicht nicht mail jane.doe@example.com "
+        "card 4111 1111 1111 1111 ssn 123-45-6789",
+        "en",
+    ),
+    (
+        -71,
+        "pour pour pour pour pour join pour pour pour pour pour order "
+        "pour pour pour pour pour filter pour pour pour pour pour the "
+        "pour pour mail sam.lee@mail.net card 5500 0000 0000 0004 "
+        "ssn 321-54-9876",
+        "en",
+    ),
+    (
+        -42,
+        "dans dans dans dans dans hash dans dans dans dans dans group "
+        "dans dans dans dans dans table dans dans dans dans dans the "
+        "dans dans mail ana.ruiz@example.org card 340000000000009 "
+        "ssn 456-78-9012",
+        "en",
+    ),
+]
+
+
+def _planted_pii_values_sql() -> str:
+    """VALUES relation of PLANTED_PII_DOCS for the curate oracle (texts
+    are quote-free by construction)."""
+    assert all("'" not in t for _, t, _ in PLANTED_PII_DOCS)
+    rows = ", ".join(f"({i}, '{t}', '{l}')" for i, t, l in PLANTED_PII_DOCS)
+    return f"SELECT * FROM (VALUES {rows}) AS planted(doc_id, text, lang)"
+
 
 def _curate_section_oracle() -> str:
     win, stride, budget = CHUNK_WINDOW, CHUNK_STRIDE, PACK_BUDGET
@@ -1344,7 +1407,7 @@ def _curate_section_oracle() -> str:
         prefix="cdsir",
         source_sql=(
             "SELECT c.doc_id, (d.lang = 'en') AS is_target, c.toks "
-            "FROM cspancut c JOIN documents d USING (doc_id)"
+            "FROM cspancut c JOIN cdocs d USING (doc_id)"
         ),
         materialize=True,
     )
@@ -1353,9 +1416,20 @@ def _curate_section_oracle() -> str:
         prefix="clm",
         materialize=True,
     )
+    # the input is the documents table AUGMENTED with the planted
+    # PII-bearing docs (PLANTED_PII_DOCS above) — the whole qfeat/decon/
+    # dedup/selection chain runs over cdocs so the planted docs flow to
+    # the redact stage in both engines identically
+    cqfeat = _qfeat_ctes_from(
+        f"SELECT doc_id, text, {_SQL_TOKENS} AS toks FROM cdocs"
+    )
     return f"""
     SELECT 'curate' AS method, doc_id, chunk_idx, n_tokens, chunk_text FROM (
-        WITH {_QFEAT_CTES},
+        WITH cdocs AS (
+            SELECT doc_id, text, lang FROM documents
+            UNION ALL {_planted_pii_values_sql()}
+        ),
+        {cqfeat},
         ckept AS MATERIALIZED (
             SELECT t.doc_id, t.text, t.toks
             FROM tok t JOIN qfeat q ON q.doc_id = t.doc_id
@@ -1489,21 +1563,21 @@ def _curate_section_oracle() -> str:
         ),
         {_mixture_oracle_ctes(
             "SELECT d.lang AS stratum, CAST(length(u.text) AS BIGINT) AS w "
-            "FROM cls u JOIN documents d ON d.doc_id = u.doc_id",
+            "FROM cls u JOIN cdocs d ON d.doc_id = u.doc_id",
             CURATE_MIXTURE,
             prefix="cmx",
         )},
         cmix AS MATERIALIZED (
-            SELECT u.doc_id, u.toks
+            SELECT u.doc_id, u.text, u.toks
             FROM cls u
-            JOIN documents d ON d.doc_id = u.doc_id
+            JOIN cdocs d ON d.doc_id = u.doc_id
             LEFT JOIN cmx_rate r ON r.stratum = d.lang
             WHERE {_split_bucket_oracle_sql("u.doc_id", salt=CURATE_MIX_SALT)}
                   < COALESCE(r.rate_bp, 0)
         ),
         cbud AS MATERIALIZED (
-            SELECT doc_id, toks FROM (
-                SELECT u.doc_id, u.toks,
+            SELECT doc_id, text, toks FROM (
+                SELECT u.doc_id, u.text, u.toks,
                        CAST(SUM(q.n_tokens) OVER (ORDER BY q.quality DESC, u.doc_id
                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                         AS BIGINT) AS cum
@@ -1511,11 +1585,27 @@ def _curate_section_oracle() -> str:
                 WHERE q.n_tokens > 0
             ) WHERE cum <= {CURATE_TOKEN_BUDGET}
         ),
+        -- PII redaction over the shipped survivors (the RE2-expressible
+        -- chain, sequential masking order pinned == redact_pii's), then
+        -- re-tokenize: chunking consumes the REDACTED text, so a grouped
+        -- card collapsing 4 tokens -> 1 <CARD> tag moves every chunk/bin
+        -- aggregate below
+        credact AS MATERIALIZED (
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                       '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                       '{PII_CARD_RE}', '<CARD>', 'g'),
+                       '{PII_SSN_RE}', '<SSN>', 'g') AS text
+            FROM cbud
+        ),
+        crtok AS (
+            SELECT doc_id, {_SQL_TOKENS} AS toks FROM credact
+        ),
         cnch AS (
             SELECT doc_id, toks,
                    1 + GREATEST(CAST(CEIL((len(toks) - {win}) / {stride}.0) AS INT), 0)
                        AS n_chunks
-            FROM cbud WHERE len(toks) > 0
+            FROM crtok WHERE len(toks) > 0
         ),
         cchunks AS (
             SELECT doc_id,
@@ -1570,6 +1660,15 @@ def _curate_section_oracle() -> str:
         UNION ALL
         SELECT CAST(COUNT(*) AS BIGINT), CAST(NULL AS INT), CAST(NULL AS INT),
                'stage:budget' FROM cbud
+        UNION ALL
+        -- redaction audit: docs rewritten + total token delta (the two
+        -- grouped cards collapse 4 tokens -> 1); non-vacuous because the
+        -- planted docs reach this stage by construction
+        SELECT CAST(COUNT(*) FILTER (WHERE r.text <> b.text) AS BIGINT),
+               CAST(NULL AS INT),
+               CAST(SUM(len(b.toks) - len(t.toks)) AS INT),
+               'stage:redact'
+        FROM cbud b JOIN credact r USING (doc_id) JOIN crtok t USING (doc_id)
         UNION ALL
         SELECT CAST(SUM(DISTINCT doc_id) AS BIGINT), CAST(COUNT(*) AS INT),
                CAST(SUM(n_tokens) AS INT), 'split:' || split
@@ -1798,10 +1897,23 @@ def q85_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mixture/token-budget stages (see the CURATE_* constants above),
     # and curate_frames registers the decon/dedup anchors in its bounded
     # plan-keyed cache itself.
-    from emulating_hadoop_with_mpi_spark.functions.pipeline import curate_frames
+    from emulating_hadoop_with_mpi_spark.functions.pipeline import (
+        PII_PATTERNS_RE2,
+        curate_frames,
+    )
+
+    # Round 16: the composition input is AUGMENTED with the planted
+    # PII-bearing docs (PLANTED_PII_DOCS — rationale at the constant) and
+    # the chain now ends with the RE2-expressible redaction, so the
+    # redact stage is inside the driver hash non-vacuously.  The oracle
+    # unions the identical rows (cdocs).
+    planted = spark.createDataFrame(
+        PLANTED_PII_DOCS, schema="doc_id long, text string, lang string"
+    )
+    docs_cur = docs.select("doc_id", "text", "lang").unionByName(planted)
 
     fr = curate_frames(
-        docs,
+        docs_cur,
         min_quality=CURATE_MIN_QUALITY,
         window=CHUNK_WINDOW,
         stride=CHUNK_STRIDE,
@@ -1815,6 +1927,8 @@ def q85_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         mixture=CURATE_MIXTURE,
         mixture_salt=CURATE_MIX_SALT,
         token_budget=CURATE_TOKEN_BUDGET,
+        redact=True,
+        redact_patterns=PII_PATTERNS_RE2,
     )
     stage_rows = (
         _crow(fr["quality"].agg(F.count(F.lit(1)).alias("n")), "stage:quality")
@@ -1841,6 +1955,26 @@ def q85_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(
             _crow(fr["budget"].agg(F.count(F.lit(1)).alias("n")), "stage:budget")
+        )
+        .unionByName(
+            # redaction audit (round 16): docs rewritten + total token
+            # delta across the shipped survivors — one tiny join of two
+            # anchored frames (budget survivors ≈ 25 docs)
+            fr["budget"].select("doc_id", F.col("text").alias("__pre"))
+            .join(fr["redact"].select("doc_id", "text"), "doc_id")
+            .agg(
+                F.sum((F.col("text") != F.col("__pre")).cast("long")).alias("n"),
+                F.sum(
+                    F.size(tokens_col("__pre")) - F.size(tokens_col("text"))
+                ).alias("d"),
+            )
+            .select(
+                F.lit("curate").alias("method"),
+                F.col("n").cast("long").alias("doc_id"),
+                F.lit(None).cast("int").alias("chunk_idx"),
+                F.col("d").cast("int").alias("n_tokens"),
+                F.lit("stage:redact").alias("chunk_text"),
+            )
         )
     )
     curated = fr["curated"]

@@ -503,3 +503,101 @@ def test_curate_corpus_token_budget_stage(spark, sf_dir):
     }
     assert sel_ids == expect
     assert 0 < len(sel_ids) < len(base_ids)
+
+
+def test_planted_pii_docs_reach_redact_and_bind_the_hash(spark, sf_dir):
+    """Round 16 (VERDICT r15 item 4) non-vacuity pins for the redact
+    stage inside q85's composition hash:
+
+    1. the planted PII docs (functions/text.PLANTED_PII_DOCS) survive
+       the FULL selection chain — quality, decon, dedup, span cut, DSIR,
+       LM, mixture, budget — so the redact stage has PII to rewrite
+       (silent drift must fail loudly here, not hash-mismatch at the
+       driver);
+    2. the q85 'curate' section's stage:redact audit row records exactly
+       3 rewritten docs and a 6-token collapse (two grouped cards x 3
+       tokens each; the bare amex keeps its token count);
+    3. disabling redact changes the CURATED table's numbers — the
+       composition hash provably covers the rewrite, not just the audit
+       row.
+    """
+    from emulating_hadoop_with_mpi_spark.functions.pipeline import (
+        PII_PATTERNS_RE2,
+        curate_frames,
+        release_curate_cache,
+    )
+    from emulating_hadoop_with_mpi_spark.functions.text import (
+        CHUNK_STRIDE,
+        CHUNK_WINDOW,
+        CURATE_DSIR_KEEP,
+        CURATE_LM_KEEP,
+        CURATE_MIN_QUALITY,
+        CURATE_MIX_SALT,
+        CURATE_MIXTURE,
+        CURATE_SPAN_N,
+        CURATE_TOKEN_BUDGET,
+        DECON_SECTION_MOD,
+        DECON_SECTION_N,
+        DECON_SECTION_PROMPT,
+        PACK_BUDGET,
+        PLANTED_PII_DOCS,
+        tokens_col,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = spark.createDataFrame(
+        PLANTED_PII_DOCS, schema="doc_id long, text string, lang string"
+    )
+    docs_cur = docs.select("doc_id", "text", "lang").unionByName(planted)
+    bench = docs.filter(
+        F.pmod(F.col("doc_id"), F.lit(DECON_SECTION_MOD)) == 0
+    ).select(
+        F.concat_ws(" ", F.slice(tokens_col(), 1, DECON_SECTION_PROMPT)).alias(
+            "text"
+        )
+    )
+    config = dict(
+        min_quality=CURATE_MIN_QUALITY,
+        window=CHUNK_WINDOW,
+        stride=CHUNK_STRIDE,
+        budget=PACK_BUDGET,
+        benchmark=bench,
+        decon_ngram=DECON_SECTION_N,
+        cut_span_ngram=CURATE_SPAN_N,
+        dsir_target=F.col("lang") == "en",
+        dsir_keep_frac=CURATE_DSIR_KEEP,
+        lm_keep_frac=CURATE_LM_KEEP,
+        mixture=CURATE_MIXTURE,
+        mixture_salt=CURATE_MIX_SALT,
+        token_budget=CURATE_TOKEN_BUDGET,
+    )
+    planted_ids = {i for i, _, _ in PLANTED_PII_DOCS}
+
+    release_curate_cache()
+    fr = curate_frames(
+        docs_cur, redact=True, redact_patterns=PII_PATTERNS_RE2, **config
+    )
+    # (1) full-chain survival into the budget stage (redact's input)
+    survivors = {
+        r.doc_id for r in fr["budget"].select("doc_id").collect() if r.doc_id < 0
+    }
+    assert survivors == planted_ids
+    # (2) exactly the planted docs are rewritten; two grouped cards
+    # collapse 4 tokens -> 1 each
+    pre = fr["budget"].select("doc_id", F.col("text").alias("__pre"))
+    red = pre.join(fr["redact"].select("doc_id", "text"), "doc_id")
+    changed = red.filter(F.col("text") != F.col("__pre"))
+    assert {r.doc_id for r in changed.select("doc_id").collect()} == planted_ids
+    delta = red.agg(
+        F.sum(F.size(tokens_col("__pre")) - F.size(tokens_col("text")))
+    ).collect()[0][0]
+    assert delta == 6
+    with_redact_tokens = fr["curated"].agg(F.sum("n_tokens")).collect()[0][0]
+    release_curate_cache()
+
+    # (3) the rewrite moves the hashed aggregates: without redact the
+    # curated token total differs by exactly the 6 collapsed tokens
+    fr2 = curate_frames(docs_cur, redact=False, **config)
+    without_redact_tokens = fr2["curated"].agg(F.sum("n_tokens")).collect()[0][0]
+    release_curate_cache()
+    assert without_redact_tokens - with_redact_tokens == 6
