@@ -124,15 +124,15 @@ def matmul_block(a: DataFrame, b: DataFrame, block: int = 128) -> DataFrame:
     The COO join (matmul_coo) materializes L·M·N joined rows; fine up to
     mid-size matrices, quadratic death beyond.  Blocking shuffles each
     input ONCE into B×B tiles, joins tiles on the shared block dimension,
-    and multiplies each tile pair with vectorized NumPy (`@`) inside
-    applyInPandas — per-pair cost is a dense GEMM, and shuffle volume is
+    and multiplies each tile pair with vectorized NumPy (`@`) inside an
+    Arrow-batch UDF (mapInArrow — zero-copy list access, see gemm) —
+    per-pair cost is a dense GEMM, and shuffle volume is
     O(|A|·N/B + |B|·L/B) instead of O(L·M·N).
 
     The reference ships every cell to every rank as 512-byte strings
     (``program.c:277-288``); here a cell crosses the wire at most
     ⌈N/B⌉ (resp. ⌈L/B⌉) times, packed in Arrow batches.
     """
-    import pandas as _pd  # noqa: F401 (worker-side)
 
     def tiles(df: DataFrame, row_block: str, col_block: str) -> DataFrame:
         return df.select(
@@ -158,18 +158,57 @@ def matmul_block(a: DataFrame, b: DataFrame, block: int = 128) -> DataFrame:
     blk = block
 
     def gemm(batches):
+        # Arrow-native (round 16): mapInArrow, NOT mapInPandas.  The
+        # pandas path materialized every list column as a numpy OBJECT
+        # array of Python lists, so each tile pair paid per-element
+        # list→ndarray conversion — measured 94% of the 768³ leg (7.5 s
+        # of 8.0 at block=128: 216 pairs × 6 lists × 16k elements).
+        # Arrow list arrays expose their int values buffer zero-copy:
+        # per-row slices below are O(1) views, and the batch math is
+        # unchanged (the r15 matmul_block variance chase ended here —
+        # not session state, not contention: conversion overhead that
+        # scaled with pair count).
         import numpy as np
-        import pandas as pd
+        import pyarrow as pa
 
-        for pdf in batches:
-            outs = []
-            for r in pdf.itertuples(index=False):
-                ai = np.asarray(r.ai) % blk
-                aj = np.asarray(r.aj) % blk
-                bi = np.asarray(r.bi_) % blk
-                bj = np.asarray(r.bj_) % blk
-                av = np.asarray(r.av, dtype=np.int64)
-                bv = np.asarray(r.bv, dtype=np.int64)
+        out_schema = pa.schema(
+            [("i", pa.int64()), ("k", pa.int64()), ("v", pa.int64())]
+        )
+
+        def _list_views(arr):
+            """(offsets, values) numpy views of a list<int*> Array —
+            offsets are absolute into the child values array, so sliced
+            batches index correctly."""
+            return arr.offsets.to_numpy(), arr.values.to_numpy(
+                zero_copy_only=False
+            )
+
+        for rb in batches:
+            if not rb.num_rows:
+                yield pa.RecordBatch.from_pylist([], schema=out_schema)
+                continue
+            idx = {n: i for i, n in enumerate(rb.schema.names)}
+            tile_bi = rb.column(idx["bi"]).to_numpy(zero_copy_only=False)
+            tile_bj = rb.column(idx["bj"]).to_numpy(zero_copy_only=False)
+            views = {
+                n: _list_views(rb.column(idx[n]))
+                for n in ("ai", "aj", "av", "bi_", "bj_", "bv")
+            }
+
+            def _sl(name, r):
+                off, vals = views[name]
+                return vals[off[r] : off[r + 1]]
+
+            outs_i: list = []
+            outs_k: list = []
+            outs_v: list = []
+            for r in range(rb.num_rows):
+                ai = _sl("ai", r) % blk
+                aj = _sl("aj", r) % blk
+                bi = _sl("bi_", r) % blk
+                bj = _sl("bj_", r) % blk
+                av = _sl("av", r).astype(np.int64)
+                bv = _sl("bv", r).astype(np.int64)
                 # EXACTNESS-GATED BLAS dispatch (round 11): float64
                 # `A @ B` runs dgemm — vectorized, measured ~an order
                 # of magnitude faster than NumPy's single-threaded
@@ -227,20 +266,22 @@ def matmul_block(a: DataFrame, b: DataFrame, block: int = 128) -> DataFrame:
                     ii, kk = np.nonzero(C)
                     vv = C[ii, kk]
                 if ii.size:
-                    outs.append(
-                        pd.DataFrame(
-                            {
-                                "i": ii + r.bi * blk,
-                                "k": kk + r.bj * blk,
-                                "v": vv,
-                            }
-                        )
-                    )
-            yield pd.concat(outs) if outs else pd.DataFrame({"i": [], "k": [], "v": []}).astype(
-                {"i": "int64", "k": "int64", "v": "int64"}
-            )
+                    outs_i.append(ii.astype(np.int64) + int(tile_bi[r]) * blk)
+                    outs_k.append(kk.astype(np.int64) + int(tile_bj[r]) * blk)
+                    outs_v.append(vv)
+            if outs_i:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.concatenate(outs_i)),
+                        pa.array(np.concatenate(outs_k)),
+                        pa.array(np.concatenate(outs_v)),
+                    ],
+                    schema=out_schema,
+                )
+            else:
+                yield pa.RecordBatch.from_pylist([], schema=out_schema)
 
-    partials = paired.mapInPandas(gemm, schema="i long, k long, v long")
+    partials = paired.mapInArrow(gemm, schema="i long, k long, v long")
     return (
         partials.groupBy("i", "k")
         .agg(F.sum("v").alias("v"))

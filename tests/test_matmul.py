@@ -87,7 +87,9 @@ def test_matmul_auto_strategy_dispatch(spark):
     c2 = matmul_auto(
         da, db, dims=(12, 10, 8), broadcast_threshold_cells=1, block_threshold_products=1, block=4
     )
-    assert "mapInPandas" in executed_plan(c2).lower() or "MapInPandas" in executed_plan(c2)
+    # the block path's physical marker is the Arrow-batch UDF (round 16:
+    # mapInArrow replaced mapInPandas — zero-copy list access)
+    assert "mapinarrow" in executed_plan(c2).lower()
     np.testing.assert_array_equal(_dense(c2, 12, 8), expect)
 
     # middle ground (no dims hint → derives sizes with one action per side)
@@ -102,7 +104,7 @@ def test_matmul_auto_strategy_dispatch(spark):
         da, db, dims=(12, 10, 8), broadcast_threshold_cells=10**9,
         block_threshold_products=1, block=4,
     )
-    assert "MapInPandas" in executed_plan(c4)
+    assert "MapInArrow" in executed_plan(c4)
     np.testing.assert_array_equal(_dense(c4, 12, 8), expect)
 
 
@@ -179,7 +181,7 @@ def test_matmul_auto_sparse_skips_block(spark):
     # dims=None → sizes derived by counting; est = nnz²/m ≈ 0.04 ≪ 1e9
     c = matmul_auto(diag, diag)
     plan = executed_plan(c)
-    assert "MapInPandas" not in plan, plan
+    assert "MapInPandas" not in plan and "MapInArrow" not in plan, plan
     # and the product is still right: (2·diag)² = 4·diag on the sampled grid
     rows = {(r.i, r.k): r.v for r in c.collect()}
     assert rows[(0, 0)] == 4 and rows[(50, 50)] == 4 and len(rows) == n // 50 + 1
