@@ -66,7 +66,14 @@ SPARK_PROBE_ROWS = 1 << 29
 # job overhead.  Re-anchor from a calm artifact's probe_floor when one
 # exists (round 16's box never went calm: floor 1.06 s, 5× this ref).
 SPARK_PROBE_REF_SEC = 0.20
-SPARK_PROBE_ABS_CALM_SEC = 0.40
+# 1.5× ref (round-16 run 2 calibration): at the old 2× (0.40) legs whose
+# brackets read 0.33-0.37 still ran 2-3× slow (q84 3.62 at [0.374,
+# 0.33]; q05 2.66 at [0.306, 0.233]) — the probe is a short burst and
+# under-reads sustained contention, so its calm bar must sit closer to
+# the 0.13-0.23 calm band.  A mid-leg stripe that both brackets straddle
+# remains invisible by construction — min-of-reps and the stage-sum
+# gates are the layers that absorb that case.
+SPARK_PROBE_ABS_CALM_SEC = 0.30
 SPARK_PROBE_REL_FACTOR = 1.6
 HEADLINE_RETRY_ROUNDS = 2
 
