@@ -224,6 +224,7 @@ def curate_frames(
     mixture_col: str = "lang",
     mixture_salt: str = "mix",
     token_budget: int | None = None,
+    scored: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """The curation composition with every stage's survivor frame exposed
     (lazy, except the SELECTION stages' plan-construction actions: the
@@ -340,8 +341,17 @@ def curate_frames(
     # full document text anyway.
     # quality_gate_scores = the (n_tokens, quality) subset of
     # quality_scores — bit-identical values, a fraction of the
-    # expression-tree construction cost (round 15)
-    scored = quality_gate_scores(docs).select("doc_id", "n_tokens", "quality")
+    # expression-tree construction cost (round 15).  ``scored=`` is the
+    # spans=/postings= injection idiom (round 16): a host that already
+    # holds a persisted (doc_id, n_tokens, quality) frame for ``docs``
+    # passes it so the top-of-pipeline feature pass is shared instead of
+    # rebuilt (q85 does — its budget section's cached corpus frame plus
+    # a 3-row literal for the planted docs).  CONTRACT: the frame must
+    # be exactly quality_gate_scores(docs)'s rows for every doc in
+    # ``docs`` — the gate join is inner, so missing doc_ids silently
+    # drop documents.
+    if scored is None:
+        scored = quality_gate_scores(docs).select("doc_id", "n_tokens", "quality")
     kept = docs.join(scored, "doc_id").filter(F.col("quality") >= min_quality)
     frames["quality"] = kept
 

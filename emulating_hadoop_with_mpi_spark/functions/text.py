@@ -1912,6 +1912,16 @@ def q85_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs_cur = docs.select("doc_id", "text", "lang").unionByName(planted)
 
+    # ONE corpus feature pass for the whole query (round 16 restoration
+    # of the r14 sharing): the input union broke the plan-equality
+    # substitution of the budget section's persisted quality frame into
+    # curate_frames' internal scoring, so inject the augmented scored
+    # frame instead — the cached corpus frame (qs_base above) plus a
+    # 3-row literal pass over the planted docs.
+    scored_cur = qs_base.unionByName(
+        quality_gate_scores(planted).select("doc_id", "n_tokens", "quality")
+    )
+
     fr = curate_frames(
         docs_cur,
         min_quality=CURATE_MIN_QUALITY,
@@ -1929,6 +1939,7 @@ def q85_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_budget=CURATE_TOKEN_BUDGET,
         redact=True,
         redact_patterns=PII_PATTERNS_RE2,
+        scored=scored_cur,
     )
     stage_rows = (
         _crow(fr["quality"].agg(F.count(F.lit(1)).alias("n")), "stage:quality")
