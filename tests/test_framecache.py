@@ -167,3 +167,48 @@ def test_ranged_running_total_warm_hit_skips_bounds_aggregate(spark):
         r.cum for r in cold.collect()
     )
     _RANGED_CACHE.release_all()
+
+
+def test_revive_failure_reclaims_slot(spark, monkeypatch):
+    """The dead-session revive path (framecache.py lookup_entry): when a
+    hit's re-persist RAISES (session torn down mid-call), the entry must
+    be reclaimed — pop the slot, drop its value/meta — and the caller
+    degrades lazily with its own frame + throwaway dict.  ADVICE r15:
+    before the fix, the dead entry kept its recency position (outliving
+    hot ones under capacity pressure) and metadata written to the
+    throwaway dict was silently lost on every subsequent hit.  Pinned by
+    simulating the failure: persist raises only during the revive, then
+    a later insert of the same plan must land in the freed slot."""
+    cache = PlanKeyedFrameCache(capacity=2)
+    a = cache.lookup(_frame(spark, "rf"))
+    a.count()
+    spark.catalog.clearCache()  # entry's backing cache is now dead
+    assert len(cache) == 1
+
+    state = {"boom": True}
+    # patch the CONCRETE class (pyspark.sql.classic.dataframe.DataFrame
+    # in Spark 4 — it overrides persist, so patching the pyspark.sql
+    # facade base never intercepts the call)
+    cls = type(a)
+    orig_persist = cls.persist
+
+    def maybe_boom(self, *args, **kwargs):
+        if state["boom"]:
+            raise RuntimeError("simulated dead session")
+        return orig_persist(self, *args, **kwargs)
+
+    monkeypatch.setattr(cls, "persist", maybe_boom)
+
+    probe = _frame(spark, "rf")
+    got, meta = cache.lookup_entry(probe)
+    assert got is probe  # degraded lazily: caller's own frame back
+    assert meta == {}  # throwaway dict, not the dead entry's metadata
+    assert len(cache) == 0  # the slot was reclaimed, not left dead
+
+    state["boom"] = False  # session "recovers"
+    b = cache.lookup(_frame(spark, "rf"))
+    b.count()
+    assert len(cache) == 1  # subsequent insert lands in the freed slot
+    lvl = b.storageLevel
+    assert lvl.useMemory or lvl.useDisk  # and is genuinely persisted
+    cache.release_all()
