@@ -62,15 +62,29 @@ CANARY_SPARK_REF_SEC = 0.30
 # Legs with no calm invocation get bounded end-of-run retries; a headline
 # with legs that NEVER saw a calm window is annotated, not silently slow.
 SPARK_PROBE_ROWS = 1 << 29
-# Derived ref: half the 1<<30 canary's 0.30 s calm ref plus ~0.05 s fixed
-# job overhead.  Re-anchor from a calm artifact's probe_floor when one
-# exists (round 16's box never went calm: floor 1.06 s, 5× this ref).
-SPARK_PROBE_REF_SEC = 0.20
-# 1.5× ref (round-16 run 2 calibration): at the old 2× (0.40) legs whose
-# brackets read 0.33-0.37 still ran 2-3× slow (q84 3.62 at [0.374,
-# 0.33]; q05 2.66 at [0.306, 0.233]) — the probe is a short burst and
-# under-reads sustained contention, so its calm bar must sit closer to
-# the 0.13-0.23 calm band.  A mid-leg stripe that both brackets straddle
+# Re-anchored from the SHIPPED calm artifact (round 17, VERDICT r16 item
+# 2): the official r16 driver run — headline_load "calm", 11/11 gates —
+# recorded spark_probe_floor 0.127 with a 70-probe distribution of
+# median 0.17 / p75 0.20 / max 0.35.  The ref is the artifact floor
+# (rounded): the box's demonstrated reference-class multi-core
+# throughput measured by THIS code path.  Its only classification role
+# is the degraded_host bar (probe_floor > 2× ref = 0.26 s — a run whose
+# calmest window is 2× the demonstrated floor never reached
+# reference-class throughput); the per-leg calm bar is the independent
+# absolute constant below.  (The original 0.20 was derived from the
+# 1<<30 canary ref before any calm artifact existed; a stale r16-era
+# comment here claimed the box "never went calm: floor 1.06" — that was
+# a mid-round contended LOCAL run, superseded by the calm official
+# artifact the same round.)
+SPARK_PROBE_REF_SEC = 0.13
+# Calm bar, round-16 run 2 calibration — UNCHANGED by the r17 ref
+# re-anchor (it is an absolute bar against the measured 0.13-0.23 calm
+# band, ~1.5-1.75× the calm-day median 0.17, and 96% of the calm r16
+# artifact's probes sit under it): at the old 2×-ref bar (0.40) legs
+# whose brackets read 0.33-0.37 still ran 2-3× slow (q84 3.62 at
+# [0.374, 0.33]; q05 2.66 at [0.306, 0.233]) — the probe is a short
+# burst and under-reads sustained contention, so its calm bar must sit
+# close to the calm band.  A mid-leg stripe that both brackets straddle
 # remains invisible by construction — min-of-reps and the stage-sum
 # gates are the layers that absorb that case.
 SPARK_PROBE_ABS_CALM_SEC = 0.30
@@ -89,6 +103,53 @@ SF10_GATED_CEILINGS = {
     "sf10_ppjoin_pairs": 90.0,
     "sf10_simhash120_neardup": 60.0,
 }
+
+# Extras legs eligible for the bounded end-of-run calm retry (round 17,
+# VERDICT r16 item 1): the multi-second informational reads whose
+# cross-round comparisons carried contention noise the headline no
+# longer does (r16 shipped q85_chunk_documents at 20.89 s under
+# recorded load 14 vs quiet-box 15.7-16.6; matmul_auto_2048 at 14.95
+# under load 21.6; sf10_q73 registered at 52.0 under load 23.8 vs calm
+# stage-sum 24.0), plus every sf1/sf3 slope numerator/denominator — a
+# contended denominator silently inflates its slope even when both
+# gates stay green.  One retry round, reps=1, min-merged: worst case
+# ~5-6 min added wall, only on a run whose first samples were all
+# contended.
+EXTRAS_RETRY = (
+    "q85_chunk_documents",
+    "curate_extended",
+    "matmul_auto_2048",
+    "matmul_auto_rect_128x4096x4096",
+    "sf10_q70_dedup_exact",
+    "sf10_q73_minhash_lsh_neardup",
+    "sf10_q74_simhash_neardup",
+    "sf10_q84_tfidf_top_terms",
+    "sf10_ppjoin_pairs",
+    "sf10_simhash120_neardup",
+    "sf1_q01_pricing_summary",
+    "sf1_q05_region_revenue",
+    "sf1_q70_dedup_exact",
+    "sf1_q72_ngram_jaccard_pairs",
+    "sf1_q73_minhash_lsh_neardup",
+    "sf1_q74_simhash_neardup",
+    "sf1_q84_tfidf_top_terms",
+    "sf1_ppjoin_pairs",
+    "sf1_simhash120_neardup",
+    "sf1_q71_fuzzy_dedup",
+    "sf1_semantic_neardup_lsh",
+    "sf1_q86_pack_sequences",
+    "sf1_curate_extended",
+    "sf1_duplicate_spans_n10",
+    "sf1_dsir_scores",
+    "sf1_clf_train_score",
+    "sf1_lm_xent",
+    "sf1_bpe_train_encode_48",
+    "sf3_q70_dedup_exact",
+    "sf3_q72_ngram_jaccard_pairs",
+    "sf3_q73_minhash_lsh_neardup",
+    "sf3_ppjoin_pairs",
+    "sf3_q71_fuzzy_dedup",
+)
 
 HEADLINE = [
     # relational core
@@ -311,6 +372,36 @@ def main() -> None:
             spark.catalog.clearCache()
             errors[label] = f"{type(e).__name__}: {e}"[:500]
 
+    def stage_timed(label: str, thunk) -> None:
+        """One stage leg: probe + time + min-merge (run_entry's merge
+        semantics for manually-timed stages).  Defined at main scope
+        (round 17) so the matmul_auto_2048 stage pass can share it with
+        the sf10 stage passes; results land in ``extras``."""
+        p = _py_probe()
+        probes[label] = min(probes.get(label, p), p)
+        load = _host_load()
+        loads[label] = max(loads.get(label, load), load)
+        t0 = time.perf_counter()
+        thunk()
+        v = round(time.perf_counter() - t0, 3)
+        samples.setdefault(label, []).append(v)
+        extras[label] = min(extras.get(label, v), v)
+
+    # Builders retained per extras label (round 17, VERDICT r16 item 1)
+    # so the end-of-run calm retry pass can re-invoke the expensive
+    # informational legs exactly as the headline pass re-invokes its —
+    # see EXTRAS_RETRY for which labels actually get retried.
+    extras_builders: dict = {}
+
+    def run_extra(label, build, sink, reps: int = 3, spark_probe: bool = True) -> None:
+        """run_entry with the extras discipline: spark-probe bracketing
+        ON by default — every extras leg carries (before, after) probe
+        pairs like the gated legs, so BENCH_DETAIL readers can tell a
+        contended informational sample from a calm one — and the builder
+        retained for the EXTRAS_RETRY end-of-run pass."""
+        extras_builders[label] = build
+        run_entry(label, build, sink, reps=reps, spark_probe=spark_probe)
+
     # JIT-warm the probe's exact codegen shape before any classification
     # sample lands in the pool (the very first probe carries C2 compilation
     # — measured 12.0 s vs 1.5 s steady on the same window).
@@ -353,7 +444,7 @@ def main() -> None:
         if extension_active(spark):
             a = generate_matrix_df(spark, 768, 768, seed=1, num_partitions=int(cpus))
             b = generate_matrix_df(spark, 768, 768, seed=2, num_partitions=int(cpus))
-            run_entry("matmul_auto_768", lambda: matmul_auto(a, b), extras)
+            run_extra("matmul_auto_768", lambda: matmul_auto(a, b), extras)
 
     # matmul_auto above the block boundary (VERDICT r8 item 6): both
     # shapes dispatch to blocked GEMM under the measured 1B-product
@@ -365,7 +456,7 @@ def main() -> None:
 
     big_a = generate_matrix_df(spark, 2048, 2048, seed=1, num_partitions=int(cpus))
     big_b = generate_matrix_df(spark, 2048, 2048, seed=2, num_partitions=int(cpus))
-    run_entry(
+    run_extra(
         "matmul_auto_2048",
         lambda: _mm_auto(big_a, big_b, dims=(2048, 2048, 2048)),
         extras,
@@ -373,12 +464,60 @@ def main() -> None:
     )
     rect_a = generate_matrix_df(spark, 128, 4096, seed=3, num_partitions=int(cpus))
     rect_b = generate_matrix_df(spark, 4096, 4096, seed=4, num_partitions=int(cpus))
-    run_entry(
+    run_extra(
         "matmul_auto_rect_128x4096x4096",
         lambda: _mm_auto(rect_a, rect_b, dims=(128, 4096, 4096)),
         extras,
         reps=1,
     )
+
+    # Stage-sum basis for matmul_auto_2048 (round 17, VERDICT r16 item
+    # 5): the one remaining multi-second matmul leg gets the q70/q73
+    # treatment — short stage legs min-merged across two NON-CONSECUTIVE
+    # passes (here and in the end-of-run second-pass block), whose SUM
+    # is the contention-robust read a gate could later ride.  The stages
+    # are the SHIPPED dispatch's plan (matmul_auto at 2048^3 -> blocked
+    # GEMM, block=256): stage 1 = the two B×B tile-build exchanges
+    # (cached, as the join will consume them); stage 2 = the bk tile
+    # join + Arrow GEMM + final (i,k) aggregation over the cached tiles,
+    # injected via matmul_block's tiles_a=/tiles_b= (the ranked=/cands=
+    # idiom; equivalence pinned in test_matmul.py).
+    from emulating_hadoop_with_mpi_spark.mapreduce.matmul import (
+        block_tiles_a,
+        block_tiles_b,
+        matmul_block as _mm_block,
+    )
+
+    def matmul2048_stage_pass() -> None:
+        gc.collect()
+        ta = block_tiles_a(big_a, 256).cache()
+        tb = block_tiles_b(big_b, 256).cache()
+
+        def _tiles_build() -> None:
+            ta.write.format("noop").mode("overwrite").save()
+            tb.write.format("noop").mode("overwrite").save()
+
+        stage_timed("matmul2048_stage1_tiles", _tiles_build)
+        stage_timed(
+            "matmul2048_stage2_join_gemm_agg",
+            lambda: _mm_block(big_a, big_b, block=256, tiles_a=ta, tiles_b=tb)
+            .write.format("noop")
+            .mode("overwrite")
+            .save(),
+        )
+        ta.unpersist()
+        tb.unpersist()
+
+    def matmul2048_stage_guarded() -> None:
+        """Same degrade discipline as the sf10 stage passes: a crashed
+        pass records an error entry instead of killing the run."""
+        try:
+            matmul2048_stage_pass()
+        except Exception as e:  # noqa: BLE001 — harness must degrade
+            spark.catalog.clearCache()
+            errors["matmul2048_stage_pass"] = f"{type(e).__name__}: {e}"[:500]
+
+    matmul2048_stage_guarded()
 
     # .dat scan + multiply end-to-end: times the vectorized binary reader
     # (sources/matrix.py byte-range splits + Arrow batches) on the
@@ -398,7 +537,7 @@ def main() -> None:
         pb = write_matrix_dat(
             rng.integers(0, 100, (768, 768), dtype=np.int32), dat_dir, 2
         )
-        run_entry("matmul_dat_768", lambda: multiply_dat_files(spark, pa, pb), extras)
+        run_extra("matmul_dat_768", lambda: multiply_dat_files(spark, pa, pb), extras)
 
     # Training-batch assembly ops (q85/q86, registered late round 3): in
     # extras, not the ratcheted headline basket, to keep the 22-entry
@@ -426,9 +565,9 @@ def main() -> None:
                 release_curate_cache()
                 return q.fn(spark, sf_dir)
 
-            run_entry(name, _cold_q85, extras)
+            run_extra(name, _cold_q85, extras)
         else:
-            run_entry(name, lambda: q.fn(spark, sf_dir), extras)
+            run_extra(name, lambda q=q: q.fn(spark, sf_dir), extras)
 
     # simhash120: q74's contract at 120-bit sketch width — the documented
     # corpus-scale configuration (24-bit pigeonhole blocks cut random
@@ -437,7 +576,7 @@ def main() -> None:
     from emulating_hadoop_with_mpi_spark.sources.tables import load_table
 
     sf_docs = load_table(spark, sf_dir, "documents")
-    run_entry("simhash120_neardup", lambda: simhash120_neardup_pairs(sf_docs), extras)
+    run_extra("simhash120_neardup", lambda: simhash120_neardup_pairs(sf_docs), extras)
 
     # cross-document duplicated-span detection (round 9): substring-level
     # dedup — two exchanges of the token stream (see duplicate_spans) —
@@ -450,13 +589,13 @@ def main() -> None:
     )
     from emulating_hadoop_with_mpi_spark.functions.pipeline import redact_pii
 
-    run_entry("duplicate_spans_n10", lambda: duplicate_spans(sf_docs, n=10), extras)
-    run_entry(
+    run_extra("duplicate_spans_n10", lambda: duplicate_spans(sf_docs, n=10), extras)
+    run_extra(
         "remove_duplicate_spans_n10",
         lambda: remove_duplicate_spans(sf_docs.select("doc_id", "text"), n=10),
         extras,
     )
-    run_entry("redact_pii", lambda: redact_pii(sf_docs), extras)
+    run_extra("redact_pii", lambda: redact_pii(sf_docs), extras)
 
     # DSIR importance scoring (round 10): hashed-bigram LLR selection —
     # one bucket-count exchange + K-row broadcast weights (dsir.py).
@@ -464,7 +603,7 @@ def main() -> None:
 
     from emulating_hadoop_with_mpi_spark.functions.dsir import dsir_scores
 
-    run_entry(
+    run_extra(
         "dsir_scores",
         lambda: dsir_scores(
             sf_docs.select("doc_id", "lang", "text"),
@@ -479,7 +618,7 @@ def main() -> None:
     from emulating_hadoop_with_mpi_spark.functions.classifier import quality_clf_scores
     from emulating_hadoop_with_mpi_spark.functions.text import quality_scores
 
-    run_entry(
+    run_extra(
         "clf_train_score",
         lambda: quality_clf_scores(quality_scores(sf_docs.select("doc_id", "text"))),
         extras,
@@ -490,7 +629,7 @@ def main() -> None:
     # are vocabulary-sized reductions of it (lm.py).
     from emulating_hadoop_with_mpi_spark.functions.lm import bigram_lm_xent
 
-    run_entry(
+    run_extra(
         "lm_xent",
         lambda: bigram_lm_xent(sf_docs.select("doc_id", "text")),
         extras,
@@ -503,7 +642,7 @@ def main() -> None:
     # and return the encode frame — the timed leg covers both.
     from emulating_hadoop_with_mpi_spark.functions.bpe import bpe_encode, bpe_train
 
-    run_entry(
+    run_extra(
         "bpe_train_encode_48",
         lambda: bpe_encode(
             sf_docs.select("doc_id", "text"),
@@ -513,11 +652,51 @@ def main() -> None:
         reps=1,
     )
 
+    # second non-consecutive matmul_auto_2048 stage pass (round 17,
+    # VERDICT r16 item 5) — min-merges with the early pass; the recorded
+    # stagesum is the contention-robust informational read
+    matmul2048_stage_guarded()
+    if (
+        "matmul2048_stage1_tiles" in extras
+        and "matmul2048_stage2_join_gemm_agg" in extras
+    ):
+        extras["matmul_auto_2048_stagesum"] = round(
+            extras["matmul2048_stage1_tiles"]
+            + extras["matmul2048_stage2_join_gemm_agg"],
+            3,
+        )
+
+    # ---- Load-aware extras retry (round 17, VERDICT r16 item 1) ----
+    # The calm-sample discipline the headline and gated sf10 legs got in
+    # r16 now reaches the expensive informational extras: every extras
+    # leg is spark-probe-bracketed (run_extra), and the EXTRAS_RETRY
+    # legs — multi-second informational reads plus every slope
+    # numerator/denominator — get ONE bounded retry when no invocation
+    # saw a calm window.  run_entry min-merges, so a retry can only
+    # improve the recorded minimum; all slope ratios are recomputed
+    # AFTER this pass (and after the headline retry, whose minima feed
+    # the sf1/sf0.1 slope denominators).
+    extras_pending = [
+        l
+        for l in EXTRAS_RETRY
+        if l in extras
+        and l in extras_builders
+        and l not in _calm_legs()
+        and l not in errors
+    ]
+    if extras_pending:
+        for _ in range(3):
+            if _spark_probe() <= _probe_calm_threshold():
+                break
+            time.sleep(40)
+        for l in extras_pending:
+            run_entry(l, extras_builders[l], extras, reps=1, spark_probe=True)
+
     # BM25 ranked retrieval (round 10): query-vocabulary semi-join keeps
     # postings candidate-bounded (search.py).
     from emulating_hadoop_with_mpi_spark.functions.search import bm25_topk
 
-    run_entry(
+    run_extra(
         "bm25_topk",
         lambda: bm25_topk(
             sf_docs, ["spark hash join", "table scan fast", "window sort"], k=10
@@ -532,7 +711,7 @@ def main() -> None:
     # absorbed the CC rounds — expect it above its r9 figure with the
     # added functionality.
     q75b = registry["q75b_semantic_neardup_lsh"]
-    run_entry("semantic_neardup_lsh", lambda: q75b.fn(spark, sf_dir), extras)
+    run_extra("semantic_neardup_lsh", lambda: q75b.fn(spark, sf_dir), extras)
 
     # The full curation composition (functions/pipeline.py): quality gate
     # -> exact dedup -> leakage-safe split -> chunk -> grouped pack ->
@@ -541,7 +720,7 @@ def main() -> None:
     from emulating_hadoop_with_mpi_spark.sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    run_entry("pipeline_curate", lambda: curate_corpus(docs), extras)
+    run_extra("pipeline_curate", lambda: curate_corpus(docs), extras)
 
     # Benchmark decontamination over the full documents table: the
     # "benchmark" is a deterministic slice of corpus texts (every 97th
@@ -554,7 +733,7 @@ def main() -> None:
         docs.filter(F.col("doc_id") % 97 == 0)
         .select(F.concat_ws(" ", F.slice(F.split(F.col("text"), r"\s+"), 1, 24)).alias("text"))
     )
-    run_entry("decon_documents", lambda: decontaminate(docs, bench_prompts), extras)
+    run_extra("decon_documents", lambda: decontaminate(docs, bench_prompts), extras)
 
     # The EXTENDED curate composition as its own leg (round 15, VERDICT
     # r14 item 2): the exact q85 'curate' config — quality → decon →
@@ -618,7 +797,7 @@ def main() -> None:
             redact_patterns=PII_PATTERNS_RE2,
         )["curated"]
 
-    run_entry("curate_extended", lambda: _curate_extended(docs), extras)
+    run_extra("curate_extended", lambda: _curate_extended(docs), extras)
 
     # (headline total is computed AFTER the load-aware retry pass below)
 
@@ -650,12 +829,12 @@ def main() -> None:
         ).write.parquet(zp)
         zipf = spark.read.parquet(zp)
         zipf.count()  # warm file listing; the scan itself is the measured input
-        run_entry(
+        run_extra(
             "zipf_direct_jaccard",
             lambda: exact_jaccard_pairs(zipf, persist=True),
             extras,
         )
-        run_entry(
+        run_extra(
             "zipf_ppjoin_jaccard", lambda: ppjoin_pairs(zipf, persist=True), extras
         )
         # The crossover legs (VERDICT r6 item 2, settled round 7): at the
@@ -670,17 +849,17 @@ def main() -> None:
         ).write.parquet(zp2)
         zipf2 = spark.read.parquet(zp2)
         zipf2.count()
-        run_entry(
+        run_extra(
             "zipf200k_ppjoin_jaccard_t08",
             lambda: ppjoin_pairs(zipf2, persist=True, t_num=4, t_den=5),
             extras,
         )
-        run_entry(
+        run_extra(
             "zipf200k_direct_jaccard_t08",
             lambda: exact_jaccard_pairs(zipf2, persist=True, t_num=4, t_den=5),
             extras,
         )
-    run_entry("docs_ppjoin_jaccard", lambda: ppjoin_pairs(docs, persist=True), extras)
+    run_extra("docs_ppjoin_jaccard", lambda: ppjoin_pairs(docs, persist=True), extras)
 
     # Scale-slope legs (VERDICT r3/r4/r5 standing order): the same queries
     # at a decade above the bench SF, generated locally by
@@ -703,23 +882,23 @@ def main() -> None:
         ]
         for name in slope_set:
             q = registry[name]
-            run_entry(f"sf1_{name}", lambda: q.fn(spark, sf1_dir), extras)
+            run_extra(f"sf1_{name}", lambda q=q: q.fn(spark, sf1_dir), extras)
             base = timings.get(name, extras.get(name))
             if base and f"sf1_{name}" in extras:
                 extras[f"slope_{name}"] = round(extras[f"sf1_{name}"] / base, 2)
         sf1_docs = load_table(spark, sf1_dir, "documents")
-        run_entry("sf1_ppjoin_pairs", lambda: ppjoin_pairs(sf1_docs, persist=True), extras)
+        run_extra("sf1_ppjoin_pairs", lambda: ppjoin_pairs(sf1_docs, persist=True), extras)
         # first of two non-consecutive samples (the second runs in the
         # end-of-run pass): r11 read this leg at 11.6-11.9 s with only
         # one sample per artifact (VERDICT r11 item 6)
-        run_entry(
+        run_extra(
             "sf1_semantic_neardup_lsh",
             lambda: registry["q75b_semantic_neardup_lsh"].fn(spark, sf1_dir),
             extras,
             reps=1,
         )
         # sim120 standalone at sf1: the base leg for the gated slope3 below
-        run_entry(
+        run_extra(
             "sf1_simhash120_neardup",
             lambda: simhash120_neardup_pairs(sf1_docs),
             extras,
@@ -729,7 +908,7 @@ def main() -> None:
         # percentile-range prefix count (shuffle_pos) rides the
         # registered q86 next to the pack prefix sum.  Informational
         # first round; min-of-3 like the slope_set legs.
-        run_entry(
+        run_extra(
             "sf1_q86_pack_sequences",
             lambda: registry["q86_pack_sequences"].fn(spark, sf1_dir),
             extras,
@@ -750,7 +929,7 @@ def main() -> None:
         # r14 item 2): the one cost class with no measured scale point —
         # its fixed job-count overhead should amortize, so the slope
         # reads how much of the sf0.1 time was overhead vs data
-        run_entry(
+        run_extra(
             "sf1_curate_extended",
             lambda: _curate_extended(sf1_docs),
             extras,
@@ -764,7 +943,7 @@ def main() -> None:
             extras["slope_curate_extended"] = round(
                 extras["sf1_curate_extended"] / extras["curate_extended"], 2
             )
-        run_entry(
+        run_extra(
             "sf1_duplicate_spans_n10",
             lambda: duplicate_spans(sf1_docs, n=10),
             extras,
@@ -777,7 +956,7 @@ def main() -> None:
             extras["slope_duplicate_spans_n10"] = round(
                 extras["sf1_duplicate_spans_n10"] / extras["duplicate_spans_n10"], 2
             )
-        run_entry(
+        run_extra(
             "sf1_dsir_scores",
             lambda: dsir_scores(
                 sf1_docs.select("doc_id", "lang", "text"),
@@ -789,7 +968,7 @@ def main() -> None:
             extras["slope_dsir_scores"] = round(
                 extras["sf1_dsir_scores"] / extras["dsir_scores"], 2
             )
-        run_entry(
+        run_extra(
             "sf1_clf_train_score",
             lambda: quality_clf_scores(
                 quality_scores(sf1_docs.select("doc_id", "text"))
@@ -804,7 +983,7 @@ def main() -> None:
             extras["slope_clf_train_score"] = round(
                 extras["sf1_clf_train_score"] / extras["clf_train_score"], 2
             )
-        run_entry(
+        run_extra(
             "sf1_lm_xent",
             lambda: bigram_lm_xent(sf1_docs.select("doc_id", "text")),
             extras,
@@ -816,7 +995,7 @@ def main() -> None:
         # BPE slope: the word-count pass scales with the corpus; the 48
         # merge rounds run on the vocabulary, which the synthetic corpus
         # barely grows — slope ≈ startup-dominated sublinear by design.
-        run_entry(
+        run_extra(
             "sf1_bpe_train_encode_48",
             lambda: bpe_encode(
                 sf1_docs.select("doc_id", "text"),
@@ -836,7 +1015,7 @@ def main() -> None:
         # end-to-end fuzzy-dedup pipeline (candidates -> lev verify ->
         # distributed CC) a decade up — exercises the pointer-jumping
         # component stage on real near-dup clusters; reps=1, iterative
-        run_entry(
+        run_extra(
             "sf1_q71_fuzzy_dedup",
             lambda: registry["q71_fuzzy_dedup_pipeline"].fn(spark, sf1_dir),
             extras,
@@ -898,13 +1077,13 @@ def main() -> None:
     if os.path.isdir(sf3_dir):
         for name in ("q70_dedup_exact", "q72_ngram_jaccard_pairs", "q73_minhash_lsh_neardup"):
             q = registry[name]
-            run_entry(f"sf3_{name}", lambda: q.fn(spark, sf3_dir), extras)
+            run_extra(f"sf3_{name}", lambda q=q: q.fn(spark, sf3_dir), extras)
             if f"sf1_{name}" in extras and f"sf3_{name}" in extras:
                 extras[f"slope2_{name}"] = round(
                     extras[f"sf3_{name}"] / extras[f"sf1_{name}"], 2
                 )
         sf3_docs = load_table(spark, sf3_dir, "documents")
-        run_entry("sf3_ppjoin_pairs", lambda: ppjoin_pairs(sf3_docs, persist=True), extras)
+        run_extra("sf3_ppjoin_pairs", lambda: ppjoin_pairs(sf3_docs, persist=True), extras)
         if "sf1_ppjoin_pairs" in extras and "sf3_ppjoin_pairs" in extras:
             extras["slope2_ppjoin_pairs"] = round(
                 extras["sf3_ppjoin_pairs"] / extras["sf1_ppjoin_pairs"], 2
@@ -912,7 +1091,7 @@ def main() -> None:
         # fuzzy pipeline slope over the 3× step (VERDICT r8 item 4): the
         # banded-lev verify and CC stages must track near-dup density, not
         # corpus size — slope2 ≈ 3 is linear, gated ≤ 4 below.
-        run_entry(
+        run_extra(
             "sf3_q71_fuzzy_dedup",
             lambda: registry["q71_fuzzy_dedup_pipeline"].fn(spark, sf3_dir),
             extras,
@@ -979,7 +1158,7 @@ def main() -> None:
 
         def sf10_pass() -> None:
             for label, build in sf10_builders.items():
-                run_entry(label, build, extras, reps=1, spark_probe=True)
+                run_extra(label, build, extras, reps=1, spark_probe=True)
 
         sf10_pass()
         sf10_pass()
@@ -995,18 +1174,8 @@ def main() -> None:
         # read of the query's true cost.  Gates below ride these sums;
         # the registered-leg ceilings survive only as loose catastrophic
         # backstops (~2× worst calm). ---
-        def stage_timed(label: str, thunk) -> None:
-            """One stage leg: probe + time + min-merge (run_entry's merge
-            semantics for manually-timed stages)."""
-            p = _py_probe()
-            probes[label] = min(probes.get(label, p), p)
-            load = _host_load()
-            loads[label] = max(loads.get(label, load), load)
-            t0 = time.perf_counter()
-            thunk()
-            v = round(time.perf_counter() - t0, 3)
-            samples.setdefault(label, []).append(v)
-            extras[label] = min(extras.get(label, v), v)
+        # (stage_timed is defined at main scope, shared with the matmul
+        # stage pass — round 17)
 
         # q70: which section family absorbs the sf10 cost — the
         # hash-groupBy ledger sections, the two token-stream span
@@ -1175,7 +1344,7 @@ def main() -> None:
                     break
                 time.sleep(40)
             for l in sf10_retry:
-                run_entry(l, sf10_builders[l], extras, reps=1, spark_probe=True)
+                run_extra(l, sf10_builders[l], extras, reps=1, spark_probe=True)
 
     # --- Second NON-CONSECUTIVE pass (VERDICT r10 items 1 + 8) over
     # (a) every leg that feeds a gated slope ratio — one striped
@@ -1184,25 +1353,25 @@ def main() -> None:
     # depending on NOTES forensics.  run_entry merges repeats by min;
     # all ratios are recomputed from the per-leg minima afterwards. ---
     if os.path.isdir(sf1_dir):
-        run_entry(
+        run_extra(
             "sf1_q71_fuzzy_dedup",
             lambda: registry["q71_fuzzy_dedup_pipeline"].fn(spark, sf1_dir),
             extras,
             reps=1,
         )
-        run_entry(
+        run_extra(
             "sf1_simhash120_neardup",
             lambda: simhash120_neardup_pairs(load_table(spark, sf1_dir, "documents")),
             extras,
             reps=1,
         )
-        run_entry(
+        run_extra(
             "sf1_q70_dedup_exact",
             lambda: registry["q70_dedup_exact"].fn(spark, sf1_dir),
             extras,
             reps=1,
         )
-        run_entry(
+        run_extra(
             "sf1_q73_minhash_lsh_neardup",
             lambda: registry["q73_minhash_lsh_neardup"].fn(spark, sf1_dir),
             extras,
@@ -1210,7 +1379,7 @@ def main() -> None:
         )
         # q75b union (pairs + SemDeDup drop) a decade up — the CC stage's
         # scale leg (VERDICT r10 item 3 done-criterion)
-        run_entry(
+        run_extra(
             "sf1_semantic_neardup_lsh",
             lambda: registry["q75b_semantic_neardup_lsh"].fn(spark, sf1_dir),
             extras,
@@ -1218,14 +1387,14 @@ def main() -> None:
         )
         # slope3_ppjoin's denominator — the one gated-family sf1 leg the
         # r11 second pass missed (VERDICT r11 item 2)
-        run_entry(
+        run_extra(
             "sf1_ppjoin_pairs",
             lambda: ppjoin_pairs(load_table(spark, sf1_dir, "documents"), persist=True),
             extras,
             reps=1,
         )
     if os.path.isdir(sf3_dir):
-        run_entry(
+        run_extra(
             "sf3_q71_fuzzy_dedup",
             lambda: registry["q71_fuzzy_dedup_pipeline"].fn(spark, sf3_dir),
             extras,
@@ -1233,25 +1402,25 @@ def main() -> None:
         )
         # the noisiest informational sf3 leg (33.0 vs 9.4 s across the
         # two r11 artifacts — VERDICT r11 item 6)
-        run_entry(
+        run_extra(
             "sf3_q72_ngram_jaccard_pairs",
             lambda: registry["q72_ngram_jaccard_pairs"].fn(spark, sf3_dir),
             extras,
             reps=1,
         )
-    run_entry(
+    run_extra(
         "matmul_auto_2048",
         lambda: _mm_auto(big_a, big_b, dims=(2048, 2048, 2048)),
         extras,
         reps=1,
     )
-    run_entry(
+    run_extra(
         "matmul_auto_rect_128x4096x4096",
         lambda: _mm_auto(rect_a, rect_b, dims=(128, 4096, 4096)),
         extras,
         reps=1,
     )
-    run_entry(
+    run_extra(
         "bpe_train_encode_48",
         lambda: bpe_encode(
             sf_docs.select("doc_id", "text"),
@@ -1260,23 +1429,6 @@ def main() -> None:
         extras,
         reps=1,
     )
-
-    # every slope ratio that involves a re-runnable leg, recomputed from
-    # the final per-leg minima (min-of-2-non-consecutive on BOTH sides)
-    for slope, num, den in (
-        ("slope2_q71_fuzzy_dedup", "sf3_q71_fuzzy_dedup", "sf1_q71_fuzzy_dedup"),
-        ("slope3_simhash120_neardup", "sf10_simhash120_neardup", "sf1_simhash120_neardup"),
-        ("slope_sf0.1_sf10_simhash120", "sf10_simhash120_neardup", "simhash120_neardup"),
-        ("slope3_q70_dedup_exact", "sf10_q70_dedup_exact", "sf1_q70_dedup_exact"),
-        ("slope3_q73_minhash_lsh_neardup", "sf10_q73_minhash_lsh_neardup", "sf1_q73_minhash_lsh_neardup"),
-        ("slope3_q84_tfidf_top_terms", "sf10_q84_tfidf_top_terms", "sf1_q84_tfidf_top_terms"),
-        ("slope3_ppjoin_pairs", "sf10_ppjoin_pairs", "sf1_ppjoin_pairs"),
-        ("slope2_ppjoin_pairs", "sf3_ppjoin_pairs", "sf1_ppjoin_pairs"),
-        ("slope2_q72_ngram_jaccard_pairs", "sf3_q72_ngram_jaccard_pairs", "sf1_q72_ngram_jaccard_pairs"),
-        ("slope_semantic_neardup_lsh", "sf1_semantic_neardup_lsh", "semantic_neardup_lsh"),
-    ):
-        if num in extras and den in extras and extras[den]:
-            extras[slope] = round(extras[num] / extras[den], 2)
 
     # ---- Load-aware headline retry (round 16, VERDICT r15 item 1) ----
     # Headline legs whose every invocation ran under a contended window
@@ -1304,6 +1456,46 @@ def main() -> None:
             run_entry(l, headline_builders[l], timings, reps=1, spark_probe=True)
     total = round(sum(timings.values()), 3)
 
+    # EVERY slope ratio, recomputed from the FINAL per-leg minima — after
+    # the extras retry AND the headline retry (round 17: previously the
+    # slope_<name> sf1/sf0.1 ratios were frozen before the retries, so a
+    # retried denominator left a stale slope in the artifact).  Bases may
+    # live in the headline dict (sf0.1 denominators) or extras.
+    def _leg_min(key: str):
+        return extras.get(key, timings.get(key))
+
+    for slope, num, den in (
+        ("slope_q01_pricing_summary", "sf1_q01_pricing_summary", "q01_pricing_summary"),
+        ("slope_q05_region_revenue", "sf1_q05_region_revenue", "q05_region_revenue"),
+        ("slope_q70_dedup_exact", "sf1_q70_dedup_exact", "q70_dedup_exact"),
+        ("slope_q72_ngram_jaccard_pairs", "sf1_q72_ngram_jaccard_pairs", "q72_ngram_jaccard_pairs"),
+        ("slope_q73_minhash_lsh_neardup", "sf1_q73_minhash_lsh_neardup", "q73_minhash_lsh_neardup"),
+        ("slope_q74_simhash_neardup", "sf1_q74_simhash_neardup", "q74_simhash_neardup"),
+        ("slope_q84_tfidf_top_terms", "sf1_q84_tfidf_top_terms", "q84_tfidf_top_terms"),
+        ("slope_q86_pack_sequences", "sf1_q86_pack_sequences", "q86_pack_sequences"),
+        ("slope_curate_extended", "sf1_curate_extended", "curate_extended"),
+        ("slope_duplicate_spans_n10", "sf1_duplicate_spans_n10", "duplicate_spans_n10"),
+        ("slope_dsir_scores", "sf1_dsir_scores", "dsir_scores"),
+        ("slope_clf_train_score", "sf1_clf_train_score", "clf_train_score"),
+        ("slope_lm_xent", "sf1_lm_xent", "lm_xent"),
+        ("slope_bpe_train_encode_48", "sf1_bpe_train_encode_48", "bpe_train_encode_48"),
+        ("slope2_q71_fuzzy_dedup", "sf3_q71_fuzzy_dedup", "sf1_q71_fuzzy_dedup"),
+        ("slope3_simhash120_neardup", "sf10_simhash120_neardup", "sf1_simhash120_neardup"),
+        ("slope_sf0.1_sf10_simhash120", "sf10_simhash120_neardup", "simhash120_neardup"),
+        ("slope2_q70_dedup_exact", "sf3_q70_dedup_exact", "sf1_q70_dedup_exact"),
+        ("slope2_q72_ngram_jaccard_pairs", "sf3_q72_ngram_jaccard_pairs", "sf1_q72_ngram_jaccard_pairs"),
+        ("slope2_q73_minhash_lsh_neardup", "sf3_q73_minhash_lsh_neardup", "sf1_q73_minhash_lsh_neardup"),
+        ("slope3_q70_dedup_exact", "sf10_q70_dedup_exact", "sf1_q70_dedup_exact"),
+        ("slope3_q73_minhash_lsh_neardup", "sf10_q73_minhash_lsh_neardup", "sf1_q73_minhash_lsh_neardup"),
+        ("slope3_q84_tfidf_top_terms", "sf10_q84_tfidf_top_terms", "sf1_q84_tfidf_top_terms"),
+        ("slope3_ppjoin_pairs", "sf10_ppjoin_pairs", "sf1_ppjoin_pairs"),
+        ("slope2_ppjoin_pairs", "sf3_ppjoin_pairs", "sf1_ppjoin_pairs"),
+        ("slope_semantic_neardup_lsh", "sf1_semantic_neardup_lsh", "semantic_neardup_lsh"),
+    ):
+        num_v, den_v = _leg_min(num), _leg_min(den)
+        if num_v is not None and den_v:
+            extras[slope] = round(num_v / den_v, 2)
+
     # Three-state headline annotation (the done-criterion of VERDICT r15
     # item 1): "calm" only when every headline leg has a calm-bracketed
     # sample AND the run's probe floor is within 2× the calm-box ref;
@@ -1314,6 +1506,15 @@ def main() -> None:
     # comparable to calm-box rounds; read value_normalized + probe_floor).
     headline_no_calm = sorted(
         l for l in headline_order if l not in _calm_legs() and l not in errors
+    )
+    # same provenance read for the probed extras (round 17, VERDICT r16
+    # item 1): which informational legs never saw a calm window — their
+    # minima are upper bounds, not measurements, and cross-round extras
+    # comparisons should skip them
+    extras_no_calm = sorted(
+        l
+        for l in spark_probe_pairs
+        if l in extras and l not in _calm_legs() and l not in errors
     )
     probe_floor = min(spark_probe_values) if spark_probe_values else None
     if headline_no_calm:
@@ -1448,6 +1649,51 @@ def main() -> None:
         )
         gates["slope3_simhash120_max_6"] = _gate(
             "sf10_simhash120_neardup", s_raw, s_norm, 6.0
+        )
+    # q73 and ppjoin decade slopes gated (round 17, VERDICT r16 item 3):
+    # previously only sim120's slope3 had a ceiling — a genuine
+    # superlinear regression in q73's or ppjoin's 10× scaling would have
+    # read green.  Bands (min-of-2 legs on both sides): slope3_q73 read
+    # 7.23 in the official r16 artifact with a load-23.8 numerator
+    # (calm stage-sum basis says the calm slope sits lower) — ceiling 9
+    # keeps ~1.25× over the contended sample while the regression class
+    # it exists for (the band join degenerating quadratic, slope3 → 20+)
+    # is unmissable.  slope3_ppjoin read 5.0 in r16 — ceiling 7 ≈ 1.4×
+    # the sample.  Confirm-then-tighten on the next calm band, the
+    # stated q70/q73 procedure.
+    if (
+        "slope3_q73_minhash_lsh_neardup" in extras
+        and "sf1_q73_minhash_lsh_neardup" in extras
+        and "sf10_q73_minhash_lsh_neardup" in extras
+    ):
+        s_raw = extras["slope3_q73_minhash_lsh_neardup"]
+        s_norm = round(
+            _norm(
+                "sf10_q73_minhash_lsh_neardup",
+                extras["sf10_q73_minhash_lsh_neardup"],
+            )
+            / _norm(
+                "sf1_q73_minhash_lsh_neardup",
+                extras["sf1_q73_minhash_lsh_neardup"],
+            ),
+            2,
+        )
+        gates["slope3_q73_minhash_max_9"] = _gate(
+            "sf10_q73_minhash_lsh_neardup", s_raw, s_norm, 9.0
+        )
+    if (
+        "slope3_ppjoin_pairs" in extras
+        and "sf1_ppjoin_pairs" in extras
+        and "sf10_ppjoin_pairs" in extras
+    ):
+        s_raw = extras["slope3_ppjoin_pairs"]
+        s_norm = round(
+            _norm("sf10_ppjoin_pairs", extras["sf10_ppjoin_pairs"])
+            / _norm("sf1_ppjoin_pairs", extras["sf1_ppjoin_pairs"]),
+            2,
+        )
+        gates["slope3_ppjoin_max_7"] = _gate(
+            "sf10_ppjoin_pairs", s_raw, s_norm, 7.0
         )
     if "slope2_q71_fuzzy_dedup" in extras:
         s = extras["slope2_q71_fuzzy_dedup"]
@@ -1629,6 +1875,7 @@ def main() -> None:
         "spark_probe_calm_threshold": round(_probe_calm_threshold(), 3),
         "headline_load": headline_load,
         "headline_no_calm_sample": headline_no_calm,
+        "extras_no_calm_sample": extras_no_calm,
         "errors": errors,
         "canary": canary,
         "gates": gates,

@@ -118,7 +118,46 @@ def matmul_mapreduce(
     return spark.createDataFrame(out, "i int, k int, v long")
 
 
-def matmul_block(a: DataFrame, b: DataFrame, block: int = 128) -> DataFrame:
+def _block_tiles(df: DataFrame, block: int, row_block: str, col_block: str) -> DataFrame:
+    return df.select(
+        (F.col("i") / block).cast("int").alias(row_block),
+        (F.col("j") / block).cast("int").alias(col_block),
+        "i",
+        "j",
+        "v",
+    )
+
+
+def block_tiles_a(a: DataFrame, block: int = 128) -> DataFrame:
+    """A-side B×B tile build — the first of matmul_block's two tile
+    exchanges (groupBy collect_list over block coordinates), exposed so
+    bench.py's matmul_auto_2048 stage legs can time the SHIPPED tile
+    build separately from the GEMM join via matmul_block's
+    ``tiles_a=``/``tiles_b=`` injection (the ranked=/cands= idiom the
+    dedup-family stage gates use)."""
+    return _block_tiles(a, block, "bi", "bk").groupBy("bi", "bk").agg(
+        F.collect_list("i").alias("ai"),
+        F.collect_list("j").alias("aj"),
+        F.collect_list("v").alias("av"),
+    )
+
+
+def block_tiles_b(b: DataFrame, block: int = 128) -> DataFrame:
+    """B-side twin of block_tiles_a (bk × bj tiles)."""
+    return _block_tiles(b, block, "bk", "bj").groupBy("bk", "bj").agg(
+        F.collect_list("i").alias("bi_"),
+        F.collect_list("j").alias("bj_"),
+        F.collect_list("v").alias("bv"),
+    )
+
+
+def matmul_block(
+    a: DataFrame,
+    b: DataFrame,
+    block: int = 128,
+    tiles_a: DataFrame | None = None,
+    tiles_b: DataFrame | None = None,
+) -> DataFrame:
     """Block (SUMMA-style) matrix multiply — the 100 TB formulation.
 
     The COO join (matmul_coo) materializes L·M·N joined rows; fine up to
@@ -132,27 +171,13 @@ def matmul_block(a: DataFrame, b: DataFrame, block: int = 128) -> DataFrame:
     The reference ships every cell to every rank as 512-byte strings
     (``program.c:277-288``); here a cell crosses the wire at most
     ⌈N/B⌉ (resp. ⌈L/B⌉) times, packed in Arrow batches.
+
+    ``tiles_a``/``tiles_b`` inject pre-built (typically cached) tile
+    frames — they must be block_tiles_a/_b outputs at the SAME ``block``
+    (caller's contract, same as the dedup stage injections).
     """
-
-    def tiles(df: DataFrame, row_block: str, col_block: str) -> DataFrame:
-        return df.select(
-            (F.col("i") / block).cast("int").alias(row_block),
-            (F.col("j") / block).cast("int").alias(col_block),
-            "i",
-            "j",
-            "v",
-        )
-
-    a_t = tiles(a, "bi", "bk").groupBy("bi", "bk").agg(
-        F.collect_list("i").alias("ai"),
-        F.collect_list("j").alias("aj"),
-        F.collect_list("v").alias("av"),
-    )
-    b_t = tiles(b, "bk", "bj").groupBy("bk", "bj").agg(
-        F.collect_list("i").alias("bi_"),
-        F.collect_list("j").alias("bj_"),
-        F.collect_list("v").alias("bv"),
-    )
+    a_t = tiles_a if tiles_a is not None else block_tiles_a(a, block)
+    b_t = tiles_b if tiles_b is not None else block_tiles_b(b, block)
     paired = a_t.join(b_t, "bk")
 
     blk = block
