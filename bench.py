@@ -98,9 +98,25 @@ HEADLINE_RETRY_ROUNDS = 2
 # respective gate call sites.
 SF10_GATED_CEILINGS = {
     "sf10_q70_dedup_exact": 24.0,
-    "sf10_q73_minhash_lsh_neardup": 75.0,
-    "sf10_q74_simhash_neardup": 60.0,
-    "sf10_ppjoin_pairs": 90.0,
+    # 75 → 65 (round 17, VERDICT r16 item 3, confirm-then-tighten):
+    # registered min-of-2 band — calm 33.1-36.5 (r11/r13), contended-day
+    # samples 52.0 normalized 67.4 (r16, load 23.8, passed only against
+    # 75) and 43.3 (r17 run 1, both samples mid-leg-striped at calm
+    # brackets); 65 keeps ~1.8× over calm while the old 75 sat above
+    # even the worst contended reading ever recorded.  A striped sample
+    # past 65 with no calm bracket reads indeterminate, not fail.
+    "sf10_q73_minhash_lsh_neardup": 65.0,
+    # 60 → 40 (round 17): registered min-of-2 band 25.9/29.4 raw (r16
+    # runs), 33.4 normalized (r16 official), 25.9 on r17's contended
+    # run 1 — 40 ≈ 1.5× the band top while the sim64-collapse class
+    # (the 132 s r8 reading this ceiling exists for) stays unmissable.
+    "sf10_q74_simhash_neardup": 40.0,
+    # 90 → 60 (round 17): registered min-of-2 band — calm 27.6-35.2,
+    # r16 official 34.2 raw / 43.0 normalized (contended, retried),
+    # r17 run 1 32.0 on a load-26 day; 60 ≈ 1.7× the calm band top
+    # (the old 90 predates the calm-retry machinery that now feeds
+    # this leg its calmest window).
+    "sf10_ppjoin_pairs": 60.0,
     "sf10_simhash120_neardup": 60.0,
 }
 
@@ -1650,51 +1666,6 @@ def main() -> None:
         gates["slope3_simhash120_max_6"] = _gate(
             "sf10_simhash120_neardup", s_raw, s_norm, 6.0
         )
-    # q73 and ppjoin decade slopes gated (round 17, VERDICT r16 item 3):
-    # previously only sim120's slope3 had a ceiling — a genuine
-    # superlinear regression in q73's or ppjoin's 10× scaling would have
-    # read green.  Bands (min-of-2 legs on both sides): slope3_q73 read
-    # 7.23 in the official r16 artifact with a load-23.8 numerator
-    # (calm stage-sum basis says the calm slope sits lower) — ceiling 9
-    # keeps ~1.25× over the contended sample while the regression class
-    # it exists for (the band join degenerating quadratic, slope3 → 20+)
-    # is unmissable.  slope3_ppjoin read 5.0 in r16 — ceiling 7 ≈ 1.4×
-    # the sample.  Confirm-then-tighten on the next calm band, the
-    # stated q70/q73 procedure.
-    if (
-        "slope3_q73_minhash_lsh_neardup" in extras
-        and "sf1_q73_minhash_lsh_neardup" in extras
-        and "sf10_q73_minhash_lsh_neardup" in extras
-    ):
-        s_raw = extras["slope3_q73_minhash_lsh_neardup"]
-        s_norm = round(
-            _norm(
-                "sf10_q73_minhash_lsh_neardup",
-                extras["sf10_q73_minhash_lsh_neardup"],
-            )
-            / _norm(
-                "sf1_q73_minhash_lsh_neardup",
-                extras["sf1_q73_minhash_lsh_neardup"],
-            ),
-            2,
-        )
-        gates["slope3_q73_minhash_max_9"] = _gate(
-            "sf10_q73_minhash_lsh_neardup", s_raw, s_norm, 9.0
-        )
-    if (
-        "slope3_ppjoin_pairs" in extras
-        and "sf1_ppjoin_pairs" in extras
-        and "sf10_ppjoin_pairs" in extras
-    ):
-        s_raw = extras["slope3_ppjoin_pairs"]
-        s_norm = round(
-            _norm("sf10_ppjoin_pairs", extras["sf10_ppjoin_pairs"])
-            / _norm("sf1_ppjoin_pairs", extras["sf1_ppjoin_pairs"]),
-            2,
-        )
-        gates["slope3_ppjoin_max_7"] = _gate(
-            "sf10_ppjoin_pairs", s_raw, s_norm, 7.0
-        )
     if "slope2_q71_fuzzy_dedup" in extras:
         s = extras["slope2_q71_fuzzy_dedup"]
         gates["slope2_q71_fuzzy_dedup_max_4"] = {
@@ -1776,6 +1747,50 @@ def main() -> None:
         "sf10_q73_stage3_verify",
     ]
     _stagesum_gate("sf10_q73_stagesum_max_45s", q73_stage_keys, 45.0, "sf10_q73")
+    # q73 and ppjoin decade slopes gated (round 17, VERDICT r16 item 3):
+    # previously only sim120's slope3 had a ceiling — a genuine
+    # superlinear regression in q73's or ppjoin's 10× scaling would have
+    # read green.  The q73 NUMERATOR is the STAGE-LEG SUM, not the
+    # registered leg: r17 run 1 demonstrated the registered-leg basis
+    # failing green code on its first outing (both sf10 samples
+    # 43.3/54.1 mid-leg-striped at calm brackets — the documented
+    # bracket blindness — pushing registered-based slope3 to 10.05
+    # while the same run's stage sum read 36.7 and the stage-based
+    # slope 8.5).  Band for the stage-sum basis: r16 calm stage sum
+    # 24.0 / sf1 ~4.3 ≈ 5.6; r17 contended run 8.5; ceiling 9 keeps
+    # headroom over both while the regression class it exists for (the
+    # band join degenerating quadratic, slope → 20+) is unmissable.
+    # Probe label = the sf1 denominator (a short retried leg — the one
+    # side whose contention the stage-sum basis can't absorb).
+    if (
+        "sf1_q73_minhash_lsh_neardup" in extras
+        and extras["sf1_q73_minhash_lsh_neardup"]
+        and all(k in extras for k in q73_stage_keys)
+    ):
+        ss_raw = round(sum(extras[k] for k in q73_stage_keys), 3)
+        ss_norm = round(sum(_norm(k, extras[k]) for k in q73_stage_keys), 3)
+        den_raw = extras["sf1_q73_minhash_lsh_neardup"]
+        den_norm = _norm("sf1_q73_minhash_lsh_neardup", den_raw)
+        s_raw = round(ss_raw / den_raw, 2)
+        s_norm = round(ss_norm / den_norm, 2) if den_norm else s_raw
+        extras["slope3_q73_stagesum_basis"] = s_raw
+        gates["slope3_q73_stagesum_max_9"] = _gate(
+            "sf1_q73_minhash_lsh_neardup", s_raw, s_norm, 9.0
+        )
+    if (
+        "slope3_ppjoin_pairs" in extras
+        and "sf1_ppjoin_pairs" in extras
+        and "sf10_ppjoin_pairs" in extras
+    ):
+        s_raw = extras["slope3_ppjoin_pairs"]
+        s_norm = round(
+            _norm("sf10_ppjoin_pairs", extras["sf10_ppjoin_pairs"])
+            / _norm("sf1_ppjoin_pairs", extras["sf1_ppjoin_pairs"]),
+            2,
+        )
+        gates["slope3_ppjoin_max_7"] = _gate(
+            "sf10_ppjoin_pairs", s_raw, s_norm, 7.0
+        )
     # sim120 joins the stage-sum protocol (round 14, VERDICT r13 item 1):
     # its old absolute 35 s ceiling had ~9 % raw headroom in the official
     # r13 artifact (32.05 raw, 39.2 probe-normalized) — the exact
