@@ -1652,20 +1652,14 @@ def main() -> None:
     # branch — ceiling 60 s leaves headroom for the count() + union.
     if "sf10_q74_simhash_neardup" in extras:
         t = extras["sf10_q74_simhash_neardup"]
-        gates["sf10_q74_registered_max_60s"] = _gate(
+        gates["sf10_q74_registered_max_40s"] = _gate(
             "sf10_q74_simhash_neardup", t, _norm("sf10_q74_simhash_neardup", t),
             SF10_GATED_CEILINGS["sf10_q74_simhash_neardup"],
         )
-    if "slope3_simhash120_neardup" in extras and "sf1_simhash120_neardup" in extras:
-        s_raw = extras["slope3_simhash120_neardup"]
-        s_norm = round(
-            _norm("sf10_simhash120_neardup", extras["sf10_simhash120_neardup"])
-            / _norm("sf1_simhash120_neardup", extras["sf1_simhash120_neardup"]),
-            2,
-        )
-        gates["slope3_simhash120_max_6"] = _gate(
-            "sf10_simhash120_neardup", s_raw, s_norm, 6.0
-        )
+    # (sim120's decade-slope gate moved onto the stage-sum basis below —
+    # round 17: its registered-basis raw read 7.23 > 6 in run 2 and
+    # survived only via normalization rescue, the same stripe fragility
+    # that failed q73's registered-basis slope gate outright.)
     if "slope2_q71_fuzzy_dedup" in extras:
         s = extras["slope2_q71_fuzzy_dedup"]
         gates["slope2_q71_fuzzy_dedup_max_4"] = {
@@ -1747,50 +1741,52 @@ def main() -> None:
         "sf10_q73_stage3_verify",
     ]
     _stagesum_gate("sf10_q73_stagesum_max_45s", q73_stage_keys, 45.0, "sf10_q73")
-    # q73 and ppjoin decade slopes gated (round 17, VERDICT r16 item 3):
-    # previously only sim120's slope3 had a ceiling — a genuine
-    # superlinear regression in q73's or ppjoin's 10× scaling would have
-    # read green.  The q73 NUMERATOR is the STAGE-LEG SUM, not the
-    # registered leg: r17 run 1 demonstrated the registered-leg basis
-    # failing green code on its first outing (both sf10 samples
-    # 43.3/54.1 mid-leg-striped at calm brackets — the documented
-    # bracket blindness — pushing registered-based slope3 to 10.05
-    # while the same run's stage sum read 36.7 and the stage-based
-    # slope 8.5).  Band for the stage-sum basis: r16 calm stage sum
-    # 24.0 / sf1 ~4.3 ≈ 5.6; r17 contended run 8.5; ceiling 9 keeps
-    # headroom over both while the regression class it exists for (the
-    # band join degenerating quadratic, slope → 20+) is unmissable.
-    # Probe label = the sf1 denominator (a short retried leg — the one
-    # side whose contention the stage-sum basis can't absorb).
-    if (
-        "sf1_q73_minhash_lsh_neardup" in extras
-        and extras["sf1_q73_minhash_lsh_neardup"]
-        and all(k in extras for k in q73_stage_keys)
-    ):
-        ss_raw = round(sum(extras[k] for k in q73_stage_keys), 3)
-        ss_norm = round(sum(_norm(k, extras[k]) for k in q73_stage_keys), 3)
-        den_raw = extras["sf1_q73_minhash_lsh_neardup"]
-        den_norm = _norm("sf1_q73_minhash_lsh_neardup", den_raw)
+
+    # Decade-slope gates on the STAGE-SUM numerator (round 17, VERDICT
+    # r16 item 3): previously only sim120's slope3 had a ceiling — a
+    # genuine superlinear regression in q73's or ppjoin's 10× scaling
+    # would have read green.  The numerator is the stage-leg SUM, not
+    # the registered sf10 leg: the registered legs stripe 1.5-2× at
+    # calm brackets often enough (r17 run 1: q73 samples 43.3/54.1
+    # both mid-leg-striped at calm brackets, registered-basis slope
+    # 10.05 — a false red on green code; run 2: all three registered
+    # sf10 legs striped while every stage sum stayed calm and sim120's
+    # registered-basis raw 7.23 needed normalization rescue) that a
+    # registered-basis slope gate re-creates the failed-green profile
+    # the stage sums were built to end.  Denominator = the sf1
+    # registered leg (short, calm-retried, EXTRAS_RETRY) — it doubles
+    # as the gate's probe label since it is the one side the stage-sum
+    # basis can't absorb; the registered-basis slopes stay in extras as
+    # informational reads.
+    def _slope_stagesum_gate(
+        gate_name: str, stage_keys: list[str], den_key: str, thr: float
+    ) -> None:
+        if not (
+            den_key in extras
+            and extras[den_key]
+            and all(k in extras for k in stage_keys)
+        ):
+            return
+        ss_raw = round(sum(extras[k] for k in stage_keys), 3)
+        ss_norm = round(sum(_norm(k, extras[k]) for k in stage_keys), 3)
+        den_raw = extras[den_key]
+        den_norm = _norm(den_key, den_raw)
         s_raw = round(ss_raw / den_raw, 2)
         s_norm = round(ss_norm / den_norm, 2) if den_norm else s_raw
-        extras["slope3_q73_stagesum_basis"] = s_raw
-        gates["slope3_q73_stagesum_max_9"] = _gate(
-            "sf1_q73_minhash_lsh_neardup", s_raw, s_norm, 9.0
-        )
-    if (
-        "slope3_ppjoin_pairs" in extras
-        and "sf1_ppjoin_pairs" in extras
-        and "sf10_ppjoin_pairs" in extras
-    ):
-        s_raw = extras["slope3_ppjoin_pairs"]
-        s_norm = round(
-            _norm("sf10_ppjoin_pairs", extras["sf10_ppjoin_pairs"])
-            / _norm("sf1_ppjoin_pairs", extras["sf1_ppjoin_pairs"]),
-            2,
-        )
-        gates["slope3_ppjoin_max_7"] = _gate(
-            "sf10_ppjoin_pairs", s_raw, s_norm, 7.0
-        )
+        extras[gate_name.rsplit("_max_", 1)[0] + "_basis"] = s_raw
+        gates[gate_name] = _gate(den_key, s_raw, s_norm, thr)
+
+    # q73 band (stage-sum / sf1-registered): r16 calm 24.0/4.3 ≈ 5.6;
+    # r17 run 1 (contended) 36.7/4.31 = 8.52; r17 run 2 26.5/5.09 =
+    # 5.19.  Ceiling 9 keeps headroom over the contended top while the
+    # regression class it exists for (the band join degenerating
+    # quadratic, slope → 20+) is unmissable.
+    _slope_stagesum_gate(
+        "slope3_q73_stagesum_max_9",
+        q73_stage_keys,
+        "sf1_q73_minhash_lsh_neardup",
+        9.0,
+    )
     # sim120 joins the stage-sum protocol (round 14, VERDICT r13 item 1):
     # its old absolute 35 s ceiling had ~9 % raw headroom in the official
     # r13 artifact (32.05 raw, 39.2 probe-normalized) — the exact
@@ -1809,6 +1805,18 @@ def main() -> None:
         "sf10_sim120_stage2_pairs",
     ]
     _stagesum_gate("sf10_sim120_stagesum_max_45s", sim120_stage_keys, 45.0, "sf10_sim120")
+    # sim120 band (stage-sum / sf1-registered): r16 calm stage sum 26.5
+    # over sf1 ~5.6 ≈ 4.7 (registered-basis slope3 4.36 the same round);
+    # r17 run 2 21.6/5.61 = 3.85.  Ceiling 6 carries the old
+    # registered-basis ceiling forward on the robust numerator (run 2's
+    # registered-basis raw read 7.23 on a striped numerator and needed
+    # normalization rescue).
+    _slope_stagesum_gate(
+        "slope3_sim120_stagesum_max_6",
+        sim120_stage_keys,
+        "sf1_simhash120_neardup",
+        6.0,
+    )
     if "sf10_simhash120_neardup" in extras:
         t = extras["sf10_simhash120_neardup"]
         gates["sf10_simhash120_backstop_max_60s"] = _gate(
@@ -1817,7 +1825,7 @@ def main() -> None:
         )
     if "sf10_q73_minhash_lsh_neardup" in extras:
         t = extras["sf10_q73_minhash_lsh_neardup"]
-        gates["sf10_q73_registered_backstop_max_75s"] = _gate(
+        gates["sf10_q73_registered_backstop_max_65s"] = _gate(
             "sf10_q73_minhash_lsh_neardup",
             t,
             _norm("sf10_q73_minhash_lsh_neardup", t),
@@ -1850,9 +1858,17 @@ def main() -> None:
     _stagesum_gate(
         "sf10_ppjoin_stagesum_max_45s", ppjoin_stage_keys, 45.0, "sf10_ppjoin"
     )
+    # ppjoin band (stage-sum / sf1-registered): r17 run 1 26.4/6.8 =
+    # 3.88, run 2 20.8/7.18 = 2.90; r15/r16 calm stage sums 22.9-27.3
+    # over sf1 legs 6.3-7.2 ≈ 3.2-4.3.  Ceiling 6 ≈ 1.4× the band top
+    # (the registered-basis read 6.66 in run 2 on a striped numerator —
+    # exactly the fragility the stage-sum basis removes).
+    _slope_stagesum_gate(
+        "slope3_ppjoin_stagesum_max_6", ppjoin_stage_keys, "sf1_ppjoin_pairs", 6.0
+    )
     if "sf10_ppjoin_pairs" in extras:
         t = extras["sf10_ppjoin_pairs"]
-        gates["sf10_ppjoin_backstop_max_90s"] = _gate(
+        gates["sf10_ppjoin_backstop_max_60s"] = _gate(
             "sf10_ppjoin_pairs", t, _norm("sf10_ppjoin_pairs", t),
             SF10_GATED_CEILINGS["sf10_ppjoin_pairs"],
         )
