@@ -921,3 +921,29 @@ def test_minhash_injected_stages_equal_plain(spark, sf_dir):
     spark.catalog.clearCache()
     assert injected == plain
     assert len(injected) > 0, "vacuous: no near-dup pairs at this SF"
+
+
+def test_simhash120_injected_sims_equal_plain(spark, sf_dir):
+    """bench.py's sf10 sim120 stage attribution injects the persisted
+    sketch frame via sims= (the q73 combined=/cands= idiom), and since
+    round 17 the slope3_sim120 gate rides that decomposition's stage
+    sum — the gate is only honest if the injected plan computes exactly
+    the registered result.  Pin it."""
+    from emulating_hadoop_with_mpi_spark.functions.dedup import (
+        simhash120_df,
+        simhash120_neardup_pairs,
+    )
+    from emulating_hadoop_with_mpi_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sims = simhash120_df(docs).persist()
+    injected = sorted(
+        tuple(r) for r in simhash120_neardup_pairs(docs, sims=sims).collect()
+    )
+    spark.catalog.clearCache()
+    plain = sorted(
+        tuple(r) for r in simhash120_neardup_pairs(docs).collect()
+    )
+    spark.catalog.clearCache()
+    assert injected == plain
+    assert injected, "vacuous: no near-dup pairs at this SF"

@@ -156,3 +156,25 @@ def test_exact_jaccard_selfjoin_dispatches_by_stats(spark, sf_dir):
         assert _rows(part) == small_rows
     finally:
         dd.PPJOIN_PARTITIONED_BYTES = orig
+
+
+def test_ppjoin_injected_stages_equal_plain(spark):
+    """bench.py's sf10 ppjoin stage attribution injects pre-built frames
+    via ranked=/cands= (the q73 combined=/cands= idiom), and since round
+    17 the slope3_ppjoin gate rides that decomposition's stage sum — the
+    gate is only honest if the injected plan computes exactly the
+    registered result.  Pin it on the Zipf regime where prefixes prune."""
+    from emulating_hadoop_with_mpi_spark.functions.dedup import (
+        ppjoin_candidates,
+        ppjoin_ranked,
+    )
+
+    docs = zipf_corpus(spark, n_docs=400, doc_len=40, vocab=20_000, seed=7)
+    ranked = ppjoin_ranked(docs).cache()
+    cands = ppjoin_candidates(ranked).cache()
+    injected = _rows(ppjoin_pairs(docs, ranked=ranked, cands=cands))
+    spark.catalog.clearCache()
+    plain = _rows(ppjoin_pairs(docs))
+    spark.catalog.clearCache()
+    assert injected == plain
+    assert injected, "vacuous: no qualifying pairs on the planted corpus"
