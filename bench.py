@@ -106,17 +106,22 @@ SF10_GATED_CEILINGS = {
     # even the worst contended reading ever recorded.  A striped sample
     # past 65 with no calm bracket reads indeterminate, not fail.
     "sf10_q73_minhash_lsh_neardup": 65.0,
-    # 60 → 40 (round 17): registered min-of-2 band 25.9/29.4 raw (r16
-    # runs), 33.4 normalized (r16 official), 25.9 on r17's contended
-    # run 1 — 40 ≈ 1.5× the band top while the sim64-collapse class
-    # (the 132 s r8 reading this ceiling exists for) stays unmissable.
-    "sf10_q74_simhash_neardup": 40.0,
-    # 90 → 60 (round 17): registered min-of-2 band — calm 27.6-35.2,
-    # r16 official 34.2 raw / 43.0 normalized (contended, retried),
-    # r17 run 1 32.0 on a load-26 day; 60 ≈ 1.7× the calm band top
-    # (the old 90 predates the calm-retry machinery that now feeds
-    # this leg its calmest window).
-    "sf10_ppjoin_pairs": 60.0,
+    # 60 → 45 (round 17): registered min-of-2 band 25.9/29.4 raw (r16
+    # runs), 33.4 normalized (r16 official), 25.9/28.0 in r17's two
+    # runs.  45 (not the verdict's ~40): r17 run 2's second q74 sample
+    # striped to 37.3 at calm brackets (min-of-2 absorbed it), and the
+    # sibling sim120 registered leg striped to 40.6 the same run — a
+    # both-samples-striped event would false-red a 40 ceiling on green
+    # code, while the sim64-collapse class this ceiling exists for
+    # (132 s at r8) is unmissable at 45 too.
+    "sf10_q74_simhash_neardup": 45.0,
+    # 90 → 70 (round 17): registered min-of-2 band — calm 27.6-35.2,
+    # striped-at-calm-brackets readings 44.1 (r12) and 47.8 (r17 run 2,
+    # both samples slow under calm probe pairs while the stage sum read
+    # 20.8).  70 ≈ 2× the calm band top and 1.45× the worst observed
+    # green-code reading (the verdict's ~60 had only 1.25× margin over
+    # r17's own 47.8); the old 90 predates the calm-retry machinery.
+    "sf10_ppjoin_pairs": 70.0,
     "sf10_simhash120_neardup": 60.0,
 }
 
@@ -414,8 +419,14 @@ def main() -> None:
         ON by default — every extras leg carries (before, after) probe
         pairs like the gated legs, so BENCH_DETAIL readers can tell a
         contended informational sample from a calm one — and the builder
-        retained for the EXTRAS_RETRY end-of-run pass."""
-        extras_builders[label] = build
+        retained for the EXTRAS_RETRY end-of-run pass.  Only EXTRAS_RETRY
+        labels are retained: several non-retry legs (the zipf corpus
+        legs, matmul_dat_768) close over TemporaryDirectory-backed files
+        that are deleted before the retry pass runs — retaining their
+        builders would be a landmine for anyone extending the retry
+        list without checking input lifetimes."""
+        if label in EXTRAS_RETRY:
+            extras_builders[label] = build
         run_entry(label, build, sink, reps=reps, spark_probe=spark_probe)
 
     # JIT-warm the probe's exact codegen shape before any classification
@@ -668,46 +679,6 @@ def main() -> None:
         reps=1,
     )
 
-    # second non-consecutive matmul_auto_2048 stage pass (round 17,
-    # VERDICT r16 item 5) — min-merges with the early pass; the recorded
-    # stagesum is the contention-robust informational read
-    matmul2048_stage_guarded()
-    if (
-        "matmul2048_stage1_tiles" in extras
-        and "matmul2048_stage2_join_gemm_agg" in extras
-    ):
-        extras["matmul_auto_2048_stagesum"] = round(
-            extras["matmul2048_stage1_tiles"]
-            + extras["matmul2048_stage2_join_gemm_agg"],
-            3,
-        )
-
-    # ---- Load-aware extras retry (round 17, VERDICT r16 item 1) ----
-    # The calm-sample discipline the headline and gated sf10 legs got in
-    # r16 now reaches the expensive informational extras: every extras
-    # leg is spark-probe-bracketed (run_extra), and the EXTRAS_RETRY
-    # legs — multi-second informational reads plus every slope
-    # numerator/denominator — get ONE bounded retry when no invocation
-    # saw a calm window.  run_entry min-merges, so a retry can only
-    # improve the recorded minimum; all slope ratios are recomputed
-    # AFTER this pass (and after the headline retry, whose minima feed
-    # the sf1/sf0.1 slope denominators).
-    extras_pending = [
-        l
-        for l in EXTRAS_RETRY
-        if l in extras
-        and l in extras_builders
-        and l not in _calm_legs()
-        and l not in errors
-    ]
-    if extras_pending:
-        for _ in range(3):
-            if _spark_probe() <= _probe_calm_threshold():
-                break
-            time.sleep(40)
-        for l in extras_pending:
-            run_entry(l, extras_builders[l], extras, reps=1, spark_probe=True)
-
     # BM25 ranked retrieval (round 10): query-vocabulary semi-join keeps
     # postings candidate-bounded (search.py).
     from emulating_hadoop_with_mpi_spark.functions.search import bm25_topk
@@ -899,9 +870,10 @@ def main() -> None:
         for name in slope_set:
             q = registry[name]
             run_extra(f"sf1_{name}", lambda q=q: q.fn(spark, sf1_dir), extras)
-            base = timings.get(name, extras.get(name))
-            if base and f"sf1_{name}" in extras:
-                extras[f"slope_{name}"] = round(extras[f"sf1_{name}"] / base, 2)
+        # (slope_<name> ratios are computed ONCE, in the final
+        # post-retry recompute table — round 17 removed the in-loop
+        # duplicates that could only ever disagree with the shipped
+        # values)
         sf1_docs = load_table(spark, sf1_dir, "documents")
         run_extra("sf1_ppjoin_pairs", lambda: ppjoin_pairs(sf1_docs, persist=True), extras)
         # first of two non-consecutive samples (the second runs in the
@@ -933,14 +905,6 @@ def main() -> None:
         # min-of-N base (clock quantization on a pathologically fast leg)
         # must skip the ratio, not ZeroDivisionError outside run_entry's
         # try and kill the rest of the run
-        if (
-            "q86_pack_sequences" in extras
-            and "sf1_q86_pack_sequences" in extras
-            and extras["q86_pack_sequences"]
-        ):
-            extras["slope_q86_pack_sequences"] = round(
-                extras["sf1_q86_pack_sequences"] / extras["q86_pack_sequences"], 2
-            )
         # extended curate composition at the decade (round 15, VERDICT
         # r14 item 2): the one cost class with no measured scale point —
         # its fixed job-count overhead should amortize, so the slope
@@ -951,27 +915,11 @@ def main() -> None:
             extras,
             reps=1,
         )
-        if (
-            "curate_extended" in extras
-            and "sf1_curate_extended" in extras
-            and extras["curate_extended"]
-        ):
-            extras["slope_curate_extended"] = round(
-                extras["sf1_curate_extended"] / extras["curate_extended"], 2
-            )
         run_extra(
             "sf1_duplicate_spans_n10",
             lambda: duplicate_spans(sf1_docs, n=10),
             extras,
         )
-        if (
-            "duplicate_spans_n10" in extras
-            and "sf1_duplicate_spans_n10" in extras
-            and extras["duplicate_spans_n10"]
-        ):
-            extras["slope_duplicate_spans_n10"] = round(
-                extras["sf1_duplicate_spans_n10"] / extras["duplicate_spans_n10"], 2
-            )
         run_extra(
             "sf1_dsir_scores",
             lambda: dsir_scores(
@@ -980,10 +928,6 @@ def main() -> None:
             ),
             extras,
         )
-        if "dsir_scores" in extras and "sf1_dsir_scores" in extras and extras["dsir_scores"]:
-            extras["slope_dsir_scores"] = round(
-                extras["sf1_dsir_scores"] / extras["dsir_scores"], 2
-            )
         run_extra(
             "sf1_clf_train_score",
             lambda: quality_clf_scores(
@@ -991,23 +935,11 @@ def main() -> None:
             ),
             extras,
         )
-        if (
-            "clf_train_score" in extras
-            and "sf1_clf_train_score" in extras
-            and extras["clf_train_score"]
-        ):
-            extras["slope_clf_train_score"] = round(
-                extras["sf1_clf_train_score"] / extras["clf_train_score"], 2
-            )
         run_extra(
             "sf1_lm_xent",
             lambda: bigram_lm_xent(sf1_docs.select("doc_id", "text")),
             extras,
         )
-        if "lm_xent" in extras and "sf1_lm_xent" in extras and extras["lm_xent"]:
-            extras["slope_lm_xent"] = round(
-                extras["sf1_lm_xent"] / extras["lm_xent"], 2
-            )
         # BPE slope: the word-count pass scales with the corpus; the 48
         # merge rounds run on the vocabulary, which the synthetic corpus
         # barely grows — slope ≈ startup-dominated sublinear by design.
@@ -1020,14 +952,6 @@ def main() -> None:
             extras,
             reps=1,
         )
-        if (
-            "bpe_train_encode_48" in extras
-            and "sf1_bpe_train_encode_48" in extras
-            and extras["bpe_train_encode_48"]
-        ):
-            extras["slope_bpe_train_encode_48"] = round(
-                extras["sf1_bpe_train_encode_48"] / extras["bpe_train_encode_48"], 2
-            )
         # end-to-end fuzzy-dedup pipeline (candidates -> lev verify ->
         # distributed CC) a decade up — exercises the pointer-jumping
         # component stage on real near-dup clusters; reps=1, iterative
@@ -1094,16 +1018,8 @@ def main() -> None:
         for name in ("q70_dedup_exact", "q72_ngram_jaccard_pairs", "q73_minhash_lsh_neardup"):
             q = registry[name]
             run_extra(f"sf3_{name}", lambda q=q: q.fn(spark, sf3_dir), extras)
-            if f"sf1_{name}" in extras and f"sf3_{name}" in extras:
-                extras[f"slope2_{name}"] = round(
-                    extras[f"sf3_{name}"] / extras[f"sf1_{name}"], 2
-                )
         sf3_docs = load_table(spark, sf3_dir, "documents")
         run_extra("sf3_ppjoin_pairs", lambda: ppjoin_pairs(sf3_docs, persist=True), extras)
-        if "sf1_ppjoin_pairs" in extras and "sf3_ppjoin_pairs" in extras:
-            extras["slope2_ppjoin_pairs"] = round(
-                extras["sf3_ppjoin_pairs"] / extras["sf1_ppjoin_pairs"], 2
-            )
         # fuzzy pipeline slope over the 3× step (VERDICT r8 item 4): the
         # banded-lev verify and CC stages must track near-dup density, not
         # corpus size — slope2 ≈ 3 is linear, gated ≤ 4 below.
@@ -1113,10 +1029,6 @@ def main() -> None:
             extras,
             reps=1,
         )
-        if "sf1_q71_fuzzy_dedup" in extras and "sf3_q71_fuzzy_dedup" in extras:
-            extras["slope2_q71_fuzzy_dedup"] = round(
-                extras["sf3_q71_fuzzy_dedup"] / extras["sf1_q71_fuzzy_dedup"], 2
-            )
 
     # Third slope decade — the dedup-family gate (VERDICT r7 item 2): a
     # documents-only 10× upscale of sf1 (sources/scale.py --only documents,
@@ -1446,6 +1358,47 @@ def main() -> None:
         reps=1,
     )
 
+    # second non-consecutive matmul_auto_2048 stage pass (round 17,
+    # VERDICT r16 item 5) — min-merges with the early pass; the recorded
+    # stagesum is the contention-robust informational read
+    matmul2048_stage_guarded()
+    if (
+        "matmul2048_stage1_tiles" in extras
+        and "matmul2048_stage2_join_gemm_agg" in extras
+    ):
+        extras["matmul_auto_2048_stagesum"] = round(
+            extras["matmul2048_stage1_tiles"]
+            + extras["matmul2048_stage2_join_gemm_agg"],
+            3,
+        )
+
+    # ---- Load-aware extras retry (round 17, VERDICT r16 item 1) ----
+    # The calm-sample discipline the headline and gated sf10 legs got in
+    # r16 now reaches the expensive informational extras: every extras
+    # leg is spark-probe-bracketed (run_extra), and the EXTRAS_RETRY
+    # legs — multi-second informational reads plus every slope
+    # numerator/denominator — get ONE bounded retry when no invocation
+    # saw a calm window.  run_entry min-merges, so a retry can only
+    # improve the recorded minimum; all slope ratios are recomputed
+    # AFTER this pass (and after the headline retry, whose minima feed
+    # the sf1/sf0.1 slope denominators).
+    extras_pending = [
+        l
+        for l in EXTRAS_RETRY
+        if l in extras
+        and l in extras_builders
+        and l not in _calm_legs()
+        and l not in errors
+    ]
+    if extras_pending:
+        for _ in range(3):
+            if _spark_probe() <= _probe_calm_threshold():
+                break
+            time.sleep(40)
+        for l in extras_pending:
+            run_entry(l, extras_builders[l], extras, reps=1, spark_probe=True)
+
+
     # ---- Load-aware headline retry (round 16, VERDICT r15 item 1) ----
     # Headline legs whose every invocation ran under a contended window
     # (no calm (before, after) probe pair) get bounded non-consecutive
@@ -1649,10 +1602,10 @@ def main() -> None:
     gates: dict[str, dict] = {}
     # q74-as-registered at the decade (VERDICT r9 item 3 done-criterion):
     # the sim64 size gate must keep the union's sf10 cost ~the sim120
-    # branch — ceiling 60 s leaves headroom for the count() + union.
+    # branch; ceiling + band history live at SF10_GATED_CEILINGS.
     if "sf10_q74_simhash_neardup" in extras:
         t = extras["sf10_q74_simhash_neardup"]
-        gates["sf10_q74_registered_max_40s"] = _gate(
+        gates["sf10_q74_registered_max_45s"] = _gate(
             "sf10_q74_simhash_neardup", t, _norm("sf10_q74_simhash_neardup", t),
             SF10_GATED_CEILINGS["sf10_q74_simhash_neardup"],
         )
@@ -1731,10 +1684,8 @@ def main() -> None:
     # the min-of-2 sum is doing real work) and 25.47 (r14, hsf-1.2
     # box), confirming the band — ceiling tightened 60 → 45 per the
     # r13 plan (~1.8× over calm; a 2× regression of the signature
-    # exchange still fails).  The backstop sits at ~2× worst calm
-    # (75 s), above the worst observed stripe sample (91.3 was a single
-    # leg; its same-run pair read 59.5, so the min-of-2 registered leg
-    # has never exceeded 59.5).
+    # exchange still fails).  The registered backstop's ceiling + band
+    # history live at SF10_GATED_CEILINGS (75 → 65 in round 17).
     q73_stage_keys = [
         "sf10_q73_stage1_signatures",
         "sf10_q73_stage2_band_join",
@@ -1774,7 +1725,38 @@ def main() -> None:
         s_raw = round(ss_raw / den_raw, 2)
         s_norm = round(ss_norm / den_norm, 2) if den_norm else s_raw
         extras[gate_name.rsplit("_max_", 1)[0] + "_basis"] = s_raw
-        gates[gate_name] = _gate(den_key, s_raw, s_norm, thr)
+        # Rescue discipline mirrors _gate_stage_sum, not _gate: a
+        # normalized rescue is trusted only when EVERY probe the ratio
+        # rides — all stage legs AND the denominator — sits inside the
+        # 2× sanity band; otherwise the correction itself is the
+        # untrusted quantity and the gate reads indeterminate, never a
+        # rescued pass (a throttled stage pass would otherwise deflate
+        # ss_norm and green-light a real regression).
+        ps = {k: probes.get(k) for k in [*stage_keys, den_key]}
+        probe_sane = all(
+            p is not None and p <= PROBE_SANITY_FACTOR * PROBE_REF_SEC
+            for p in ps.values()
+        )
+        pairs = spark_probe_pairs.get(den_key)
+        never_calm = bool(pairs) and den_key not in _calm_legs()
+        if s_raw <= thr:
+            status = "pass"
+        elif probe_sane and s_norm <= thr:
+            status = "pass"
+        elif never_calm or not probe_sane:
+            status = "indeterminate"
+        else:
+            status = "fail"
+        gates[gate_name] = {
+            "raw": s_raw, "value": s_norm, "threshold": thr,
+            "stage_legs": {k: extras[k] for k in stage_keys},
+            "den_key": den_key, "den_raw": den_raw,
+            "probes": ps, "probe_sane": probe_sane,
+            "spark_probe_pairs": pairs,
+            "multi_core_calm_sample": bool(pairs) and not never_calm,
+            "basis": "stage_leg_sum_over_sf1_registered_leg",
+            "pass": status == "pass", "status": status,
+        }
 
     # q73 band (stage-sum / sf1-registered): r16 calm 24.0/4.3 ≈ 5.6;
     # r17 run 1 (contended) 36.7/4.31 = 8.52; r17 run 2 26.5/5.09 =
@@ -1798,8 +1780,9 @@ def main() -> None:
     # so 45 s keeps ~1.5-1.8× over calm while a real 2× regression (the
     # pigeonhole join degenerating toward sim64's quadratic collisions)
     # still fails.  The old ceiling survives as a catastrophic backstop
-    # at ~2× worst calm (60 s — also the q74-registered ceiling, which
-    # is this operator plus a pruned branch and a count).
+    # at ~2× worst calm (60 s; the q74-registered ceiling — this
+    # operator plus a pruned branch and a count — sits at 45 since
+    # round 17, see SF10_GATED_CEILINGS).
     sim120_stage_keys = [
         "sf10_sim120_stage1_sketch",
         "sf10_sim120_stage2_pairs",
@@ -1848,8 +1831,9 @@ def main() -> None:
     # artifact, which passed even under its median-10 co-tenant load) —
     # so 45 s carries ~1.6× headroom over the band's top while a genuine
     # ~2× stage regression now reads red instead of green.
-    # The old registered-leg ceiling survives as a catastrophic backstop
-    # at 90 s (~2× the worst observed calm min-of-2, 44.1 in r12).
+    # The registered-leg ceiling survives as a catastrophic backstop;
+    # its value + band history live at SF10_GATED_CEILINGS (90 → 70 in
+    # round 17).
     ppjoin_stage_keys = [
         "sf10_ppjoin_stage1_ranked",
         "sf10_ppjoin_stage2_prefix_join",
@@ -1868,7 +1852,7 @@ def main() -> None:
     )
     if "sf10_ppjoin_pairs" in extras:
         t = extras["sf10_ppjoin_pairs"]
-        gates["sf10_ppjoin_backstop_max_60s"] = _gate(
+        gates["sf10_ppjoin_backstop_max_70s"] = _gate(
             "sf10_ppjoin_pairs", t, _norm("sf10_ppjoin_pairs", t),
             SF10_GATED_CEILINGS["sf10_ppjoin_pairs"],
         )
