@@ -31,12 +31,27 @@ Hamming answer independently (promoted from rows-only, round 7).
 tests/test_pipeline_ops.py additionally checks sketch recall properties.
 
 Everything is JVM expressions (split/transform/explode/xxhash64) — no
-Python in the hot path.
+Python in the hot path, with ONE deliberate exception (round 17): the
+128-permutation MinHash signature computation runs as a vectorized
+NumPy ``mapInArrow`` stage over the per-doc shingle-hash sets.  The
+JVM formulation forced the whole (collect_set + 128 mins) groupBy into
+an interpreted ObjectHashAggregate (collect_set is a typed-imperative
+aggregate, and 128 output fields exceed the whole-stage-codegen field
+cap anyway), paying ~129 interpreted buffer updates per shingle row.
+Splitting it — JVM groupBy does only collect_set, then one Arrow batch
+pass computes all 128 mins with ``np.minimum.reduceat`` over the flat
+values buffer — produces bit-identical signatures (same xxhash64 input,
+same (a·x+b) mod p in int64) and measured 1.6-2.0× on the stage and on
+q73 end-to-end at sf0.1/sf1/sf10 (tools/ab_minhash.py, EQUAL at every
+SF; guide §4.2's batch-native-library pattern).
 """
 
 from __future__ import annotations
 
 import warnings
+
+import numpy as np
+import pyarrow as pa
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -646,28 +661,65 @@ def _perm_constants(num_perm: int) -> list[tuple[int, int]]:
     return consts
 
 
+def _sig_batches_fn(num_perm: int, shift: bool, carry_set: bool):
+    """Arrow-batch MinHash kernel: (doc_id, <set column>) batches →
+    (doc_id[, shset], h0..h{num_perm-1}).
+
+    ``shift``: the set holds full 64-bit shingle hashes (sh) and the
+    permutation input is their top 32 bits; False means the set already
+    holds the 32-bit-shifted values.  ``carry_set``: pass the set column
+    through (minhash_combined's shset contract).
+
+    Values are bit-identical to the JVM formulation: same int64
+    (a·x + b) mod MERSENNE_31 (a·x + b < 2⁶³ — no overflow, module
+    header), min over the same per-doc set."""
+    consts = np.asarray(_perm_constants(num_perm), dtype=np.int64)
+    a_c, b_c = consts[:, 0], consts[:, 1]
+
+    def gen(batches):
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ids = batch.column(0)
+            la = batch.column(1)
+            offs = la.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            # sliced list arrays: offsets need not start at 0, and the
+            # values buffer can extend past the last offset — clamp so
+            # reduceat's final segment ends at the last row's end.
+            vals = la.values.to_numpy(zero_copy_only=False)[: offs[-1]]
+            starts = offs[:-1]
+            h = (
+                (vals.astype(np.uint64) >> np.uint64(32)).astype(np.int64)
+                if shift
+                else vals
+            )
+            cols = [ids, la] if carry_set else [ids]
+            names = ["doc_id", "shset"] if carry_set else ["doc_id"]
+            for i in range(num_perm):
+                y = (h * a_c[i] + b_c[i]) % MERSENNE_31
+                cols.append(pa.array(np.minimum.reduceat(y, starts), type=pa.int64()))
+                names.append(f"h{i}")
+            yield pa.RecordBatch.from_arrays(cols, names=names)
+
+    return gen
+
+
 def minhash_signatures(ds: DataFrame, num_perm: int = NUM_PERM) -> DataFrame:
     """(doc_id, h0..h{num_perm-1}) — MinHash signature per document.
 
     The shingle string is hashed ONCE (xxhash64, top 32 bits); each
     permutation is the classic universal hash (a·x + b) mod (2³¹−1) of
-    that value — cheap JVM integer ops, provably overflow-free under ANSI
-    mode (a·x + b < 2⁶³), ~num_perm× less string hashing than hashing per
-    permutation.  Signature = plain min-aggregates (partial map-side, one
-    shuffle)."""
-    consts = _perm_constants(num_perm)
+    that value.  One shuffle (groupBy collect_set), then the mins run in
+    the vectorized Arrow kernel (module header, round 17) — bit-identical
+    to the former 128-min JVM aggregate, without its interpreted
+    ObjectHashAggregate cost."""
     hashed = ds.select(
         "doc_id", F.shiftrightunsigned(F.xxhash64("shingle"), 32).alias("h")
     )
-    perms = hashed.select(
-        "doc_id",
-        *[
-            F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(MERSENNE_31)).alias(f"x{i}")
-            for i, (a, b) in enumerate(consts)
-        ],
-    )
-    return perms.groupBy("doc_id").agg(
-        *[F.min(f"x{i}").alias(f"h{i}") for i in range(num_perm)]
+    sets = hashed.groupBy("doc_id").agg(F.collect_set("h").alias("hset"))
+    schema = "doc_id bigint, " + ", ".join(f"h{i} bigint" for i in range(num_perm))
+    return sets.mapInArrow(
+        _sig_batches_fn(num_perm, shift=False, carry_set=False), schema
     )
 
 
@@ -711,20 +763,21 @@ def minhash_combined(docs: DataFrame) -> DataFrame:
     The shingle frame itself is NOT cached: it has exactly one consumer
     (this groupBy) — caching it would materialize O(corpus tokens) rows
     into storage memory for nothing (measured: the stale cache was the
-    main memory-pressure and run-variance source at the sf10 decade)."""
+    main memory-pressure and run-variance source at the sf10 decade).
+
+    Round 17: the groupBy collects ONLY the shingle-hash set (the verify
+    frame); the 128 signature mins derive from that set in the vectorized
+    Arrow kernel (module header) — h{i} = min over the set of
+    (a·(sh>>32) + b) mod p, exactly the values the former in-aggregate
+    formulation produced (min over rows == min over the distinct set)."""
     ds = shingles_df(docs)
-    consts = _perm_constants(NUM_PERM)
-    hashed = ds.select(
-        "doc_id",
-        F.xxhash64("shingle").alias("sh"),
-        F.shiftrightunsigned(F.xxhash64("shingle"), 32).alias("h"),
+    hashed = ds.select("doc_id", F.xxhash64("shingle").alias("sh"))
+    sets = hashed.groupBy("doc_id").agg(F.collect_set("sh").alias("shset"))
+    schema = "doc_id bigint, shset array<bigint>, " + ", ".join(
+        f"h{i} bigint" for i in range(NUM_PERM)
     )
-    return hashed.groupBy("doc_id").agg(
-        F.collect_set("sh").alias("shset"),
-        *[
-            F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(MERSENNE_31))).alias(f"h{i}")
-            for i, (a, b) in enumerate(consts)
-        ],
+    return sets.mapInArrow(
+        _sig_batches_fn(NUM_PERM, shift=True, carry_set=True), schema
     ).cache()
 
 

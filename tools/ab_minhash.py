@@ -26,7 +26,6 @@ from emulating_hadoop_with_mpi_spark.functions.dedup import (
     MERSENNE_31,
     NUM_PERM,
     _perm_constants,
-    minhash_combined,
     minhash_verified_pairs,
     shingles_df,
 )
@@ -35,6 +34,28 @@ from emulating_hadoop_with_mpi_spark.sources.tables import load_table
 from pyspark.sql import functions as F
 
 _CONSTS = np.asarray(_perm_constants(NUM_PERM), dtype=np.int64)
+
+
+def minhash_combined(docs):
+    """The pre-round-17 JVM formulation (collect_set + 128 mins in one
+    ObjectHashAggregate) — kept here as the A/B baseline arm after
+    functions/dedup.py switched to the Arrow kernel."""
+    consts = _perm_constants(NUM_PERM)
+    ds = shingles_df(docs)
+    hashed = ds.select(
+        "doc_id",
+        F.xxhash64("shingle").alias("sh"),
+        F.shiftrightunsigned(F.xxhash64("shingle"), 32).alias("h"),
+    )
+    return hashed.groupBy("doc_id").agg(
+        F.collect_set("sh").alias("shset"),
+        *[
+            F.min(
+                F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(MERSENNE_31))
+            ).alias(f"h{i}")
+            for i, (a, b) in enumerate(consts)
+        ],
+    ).cache()
 
 
 def _sig_batches(it):

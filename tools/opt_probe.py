@@ -89,7 +89,10 @@ def main() -> None:
             legs = []
             for _ in range(reps):
                 # fresh build each rep so no accidental reuse of a prior
-                # rep's materialized state skews steady-state timing
+                # rep's materialized state skews steady-state timing;
+                # clearCache so queries with internal persist/cache pay
+                # their cache-build every rep (bench methodology)
+                spark.catalog.clearCache()
                 dfr = q.fn(spark, sf_dir)
                 spark.sparkContext.setJobDescription(f"opt_probe:{name}")
                 t0 = time.perf_counter()
