@@ -585,6 +585,11 @@ def main() -> None:
         "q86_pack_sequences",
         "q76b_ivf_equals_brute",
         "q74_simhash_neardup",
+        # round 17: q27 joined the timed extras after the distinct-rewrite
+        # pathology fix (operators/advanced.py — 24.7 s → 2.4 s at sf0.1);
+        # recorded so any regression back toward sketch-per-order state
+        # is visible in the artifact, not just in driver correctness time.
+        "q27_approx_sketches",
     ):
         q = registry[name]
         if name == "q85_chunk_documents":
