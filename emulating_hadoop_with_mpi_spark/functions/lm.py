@@ -47,6 +47,7 @@ Parenthesization is pinned identically in Spark and the oracle SQL:
 
 from __future__ import annotations
 
+import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -56,10 +57,96 @@ def _h60(col):
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def _profile_batches_fn():
+    """Arrow-batch profile kernel (round 18, guide §4.2 + §2.4 — the
+    dsir._bucket_batches_fn shape): (doc_id, text) batches →
+    (doc_id, h12, h1, c) rows, the per-doc hashed-bigram counts computed
+    ROW-LOCALLY.  The former Catalyst form paid an interpreted transform
+    lambda per token, TWO md5s per bigram occurrence, and a full
+    (doc_id, h12, h1) groupBy exchange of the exploded pair stream; a
+    document's bigrams all live in one row, so the kernel counts them
+    in-process and the exchange disappears.  Bit-identical: same Java-\\s
+    tokenization of lower(text), same 60-bit ``md5(s)[:15 hex]``
+    arithmetic (memoized per distinct string — repeated grams and the
+    per-token unigram hashes compute once), counts keyed by the exact
+    (h12, h1) PAIR like the former groupBy, so even an md5 collision
+    between bigrams sharing h12 but not h1 yields the same rows — pinned
+    against the retained _doc_bigram_profile_jvm twin in
+    tests/test_profile_kernels.py."""
+    from emulating_hadoop_with_mpi_spark.functions.dsir import _MD5_CACHE_CAP
+    from emulating_hadoop_with_mpi_spark.functions.text import _JAVA_WS_RE
+
+    def gen(batches):
+        import hashlib
+
+        memo: dict[str, int] = {}
+
+        def h60(s: str) -> int:
+            v = memo.get(s)
+            if v is None:
+                v = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+                if len(memo) >= _MD5_CACHE_CAP:
+                    memo.clear()
+                memo[s] = v
+            return v
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            names = batch.schema.names
+            ids = batch.column(names.index("doc_id")).to_pylist()
+            texts = batch.column(names.index("text")).to_pylist()
+            o_id: list = []
+            o_12: list = []
+            o_1: list = []
+            o_c: list = []
+            for did, t in zip(ids, texts):
+                toks = [w for w in _JAVA_WS_RE.split(t.lower()) if w]
+                if len(toks) < 2:
+                    continue
+                counts: dict[tuple[int, int], int] = {}
+                prev = toks[0]
+                hprev = h60(prev)
+                for w in toks[1:]:
+                    key = (h60(prev + " " + w), hprev)
+                    counts[key] = counts.get(key, 0) + 1
+                    prev = w
+                    hprev = h60(w)
+                for (h12, h1), c in counts.items():
+                    o_id.append(did)
+                    o_12.append(h12)
+                    o_1.append(h1)
+                    o_c.append(c)
+            if o_id:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(o_id, type=pa.int64()),
+                        pa.array(o_12, type=pa.int64()),
+                        pa.array(o_1, type=pa.int64()),
+                        pa.array(o_c, type=pa.int64()),
+                    ],
+                    names=["doc_id", "h12", "h1", "c"],
+                )
+
+    return gen
+
+
 def doc_bigram_profile(docs: DataFrame) -> DataFrame:
     """(doc_id, h12, h1, c): per-document hashed-bigram occurrence
     counts, with the conditioning-unigram hash kept alongside for the
-    denominator join.  One map-side-combined exchange."""
+    denominator join.  Computed by the Arrow kernel
+    (_profile_batches_fn): zero exchanges — the former explode + groupBy
+    shuffled the whole pair stream to group by a key (doc_id) every pair
+    of which already sat in one row."""
+    return docs.select("doc_id", "text").mapInArrow(
+        _profile_batches_fn(),
+        "doc_id bigint, h12 bigint, h1 bigint, c bigint",
+    )
+
+
+def _doc_bigram_profile_jvm(docs: DataFrame) -> DataFrame:
+    """The former all-Catalyst formulation of :func:`doc_bigram_profile`
+    (rounds 10-17), retained as the kernel's equality twin."""
     from emulating_hadoop_with_mpi_spark.functions.text import tokens_col
 
     toks = F.col("toks")

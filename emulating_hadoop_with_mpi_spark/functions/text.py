@@ -10,6 +10,10 @@ across engines).
 
 from __future__ import annotations
 
+import re as _re
+
+import numpy as np
+import pyarrow as pa
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -413,13 +417,288 @@ def q81_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_scores(docs.select("doc_id", "text").orderBy("doc_id"))
 
 
+# ---------------------------------------------------------------------------
+# Quality-feature Arrow kernel (round 18, guide §4.2 — the r17 MinHash
+# pattern applied to the quality family): the per-doc repetition counts
+# (most-frequent word / bigram, duplicate-trigram distincts) and the
+# stopword/alpha/digit counts were Catalyst higher-order functions
+# (transform / zip_with / aggregate / filter lambdas) — interpreted PER
+# ELEMENT, the same cost class the MinHash kernel removed.  One
+# mapInArrow over (doc_id, text) now computes every count vectorized:
+# character classes as NumPy byte masks over the contiguous Arrow string
+# buffer, token modes via dictionary-encode + segmented reduceat.  The
+# ratio/quality projections stay in the JVM (identical expressions to
+# the former formulation), so every emitted value is bit-identical —
+# pinned against the retained _quality_scores_jvm twin in
+# tests/test_quality_kernel.py and by the q81/q82/q85 oracles.
+# ---------------------------------------------------------------------------
+
+# Java regex \s — what tokens_col splits on (python re over the same
+# class; the corpus tokenizer's semantics, NOT python's \s which adds
+# \x1c-\x1f etc.)
+_JAVA_WS_RE = _re.compile("[ \t\n\x0b\f\r]+")
+
+
+def _qfeat_batches_fn(full: bool, keep_text: bool):
+    """mapInArrow generator over (doc_id, text) batches → per-doc count
+    columns (n_chars, n_tokens, n_alpha, n_digit, n_stop and — ``full``
+    — max_word, top2, n2, n3, d3), all bigint.  Bit-identical to the
+    former Catalyst formulation: same Java-\\s tokenization of
+    lower(text) with empties dropped, ASCII [a-zA-Z]/[0-9] class counts,
+    length() = codepoint count (UTF-8 non-continuation bytes), exact
+    per-doc mode counts (the former xxhash64 fingerprint run-length
+    gave the same values absent 64-bit collisions).
+
+    Everything the generator references is nested or bound by value —
+    NO module-function references — so cloudpickle ships the whole
+    closure by value and Python workers need NOT be able to import this
+    package (the driver may run from any cwd; the r17 MinHash kernel set
+    the precedent)."""
+    stop_set = set(ALL_STOPWORDS)
+    ws_re = _JAVA_WS_RE
+
+    def seg_sums(mask: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+        """Per-segment sums of a boolean mask: cumsum sampled at offsets."""
+        cs = np.zeros(mask.size + 1, dtype=np.int64)
+        np.cumsum(mask, out=cs[1:])
+        return cs[offsets[1:]] - cs[offsets[:-1]]
+
+    def seg_mode(row_ids: np.ndarray, codes: np.ndarray, k: int, n: int) -> np.ndarray:
+        """Count of the most frequent code per row (0 for empty rows):
+        unique over the composite (row, code) key, then a segmented max
+        of the counts — the vectorized twin of _max_run over sorted
+        hashes."""
+        out = np.zeros(n, dtype=np.int64)
+        if codes.size == 0:
+            return out
+        key = row_ids * k + codes
+        uk, uc = np.unique(key, return_counts=True)
+        urow = uk // k
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(urow)) + 1))
+        out[urow[starts]] = np.maximum.reduceat(uc, starts)
+        return out
+
+    def gen(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            names = batch.schema.names
+            ids = batch.column(names.index("doc_id"))
+            text_arr = batch.column(names.index("text"))
+            if text_arr.null_count:
+                raise ValueError(
+                    "quality kernel: null text (upstream contract is non-null)"
+                )
+            bufs = text_arr.buffers()
+            off_dtype = (
+                np.int64 if pa.types.is_large_string(text_arr.type) else np.int32
+            )
+            # sliced arrays: offsets need not start at 0 — rebase to the
+            # slice's own byte range before the segmented sums
+            offs = np.frombuffer(bufs[1], dtype=off_dtype)[
+                text_arr.offset : text_arr.offset + n + 1
+            ].astype(np.int64)
+            data = np.frombuffer(bufs[2], dtype=np.uint8)[offs[0] : offs[-1]]
+            ends = offs - offs[0]
+            n_chars = seg_sums((data & 0xC0) != 0x80, ends)
+            m_alpha = ((data >= 65) & (data <= 90)) | ((data >= 97) & (data <= 122))
+            n_alpha = seg_sums(m_alpha, ends)
+            n_digit = seg_sums((data >= 48) & (data <= 57), ends)
+
+            texts = text_arr.to_pylist()
+            flat: list = []
+            counts = np.empty(n, dtype=np.int64)
+            for i, t in enumerate(texts):
+                tk = [w for w in ws_re.split(t.lower()) if w]
+                counts[i] = len(tk)
+                flat.extend(tk)
+            tok_off = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(counts, out=tok_off[1:])
+
+            if flat:
+                enc = pa.array(flat, type=pa.string()).dictionary_encode()
+                codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+                dic = enc.dictionary.to_pylist()
+            else:
+                codes = np.zeros(0, dtype=np.int64)
+                dic = []
+            k = max(len(dic), 1)
+            stop_flag = np.fromiter(
+                (s in stop_set for s in dic), dtype=bool, count=len(dic)
+            )
+            n_stop = seg_sums(
+                stop_flag[codes] if codes.size else np.zeros(0, dtype=bool), tok_off
+            )
+
+            cols = [ids] + ([batch.column(names.index("text"))] if keep_text else [])
+            out_names = ["doc_id"] + (["text"] if keep_text else [])
+            by_name = {
+                "n_chars": n_chars,
+                "n_tokens": counts,
+                "n_alpha": n_alpha,
+                "n_digit": n_digit,
+                "n_stop": n_stop,
+            }
+            if full:
+                # int64 composite keys: guard the (rows × dict) products
+                # loudly (a 10k-row batch over any real vocabulary is
+                # orders of magnitude below this)
+                lim = 1 << 62
+                if codes.size >= (1 << 31) or n * k >= lim or k * k >= lim:
+                    raise ValueError("quality kernel: batch too large for int64 keys")
+                row_ids = np.repeat(np.arange(n, dtype=np.int64), counts)
+                max_word = seg_mode(row_ids, codes, k, n)
+                pos = np.arange(codes.size, dtype=np.int64)
+                has_next = (
+                    (pos + 1) < tok_off[row_ids + 1]
+                    if codes.size
+                    else np.zeros(0, dtype=bool)
+                )
+                b_idx = np.flatnonzero(has_next)
+                # bigram code = dense rank of (code, next code) pairs
+                pk = codes[b_idx] * k + codes[b_idx + 1]
+                up, pinv = np.unique(pk, return_inverse=True)
+                kp = max(len(up), 1)
+                if n * kp >= lim or kp * k >= lim:
+                    raise ValueError("quality kernel: batch too large for int64 keys")
+                top2 = seg_mode(row_ids[b_idx], pinv, kp, n)
+                # trigram distincts: (bigram rank at i, code at i+2)
+                has_next2 = (
+                    (pos + 2) < tok_off[row_ids + 1]
+                    if codes.size
+                    else np.zeros(0, dtype=bool)
+                )
+                t_idx = np.flatnonzero(has_next2)
+                pinv_at = np.full(codes.size, -1, dtype=np.int64)
+                pinv_at[b_idx] = pinv
+                tk_key = pinv_at[t_idx] * k + codes[t_idx + 2]
+                ut = np.unique(tk_key)
+                tinv = np.searchsorted(ut, tk_key)
+                kt = max(len(ut), 1)
+                if n * kt >= lim:
+                    raise ValueError("quality kernel: batch too large for int64 keys")
+                trikey = row_ids[t_idx] * kt + tinv
+                utk = np.unique(trikey)
+                d3 = np.bincount((utk // kt).astype(np.int64), minlength=n)
+                by_name.update(
+                    {
+                        "max_word": max_word,
+                        "top2": top2,
+                        "n2": np.maximum(counts - 1, 0),
+                        "n3": np.maximum(counts - 2, 0),
+                        "d3": d3.astype(np.int64),
+                    }
+                )
+                order = [
+                    "n_chars", "n_tokens", "n_alpha", "n_digit", "n_stop",
+                    "max_word", "top2", "n2", "n3", "d3",
+                ]
+            else:
+                order = ["n_chars", "n_tokens", "n_alpha", "n_stop"]
+            for name in order:
+                cols.append(pa.array(by_name[name], type=pa.int64()))
+                out_names.append(name)
+            yield pa.RecordBatch.from_arrays(cols, names=out_names)
+
+    return gen
+
+
+def _qfeat_schema(full: bool, keep_text: bool) -> str:
+    counts = (
+        ["n_chars", "n_tokens", "n_alpha", "n_digit", "n_stop",
+         "max_word", "top2", "n2", "n3", "d3"]
+        if full
+        else ["n_chars", "n_tokens", "n_alpha", "n_stop"]
+    )
+    cols = ["doc_id bigint"] + (["text string"] if keep_text else [])
+    return ", ".join(cols + [f"{c} bigint" for c in counts])
+
+
+def _quality_ratio_projection(feats: DataFrame, keep_text: bool) -> DataFrame:
+    """The ratio/quality projection over a full count frame — shared by
+    the kernel path and the retained JVM twin so the emitted expressions
+    (and therefore every rounded value) are literally identical."""
+    alpha_r = _ratio(F.col("n_alpha"), F.col("n_chars"))
+    digit_r = _ratio(F.col("n_digit"), F.col("n_chars"))
+    stop_r = _ratio(F.col("n_stop"), F.col("n_tokens"))
+    max_word_r = _ratio(F.col("max_word"), F.col("n_tokens"))
+    top2_r = _ratio(F.col("top2"), F.col("n2"))
+    dup3_r = _ratio(F.col("n3") - F.col("d3"), F.col("n3"))
+    # Integer-exact quality (see oracle comment): scaled weights, integer
+    # division (`div`) — immune to cross-engine float-rounding midpoints.
+    staged = feats.withColumn(
+        "q_num",
+        500000 * F.col("n_alpha") * F.col("n_tokens")
+        + 300000 * F.col("n_stop") * F.col("n_chars")
+        + F.when(
+            F.col("n_tokens") >= 20, 200000 * F.col("n_chars") * F.col("n_tokens")
+        ).otherwise(F.lit(0)),
+    ).withColumn("q_den", F.col("n_chars") * F.col("n_tokens"))
+    quality = F.when(F.col("q_den") == 0, F.lit(0.0)).otherwise(
+        F.expr("CAST(q_num div q_den AS DOUBLE)") / 1000000
+    )
+    return staged.select(
+        "doc_id",
+        *(["text"] if keep_text else []),
+        "n_chars",
+        "n_tokens",
+        alpha_r.alias("alpha_ratio"),
+        digit_r.alias("digit_ratio"),
+        stop_r.alias("stopword_ratio"),
+        max_word_r.alias("max_word_frac"),
+        top2_r.alias("top_bigram_frac"),
+        dup3_r.alias("dup_trigram_frac"),
+        quality.alias("quality"),
+    )
+
+
+def _quality_gate_projection(feats: DataFrame, keep_text: bool) -> DataFrame:
+    """The (n_tokens, quality) projection over a gate count frame —
+    shared by the kernel path and the retained JVM twin."""
+    staged = feats.withColumn(
+        "q_num",
+        500000 * F.col("n_alpha") * F.col("n_tokens")
+        + 300000 * F.col("n_stop") * F.col("n_chars")
+        + F.when(
+            F.col("n_tokens") >= 20, 200000 * F.col("n_chars") * F.col("n_tokens")
+        ).otherwise(F.lit(0)),
+    ).withColumn("q_den", F.col("n_chars") * F.col("n_tokens"))
+    quality = F.when(F.col("q_den") == 0, F.lit(0.0)).otherwise(
+        F.expr("CAST(q_num div q_den AS DOUBLE)") / 1000000
+    )
+    return staged.select(
+        "doc_id",
+        *(["text"] if keep_text else []),
+        "n_tokens",
+        quality.alias("quality"),
+    )
+
+
 def quality_scores(docs: DataFrame, keep_text: bool = False) -> DataFrame:
     """(doc_id, counts, ratios, repetition fractions, quality) for any
     documents frame — the reusable core of q81 (also the gate stage of
     functions/pipeline.curate_corpus).  ``keep_text`` appends the input
     ``text`` column to the output, so a caller that needs the scored
     text (the span-cut re-scoring in curate_frames) gets scores AND text
-    in ONE feature pass instead of a self-join."""
+    in ONE feature pass instead of a self-join.
+
+    Round 18: the per-doc counts come from the vectorized Arrow kernel
+    (_qfeat_batches_fn — guide §4.2) instead of interpreted Catalyst
+    higher-order functions; the ratio/quality projection is unchanged
+    JVM expression code, so values are bit-identical to the former
+    formulation (pinned in tests/test_quality_kernel.py against the
+    retained _quality_scores_jvm twin)."""
+    feats = docs.select("doc_id", "text").mapInArrow(
+        _qfeat_batches_fn(full=True, keep_text=keep_text),
+        _qfeat_schema(full=True, keep_text=keep_text),
+    )
+    return _quality_ratio_projection(feats, keep_text)
+
+
+def _quality_scores_jvm(docs: DataFrame, keep_text: bool = False) -> DataFrame:
+    """The former all-Catalyst formulation of :func:`quality_scores`
+    (rounds 9-17), retained as the kernel's equality twin."""
     # Generate (explode of a 1-element array) is a CollapseProject
     # barrier: the token array AND its xxhash64 fingerprint array are
     # materialized once per row, so the dozen references below read
@@ -468,38 +747,24 @@ def quality_scores(docs: DataFrame, keep_text: bool = False) -> DataFrame:
         F.size(g3h).cast("bigint").alias("n3"),
         F.size(F.array_distinct(g3h)).cast("bigint").alias("d3"),
     )
-    alpha_r = _ratio(F.col("n_alpha"), F.col("n_chars"))
-    digit_r = _ratio(F.col("n_digit"), F.col("n_chars"))
-    stop_r = _ratio(F.col("n_stop"), F.col("n_tokens"))
-    max_word_r = _ratio(F.col("max_word"), F.col("n_tokens"))
-    top2_r = _ratio(F.col("top2"), F.col("n2"))
-    dup3_r = _ratio(F.col("n3") - F.col("d3"), F.col("n3"))
-    # Integer-exact quality (see oracle comment): scaled weights, integer
-    # division (`div`) — immune to cross-engine float-rounding midpoints.
-    staged = feats.withColumn(
-        "q_num",
-        500000 * F.col("n_alpha") * F.col("n_tokens")
-        + 300000 * F.col("n_stop") * F.col("n_chars")
-        + F.when(
-            F.col("n_tokens") >= 20, 200000 * F.col("n_chars") * F.col("n_tokens")
-        ).otherwise(F.lit(0)),
-    ).withColumn("q_den", F.col("n_chars") * F.col("n_tokens"))
-    quality = F.when(F.col("q_den") == 0, F.lit(0.0)).otherwise(
-        F.expr("CAST(q_num div q_den AS DOUBLE)") / 1000000
+    return _quality_ratio_projection(feats, keep_text)
+
+
+def _quality_gate_scores_kernel(docs: DataFrame, keep_text: bool = False) -> DataFrame:
+    """Arrow-kernel formulation of :func:`quality_gate_scores` —
+    MEASURED NEGATIVE as the public path (round 18): the gate subset has
+    none of the repetition features whose interpreted HOF lambdas the
+    kernel removes, so the Python boundary costs more than it saves
+    (interleaved min-of-reps: 0.295 vs 0.433 s at sf0.1, 0.678 vs
+    1.024 s at sf1 — the JVM form wins ~1.5× at both SFs and scales the
+    same).  Retained (with its equality pin in
+    tests/test_quality_kernel.py) as the documented negative result and
+    for re-evaluation on corpora whose stopword filter dominates."""
+    feats = docs.select("doc_id", "text").mapInArrow(
+        _qfeat_batches_fn(full=False, keep_text=keep_text),
+        _qfeat_schema(full=False, keep_text=keep_text),
     )
-    return staged.select(
-        "doc_id",
-        *(["text"] if keep_text else []),
-        "n_chars",
-        "n_tokens",
-        alpha_r.alias("alpha_ratio"),
-        digit_r.alias("digit_ratio"),
-        stop_r.alias("stopword_ratio"),
-        max_word_r.alias("max_word_frac"),
-        top2_r.alias("top_bigram_frac"),
-        dup3_r.alias("dup_trigram_frac"),
-        quality.alias("quality"),
-    )
+    return _quality_gate_projection(feats, keep_text)
 
 
 def quality_gate_scores(docs: DataFrame, keep_text: bool = False) -> DataFrame:
@@ -512,7 +777,8 @@ def quality_gate_scores(docs: DataFrame, keep_text: bool = False) -> DataFrame:
     columns; Catalyst prunes the unused feature columns at optimization
     anyway, but the full forest still costs py4j construction and
     analysis per build (~1 s/call).  ``keep_text`` as in
-    quality_scores."""
+    quality_scores.  Stays all-Catalyst on purpose — see
+    _quality_gate_scores_kernel for the measured negative."""
     staged0 = docs.select(
         "doc_id",
         "text",
@@ -528,23 +794,7 @@ def quality_gate_scores(docs: DataFrame, keep_text: bool = False) -> DataFrame:
         F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).cast("bigint").alias("n_alpha"),
         F.size(F.filter("toks", lambda x: x.isin(*ALL_STOPWORDS))).cast("bigint").alias("n_stop"),
     )
-    staged = feats.withColumn(
-        "q_num",
-        500000 * F.col("n_alpha") * F.col("n_tokens")
-        + 300000 * F.col("n_stop") * F.col("n_chars")
-        + F.when(
-            F.col("n_tokens") >= 20, 200000 * F.col("n_chars") * F.col("n_tokens")
-        ).otherwise(F.lit(0)),
-    ).withColumn("q_den", F.col("n_chars") * F.col("n_tokens"))
-    quality = F.when(F.col("q_den") == 0, F.lit(0.0)).otherwise(
-        F.expr("CAST(q_num div q_den AS DOUBLE)") / 1000000
-    )
-    return staged.select(
-        "doc_id",
-        *(["text"] if keep_text else []),
-        "n_tokens",
-        quality.alias("quality"),
-    )
+    return _quality_gate_projection(feats, keep_text)
 
 
 def _lang_score_sql(lang: str) -> str:

@@ -2,9 +2,14 @@
 noop-sink timings for every registered query.
 
 Usage:
-    python tools/opt_probe.py plans <outdir> [suffix] [names...]
-    python tools/opt_probe.py time  <reps>   [names...]
-    python tools/opt_probe.py both  <outdir> [suffix] [names...]
+    python tools/opt_probe.py plans    <outdir> [suffix] [names...]
+    python tools/opt_probe.py time     <reps>   [names...]
+    python tools/opt_probe.py timecold <reps>   [names...]
+    python tools/opt_probe.py both     <outdir> [suffix] [names...]
+
+``time`` times ONLY the noop sink of the built frame; ``timecold``
+times q.fn() + sink together — the bench's timed region (queries whose
+builders run eager plan-construction jobs, q82/q85, differ a lot).
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), SPARK_GRAFT_CPUS.
 Timing uses the guide §1.4 noop sink (computes every column, discards the
@@ -33,7 +38,7 @@ def main() -> None:
         outdir = args.pop(0)
         suffix = args.pop(0) if args and not args[0].startswith("q") else "before"
         os.makedirs(outdir, exist_ok=True)
-    if mode == "time":
+    if mode in ("time", "timecold"):
         reps = int(args.pop(0))
     names = args  # remaining: query subset (empty → all)
 
@@ -85,18 +90,33 @@ def main() -> None:
                 plan = buf.getvalue()
             with open(os.path.join(outdir, f"{name}_{suffix}.txt"), "w") as f:
                 f.write(plan)
-        if mode in ("time", "both"):
+        if mode in ("time", "timecold", "both"):
+            import gc
+
+            from emulating_hadoop_with_mpi_spark.functions.pipeline import (
+                release_curate_cache,
+            )
+
             legs = []
             for _ in range(reps):
                 # fresh build each rep so no accidental reuse of a prior
                 # rep's materialized state skews steady-state timing;
                 # clearCache so queries with internal persist/cache pay
-                # their cache-build every rep (bench methodology)
+                # their cache-build every rep (bench methodology); the
+                # curate anchors are checkpoint-backed (survive
+                # clearCache) so release them too; gc like the bench
+                # (py4j plan-object garbage)
                 spark.catalog.clearCache()
-                dfr = q.fn(spark, sf_dir)
+                release_curate_cache()
+                gc.collect()
                 spark.sparkContext.setJobDescription(f"opt_probe:{name}")
-                t0 = time.perf_counter()
-                dfr.write.format("noop").mode("overwrite").save()
+                if mode == "timecold":
+                    t0 = time.perf_counter()
+                    q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                else:
+                    dfr = q.fn(spark, sf_dir)
+                    t0 = time.perf_counter()
+                    dfr.write.format("noop").mode("overwrite").save()
                 legs.append(round(time.perf_counter() - t0, 3))
                 spark.sparkContext.setJobDescription(None)
             timings[name] = min(legs)
