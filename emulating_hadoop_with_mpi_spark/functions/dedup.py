@@ -279,7 +279,18 @@ def shingles_df(docs: DataFrame, n: int = 3) -> DataFrame:
     eliminate common subexpressions inside higher-order-function lambdas,
     so referencing ``tokens_col()`` directly inside the transform would
     re-split the text once per element_at — O(tokens²) per document
-    (measured: ~3× the whole MinHash pipeline's cost at sf0.1)."""
+    (measured: ~3× the whole MinHash pipeline's cost at sf0.1).
+
+    Round 18 (guide §2.4 — remove shuffles outright): the per-doc dedup
+    is ``array_distinct`` BEFORE the explode, not a ``.distinct()``
+    after it.  A document's n-grams all live in one row, so "distinct
+    (doc_id, shingle)" is row-local — the former formulation shuffled
+    the ENTIRE shingle-string stream through a
+    hashpartitioning(doc_id, shingle) exchange (q73's plan paid two
+    full shingle shuffles: the distinct, then the collect_set groupBy;
+    the decontamination corpus side paid a shuffle inside an otherwise
+    map-only broadcast-join pass).  Identical output multiset per doc;
+    every consumer aggregates or joins, so row order is immaterial."""
     toks = F.col("toks")
     grams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - (n - 1)),
@@ -288,8 +299,7 @@ def shingles_df(docs: DataFrame, n: int = 3) -> DataFrame:
     return (
         docs.select("doc_id", tokens_col().alias("toks"))
         .filter(F.size(toks) >= n)
-        .select("doc_id", F.explode(grams).alias("shingle"))
-        .distinct()
+        .select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
     )
 
 
@@ -373,7 +383,20 @@ def exact_jaccard_pairs(
     ReusedExchange anyway."""
     ds = shingles_df(docs, n=ngram)
     if persist:
-        ds = ds.cache()
+        # Cache hash-partitioned by the join key (round 18): shingles_df
+        # is exchange-free now (its former .distinct() shuffle is gone),
+        # so a bare cache would inherit the SCAN's partitioning — one
+        # partition on a single-file input, serializing every consumer's
+        # map stage (measured: q72 2.87 → 3.12 s at sf0.1).  One explicit
+        # shingle-keyed exchange at cache build restores consumer
+        # parallelism at any input layout AND co-partitions the self-join
+        # below: both sides read the same cached hashpartitioning(shingle),
+        # so the partitioned regime's sort-merge join needs no exchange at
+        # all (guide §2.4 — two operations keyed the same way share one
+        # exchange).  Partition count = spark.sql.shuffle.partitions
+        # (env-parameterized, AQE-coalesced) — scale-adaptive, not a
+        # local[32] constant.
+        ds = ds.repartition("shingle").cache()
     cnt = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = ds.alias("a")
     b = ds.alias("b")

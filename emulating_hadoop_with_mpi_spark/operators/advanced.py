@@ -288,7 +288,15 @@ def q27_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-agg keyed by the 3 return flags and the distinct agg is the
     cheap declarative expand rewrite.  Measured at sf0.1 (min-of-3,
     noop sink, interleaved): mixed 24.7 s → split 2.4 s, identical
-    output (tools/ab_q27.py: EQUAL True)."""
+    output (tools/ab_q27.py: EQUAL True).
+
+    Plan-shape note (ADVICE r17): the split means ``cents`` is scanned
+    twice — once per aggregate — an implicit cost the 10× win already
+    prices in (both scans are pruned-column parquet reads; caching
+    cents would trade a second cheap scan for corpus-scale storage).
+    The inner join is on a deterministic parquet source, so the two
+    scans cannot diverge; a non-deterministic source would need the
+    left-join-visibility variant the advice sketches."""
     li = load_table(spark, sf_dir, "lineitem")
     d = _GK_RANK_PAD
     ps = (0.5, 0.9, 0.99)
