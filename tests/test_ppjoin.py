@@ -158,6 +158,28 @@ def test_exact_jaccard_selfjoin_dispatches_by_stats(spark, sf_dir):
         dd.PPJOIN_PARTITIONED_BYTES = orig
 
 
+def test_ranked_window_form_equals_join_form(spark):
+    """Round-18 pin: ppjoin_ranked's count-window df (one tokenize pass,
+    two exchanges) emits exactly the rows of the retained groupBy + join
+    twin (two tokenize passes, three exchanges) — on the Zipf regime
+    where shingle df is skewed, in BOTH physical regimes."""
+    from emulating_hadoop_with_mpi_spark.functions.dedup import (
+        _ppjoin_ranked_join,
+        ppjoin_ranked,
+    )
+
+    docs = zipf_corpus(spark, n_docs=400, doc_len=40, vocab=20_000, seed=7)
+    cols = ["doc_id", "sh", "df", "n", "rk"]
+    got = sorted(tuple(r) for r in ppjoin_ranked(docs).select(*cols).collect())
+    assert got, "vacuous: empty ranked frame"
+    for plan in ("small", "partitioned"):
+        exp = sorted(
+            tuple(r)
+            for r in _ppjoin_ranked_join(docs, plan=plan).select(*cols).collect()
+        )
+        assert got == exp, plan
+
+
 def test_ppjoin_injected_stages_equal_plain(spark):
     """bench.py's sf10 ppjoin stage attribution injects pre-built frames
     via ranked=/cands= (the q73 combined=/cands= idiom), and since round
