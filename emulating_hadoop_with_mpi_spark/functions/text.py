@@ -260,12 +260,150 @@ def q80_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats(canary).unionByName(stats(docs.orderBy("doc_id")))
 
 
+def _tstats_batches_fn(extra_names: list[str]):
+    """Arrow-batch token-stats kernel (round 18, guide §4.2): batches of
+    (doc_id, lang, text, <extras>) → the same rows with n_tokens /
+    n_uniq_tokens / n_chars / n_bpe_tokens computed vectorized and the
+    extras passed through untouched (q80's PII counts are JVM regex
+    columns computed in the projection FEEDING the kernel).  The former
+    Catalyst form paid an interpreted filter lambda per token plus an
+    array_distinct and a full Java-regex scan for the BPE count; here
+    tokens come from one Python split, distinct counts from dictionary
+    codes, and the BPE count from byte-class run arithmetic — the regex
+    ``[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]`` counts letter runs + digit runs
+    + every other non-whitespace CHARACTER, which over UTF-8 bytes is
+    (letter-run starts) + (digit-run starts) + (non-continuation bytes
+    outside all three classes).  Bit-identical to the retained
+    _token_stats_jvm twin (tests/test_tstats_kernel.py).  Self-contained
+    closure — no module-function references (workers need not import
+    this package)."""
+    ws_re = _JAVA_WS_RE
+
+    def gen(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            names = batch.schema.names
+            text_arr = batch.column(names.index("text"))
+            if text_arr.null_count:
+                raise ValueError(
+                    "token-stats kernel: null text (upstream contract is non-null)"
+                )
+            bufs = text_arr.buffers()
+            off_dtype = (
+                np.int64 if pa.types.is_large_string(text_arr.type) else np.int32
+            )
+            offs = np.frombuffer(bufs[1], dtype=off_dtype)[
+                text_arr.offset : text_arr.offset + n + 1
+            ].astype(np.int64)
+            data = np.frombuffer(bufs[2], dtype=np.uint8)[offs[0] : offs[-1]]
+            ends = offs - offs[0]
+
+            def seg_sums(mask):
+                cs = np.zeros(mask.size + 1, dtype=np.int64)
+                np.cumsum(mask, out=cs[1:])
+                return cs[ends[1:]] - cs[ends[:-1]]
+
+            n_chars = seg_sums((data & 0xC0) != 0x80)
+            m_letter = ((data >= 65) & (data <= 90)) | ((data >= 97) & (data <= 122))
+            m_digit = (data >= 48) & (data <= 57)
+            # Java \s = [ \t\n\x0b\f\r]
+            m_ws = (
+                (data == 32) | (data == 9) | (data == 10)
+                | (data == 11) | (data == 12) | (data == 13)
+            )
+            m_cont = (data & 0xC0) == 0x80
+            m_other = ~(m_letter | m_digit | m_ws | m_cont)
+            # run starts: class set AND previous byte not in the class,
+            # with every row's first byte counting as a fresh start
+            def run_starts(mask):
+                prev = np.concatenate(([False], mask[:-1]))
+                prev[ends[:-1][ends[:-1] < prev.size]] = False
+                return mask & ~prev
+
+            n_bpe = (
+                seg_sums(run_starts(m_letter))
+                + seg_sums(run_starts(m_digit))
+                + seg_sums(m_other)
+            )
+
+            texts = text_arr.to_pylist()
+            flat: list = []
+            counts = np.empty(n, dtype=np.int64)
+            for i, t in enumerate(texts):
+                tk = [w for w in ws_re.split(t.lower()) if w]
+                counts[i] = len(tk)
+                flat.extend(tk)
+            tok_off = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(counts, out=tok_off[1:])
+            if flat:
+                enc = pa.array(flat, type=pa.string()).dictionary_encode()
+                codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+                k = max(len(enc.dictionary), 1)
+                if counts.size * k >= (1 << 62):
+                    raise ValueError(
+                        "token-stats kernel: batch too large for int64 keys"
+                    )
+                row_ids = np.repeat(np.arange(n, dtype=np.int64), counts)
+                uniq_keys = np.unique(row_ids * k + codes)
+                n_uniq = np.bincount((uniq_keys // k).astype(np.int64), minlength=n)
+            else:
+                n_uniq = np.zeros(n, dtype=np.int64)
+
+            cols = [
+                batch.column(names.index("doc_id")),
+                batch.column(names.index("lang")),
+                pa.array(counts, type=pa.int32()),
+                pa.array(n_uniq.astype(np.int64), type=pa.int32()),
+                pa.array(n_chars, type=pa.int32()),
+                pa.array(n_bpe, type=pa.int32()),
+            ] + [batch.column(names.index(e)) for e in extra_names]
+            yield pa.RecordBatch.from_arrays(
+                cols,
+                names=["doc_id", "lang", "n_tokens", "n_uniq_tokens", "n_chars",
+                       "n_bpe_tokens"] + list(extra_names),
+            )
+
+    return gen
+
+
+def _token_stats_kernel(
+    docs: DataFrame,
+    extra_cols: list | tuple = (),
+) -> DataFrame:
+    """Arrow-kernel formulation of :func:`token_stats` — MEASURED
+    NEGATIVE as the public path (round 18): at the q80 body level the
+    two forms tie (interleaved min-of-3 at sf0.1: 0.61 vs 0.66 s with
+    the PII extras, 0.39 vs 0.32 s without — the counts are cheap
+    built-ins plus one Java-regex scan, no interpreted per-element
+    aggregate for the kernel to remove), and q80's 1-row canary branch
+    pays a Python stage spin-up the JVM projection does not (q80
+    end-to-end 1.29 vs 0.79 s).  Retained with its equality pin
+    (tests/test_tstats_kernel.py) as the documented negative and for
+    corpora whose extras-free token pass dominates."""
+    staged = docs.select("doc_id", "lang", "text", *extra_cols)
+    extra_names = [c for c in staged.columns if c not in ("doc_id", "lang", "text")]
+    extra_ddl = "".join(
+        f", {f.name} {f.dataType.simpleString()}"
+        for f in staged.schema.fields
+        if f.name in extra_names
+    )
+    return staged.mapInArrow(
+        _tstats_batches_fn(extra_names),
+        "doc_id bigint, lang string, n_tokens int, n_uniq_tokens int, "
+        "n_chars int, n_bpe_tokens int" + extra_ddl,
+    )
+
+
 def token_stats(
     docs: DataFrame,
     extra_cols: list | tuple = (),
 ) -> DataFrame:
     """q80's body over any (doc_id, lang, text) frame; ``extra_cols``
-    are appended to the same single projection (q80's PII section)."""
+    are appended to the same single projection (q80's PII section).
+    Stays all-Catalyst on purpose — see _token_stats_kernel for the
+    measured negative."""
     # materialize the token array once (tokens_col() per expression would
     # re-split the text; see shingles_df note in dedup.py)
     staged = docs.select(
