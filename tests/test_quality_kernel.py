@@ -146,3 +146,48 @@ def test_kernel_matches_numpy_free_reference():
         }
         for k, v in exp.items():
             assert out.column(k).to_pylist()[i] == v, (i, k)
+
+
+def test_quality_kernel_fuzz_seeded():
+    """Seeded fuzz: 300 random strings (letters/digits/punct/Java-\\s/
+    multibyte) — kernel count columns vs a pure-python Counter
+    reference."""
+    import random
+    import re
+    from collections import Counter
+
+    rng = random.Random(0xBEEF)
+    alphabet = "ab z A Z 0 9 .,!?-_ \t\n\x0b\f\r éß漢🎉"
+    texts = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 80)))
+        for _ in range(300)
+    ]
+    batch = pa.RecordBatch.from_arrays(
+        [
+            pa.array(list(range(len(texts))), type=pa.int64()),
+            pa.array(texts, type=pa.string()),
+        ],
+        names=["doc_id", "text"],
+    )
+    ws = re.compile("[ \t\n\x0b\f\r]+")
+    outs = list(_qfeat_batches_fn(full=True, keep_text=False)([batch]))
+    got = {k: sum((o.column(k).to_pylist() for o in outs), []) for k in
+           ("n_chars", "n_tokens", "n_alpha", "n_digit", "n_stop",
+            "max_word", "top2", "n2", "n3", "d3")}
+    from emulating_hadoop_with_mpi_spark.functions.text import ALL_STOPWORDS
+
+    stop = set(ALL_STOPWORDS)
+    for i, t in enumerate(texts):
+        toks = [w for w in ws.split(t.lower()) if w]
+        g2 = list(zip(toks, toks[1:]))
+        g3 = list(zip(toks, toks[1:], toks[2:]))
+        assert got["n_chars"][i] == len(t)
+        assert got["n_tokens"][i] == len(toks)
+        assert got["n_alpha"][i] == sum(c.isascii() and c.isalpha() for c in t)
+        assert got["n_digit"][i] == sum(c.isascii() and c.isdigit() for c in t)
+        assert got["n_stop"][i] == sum(w in stop for w in toks)
+        assert got["max_word"][i] == max(Counter(toks).values(), default=0)
+        assert got["top2"][i] == max(Counter(g2).values(), default=0)
+        assert got["n2"][i] == max(len(toks) - 1, 0)
+        assert got["n3"][i] == max(len(toks) - 2, 0)
+        assert got["d3"][i] == len(set(g3))

@@ -86,3 +86,43 @@ def test_tstats_kernel_matches_python_regex_reference():
         for i, t in enumerate(b.column(2).to_pylist()):
             assert out.column("n_bpe_tokens").to_pylist()[i] == len(bpe.findall(t)), t
             assert out.column("n_chars").to_pylist()[i] == len(t), t
+
+
+def test_tstats_kernel_fuzz_seeded():
+    """Seeded fuzz: 300 random strings over a charset mixing letters,
+    digits, punctuation, every Java-\\s char and multibyte codepoints —
+    kernel vs pure-python references for every computed column."""
+    import random
+    import re
+
+    import pyarrow as pa
+
+    from emulating_hadoop_with_mpi_spark.functions.text import _tstats_batches_fn
+
+    rng = random.Random(0xC0FFEE)
+    alphabet = "ab z A Z 0 9 .,!?-_ \t\n\x0b\f\r éß漢🎉"
+    texts = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 80)))
+        for _ in range(300)
+    ]
+    batch = pa.RecordBatch.from_arrays(
+        [
+            pa.array(list(range(len(texts))), type=pa.int64()),
+            pa.array(["xx"] * len(texts), type=pa.string()),
+            pa.array(texts, type=pa.string()),
+        ],
+        names=["doc_id", "lang", "text"],
+    )
+    ws = re.compile("[ \t\n\x0b\f\r]+")
+    bpe = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0b\f\r]")
+    outs = list(_tstats_batches_fn([])([batch]))
+    got = {k: sum((o.column(k).to_pylist() for o in outs), []) for k in
+           ("n_tokens", "n_uniq_tokens", "n_chars", "n_bpe_tokens")}
+    i = 0
+    for t in texts:
+        toks = [w for w in ws.split(t.lower()) if w]
+        assert got["n_tokens"][i] == len(toks), t
+        assert got["n_uniq_tokens"][i] == len(set(toks)), t
+        assert got["n_chars"][i] == len(t), t
+        assert got["n_bpe_tokens"][i] == len(bpe.findall(t)), t
+        i += 1
